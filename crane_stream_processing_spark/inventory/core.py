@@ -1,0 +1,163 @@
+"""Core inventory: the flagship query + the four reference apps as named,
+oracle-checked queries over the driver tables.
+
+The reference apps consume text lines (FIXTURES.md §A); here their inputs
+are rendered from the driver tables (documents.text as the free-text corpus;
+CLF-shaped lines synthesized from events) so each app's full
+parse→transform→aggregate→top-k path is exercised and DuckDB re-derives the
+same answer independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import apps
+from . import dsum, davg, query, t
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (SURVEY.md §7 M1).
+# Scale: single shuffle on two low-cardinality keys; partial aggregation
+# map-side; filter + 7-column projection push into the parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: grouped sums/averages over lineitem with a
+    shipdate predicate (pushed to the parquet scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=6).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference app parity (SURVEY.md §2.2 P1-P4, §2.4 A1/A2/A4, §2.6 T1).
+# --------------------------------------------------------------------------
+@query(
+    "app_wordcount_top5",
+    oracle="""
+    SELECT word, cnt FROM (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ) ORDER BY cnt DESC, word ASC LIMIT 5
+    """,
+)
+def app_wordcount_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wordCount app (P1+A1/A2+T1): tokenize documents.text on whitespace,
+    count words, top-5 by (count desc, word asc).
+    Reference: server/wordCount.go:75-84,45-74,99-124."""
+    lines = t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    return apps.wordcount(lines)
+
+
+@query(
+    "app_top_users_top5",
+    oracle="""
+    SELECT followee, cnt FROM (
+      SELECT list_extract(string_split_regex(
+               CAST(o_orderkey AS VARCHAR) || ' ' || CAST(o_custkey AS VARCHAR),
+               '\\s+'), 2) AS followee,
+             COUNT(*) AS cnt
+      FROM orders
+      GROUP BY 1
+    ) ORDER BY cnt DESC, followee ASC LIMIT 5
+    """,
+)
+def app_top_users_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """twitter app (P2+A1+T1): edge lines "follower followee" rendered from
+    orders as "orderkey custkey"; count per followee (= orders per customer),
+    top-5. Reference: server/twitter.go:59-67,33-58."""
+    lines = t(spark, sf_dir, "orders").select(
+        F.concat_ws(" ", F.col("o_orderkey"), F.col("o_custkey")).alias("value")
+    )
+    return apps.top_users(lines)
+
+
+@query(
+    "app_hot_resources_top5",
+    oracle="""
+    SELECT resource, cnt FROM (
+      SELECT list_extract(f, 7) AS resource, COUNT(*) AS cnt
+      FROM (
+        SELECT string_split_regex(line, '\\s+') AS f
+        FROM (
+          SELECT 'h - - [01/Jan/2024: +0000] "GET ' || event_type ||
+                 ' HTTP/1.0" 200 ' || CAST(event_id % 97 AS VARCHAR) AS line
+          FROM events
+        )
+        WHERE contains(line, '200')
+      )
+      WHERE len(f) >= 10
+      GROUP BY 1
+    ) ORDER BY cnt DESC, resource ASC LIMIT 5
+    """,
+)
+def app_hot_resources_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hothttp app (P3+A1+T1): Common-Log-format lines synthesized from
+    events ("GET <event_type> ... 200 <bytes>"); filter '200', require >=10
+    fields, count field[6] (the resource), top-5.
+    Reference: server/hothttp.go:59-73,33-58. DuckDB list_extract is
+    1-based, hence index 7 for Spark's f[6]."""
+    ev = t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit('h - - [01/Jan/2024: +0000] "GET '),
+            F.col("event_type"),
+            F.lit(' HTTP/1.0" 200 '),
+            (F.col("event_id") % 97).cast("string"),
+        ).alias("value")
+    )
+    return apps.hot_resources(lines)
+
+
+@query(
+    "app_grep_counts",
+    oracle="""
+    SELECT source AS vm, COUNT(*) AS cnt
+    FROM documents
+    WHERE regexp_matches(text, 'agg.*join')
+    GROUP BY source
+    """,
+)
+def app_grep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (P4+A4): regex scan over documents.text with
+    per-source match counts — the MP1 scatter-gather as a distributed scan
+    (reference server/querier.go:15-56; provenance column = 'vm')."""
+    docs = t(spark, sf_dir, "documents")
+    matches = docs.filter(F.col("text").rlike("agg.*join")).select(
+        F.col("source").alias("vm")
+    )
+    return matches.groupBy("vm").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+The reference system ran on a fixed 10-VM topology with hand-assigned roles
+(reference ``server/Crane.go:325-343``); here the "cluster" is whatever the
+SparkSession is pointed at — local[N] for tests, a real cluster in prod.
+All scale knobs live in one place so tests and bench share them.
+
+Scale rationale (100 TB design):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+  the static ``shuffle.partitions`` only needs to be an upper bound.
+- ``autoBroadcastJoinThreshold`` left at default (10 MB): dimension tables
+  (region/nation/supplier/part at any SF) broadcast automatically; fact-fact
+  joins go sort-merge with AQE skew handling.
+- Arrow enabled: every pandas_udf / applyInPandas path is Arrow-batched.
+- Session timezone pinned UTC so timestamp semantics match the DuckDB oracle
+  and are cluster-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "crane_stream_processing_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when not already set
+    by the environment; on a real cluster pass ``master=None`` and submit
+    via spark-submit so the cluster manager decides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read as long and let the catalog convert (integer div — no double
+        # precision loss; see catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

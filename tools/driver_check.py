@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Imports ``__spark_entry__`` (the public contract, not package internals),
+smoke-checks ``entry(spark)``, then runs every ``queries()[name]`` at
+sf0.01 and compares against ``oracle_sql()[name]`` through DuckDB with the
+driver's normalization (columns sorted by name, order-insensitive rows,
+floats to 9 significant digits). Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as contract  # noqa: E402
+from crane_stream_processing_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def c(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else float(f"{v:.9g}")
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)):
+            return tuple(map(c, v))
+        return v
+
+    return sorted(cols), sorted([tuple(c(r[i]) for i in order) for r in rows], key=repr)
+
+
+def main() -> int:
+    spark = get_spark("driver_check")
+    df = contract.entry(spark)
+    n = len(df.collect())
+    print(f"entry(): rows={n} cols={df.columns}")
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    failures = 0
+    for name in sorted(qs):
+        sdf = qs[name](spark, SF_DIR)
+        sc, sr = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        if name not in oracles:
+            print(f"{name}: rows-only rows={len(sr)}")
+            continue
+        d = con.execute(oracles[name])
+        dc, dr = norm(d.fetchall(), [x[0] for x in d.description])
+        ok = sc == dc and sr == dr
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(sr)}/{len(dr)}")
+        if not ok:
+            failures += 1
+            if sc != dc:
+                print(f"  cols spark={sc}\n  cols duck ={dc}")
+            for a, b in list(zip(sr, dr))[:3]:
+                if a != b:
+                    print(f"  spark={a}\n  duck ={b}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(qs) - failures}/{len(qs)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
