@@ -1,0 +1,81 @@
+"""Shared column-expression helpers — the engine's scalar-function layer.
+
+Everything here returns a pyspark Column built from built-in functions only
+(JVM-side, whole-stage-codegen eligible); no Python UDFs. Where a helper is
+used in an oracle-checked query, its DuckDB twin is noted so the two engines
+compute bit-identical values.
+
+Reference parity: the reference's entire scalar surface is whitespace split,
+substring containment, int parse, regex match, concat, FNV hash, and XOR
+(SURVEY.md §2.8); all are covered here plus the standard Spark surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "md5_hex",
+    "seeded_md5",
+    "dot",
+    "l2norm",
+    "cosine",
+    "ts_str",
+]
+
+WHITESPACE = r"\s+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>, empty strings removed.
+    DuckDB twin: ``list_filter(string_split_regex(x, '\\s+'), t -> t <> '')``.
+    Reference: strings.Fields (server/wordCount.go:75-84)."""
+    return F.filter(F.split(_c(col), WHITESPACE), lambda t: t != "")
+
+
+def md5_hex(col: Column | str) -> Column:
+    """Hex MD5 — identical output in Spark and DuckDB (``md5(x)``), the
+    cross-engine-stable hash used for dedup fingerprints and minhash
+    (engines' native hash()/xxhash64 seeds differ)."""
+    return F.md5(_c(col).cast("string"))
+
+
+def seeded_md5(col: Column | str, seed: int) -> Column:
+    """Seeded hash family member: md5(seed || '#' || x). A family of
+    independent uniform hashes for minhash signatures; lexicographic MIN of
+    the hex string is a valid min-hash. DuckDB twin:
+    ``md5(CAST(seed AS VARCHAR) || '#' || x)``."""
+    return F.md5(F.concat(F.lit(f"{seed}#"), _c(col).cast("string")))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Double-precision dot product of two array<float|double> columns via
+    zip_with + aggregate — JVM-side, no UDF. DuckDB twin:
+    ``list_dot_product(a::DOUBLE[], b::DOUBLE[])`` (both fold left-to-right
+    in double, so values match bit-for-bit)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column | str) -> Column:
+    """sqrt(sum(x^2)) in double. DuckDB twin: ``sqrt(list_dot_product(a::DOUBLE[], a::DOUBLE[]))``."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity in double precision (NOT DuckDB's
+    list_cosine_similarity, which accumulates in float32)."""
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def ts_str(col: Column | str) -> Column:
+    """Render a timestamp to 'yyyy-MM-dd HH:mm:ss.SSSSSS' for output columns
+    — dodges timestamp typing/timezone drift between engines. DuckDB twin:
+    ``strftime(ts, '%Y-%m-%d %H:%M:%S.%f')``."""
+    return F.date_format(_c(col), "yyyy-MM-dd HH:mm:ss.SSSSSS")

@@ -1,0 +1,172 @@
+"""Aggregation inventory — SURVEY.md §2.4 A5 (the reference only has keyed
+count/sum, server/wordCount.go:45-74; everything else is declared surface).
+
+All double-typed SUM/AVG go through the decimal-cast trick (inventory.dsum)
+so partial-aggregate merge order can't produce cross-engine drift. Every
+aggregation here is a single hash shuffle with map-side partial aggregation
+(HashAggregate partial→final) — verified via .explain in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import davg, dsum, query, t
+
+
+@query(
+    "agg_suite_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS first_order,
+           CAST(MAX(o_orderdate) AS VARCHAR) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_suite_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 core suite: count / count-distinct / sum / avg / min / max over
+    numeric and timestamp columns in one pass."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").cast("string").alias("first_order"),
+            F.max("o_orderdate").cast("string").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 rollup: customer counts/balances at (region, nation), (region),
+    and grand-total levels; GROUPING() flags disambiguate real NULL keys
+    from subtotal rows. Dims broadcast; one shuffle for the rollup."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cube: all 4 grouping combinations of (returnflag, linestatus)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets_events",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(CAST(ts AS DATE) AS VARCHAR)))
+    """,
+)
+def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 grouping sets: per-type and per-day event rollups in one pass
+    (SQL form — the DataFrame API has no groupingSets; the engine registers
+    the catalog view and stays declarative)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (CAST(CAST(ts AS DATE) AS STRING)))
+        """
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 approx_count_distinct (HyperLogLog++): sketch-based distinct user
+    estimate per event_type next to the exact count. No oracle — HLL
+    estimates are engine-specific; driver applies the rows-only check. At
+    100 TB the sketch is the only affordable distinct (constant memory,
+    one pass, mergeable partials)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value — the map-side-combinable
+    building block for distributed distribution profiling."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("bucket_sum"),
+        )
+    )

@@ -1,0 +1,260 @@
+"""Join inventory — SURVEY.md §2.3 J1-J7. The reference has no relational
+join (its "join" is a keyed aggregation, server/Crane.go:179-188); this
+module exposes the full Spark join surface over the driver tables, each
+oracle-checked against DuckDB.
+
+Scale notes per query are inline; the common rules: dimension tables
+(region/nation) are explicitly broadcast, fact-fact joins shuffle on their
+keys and rely on AQE skew handling, and the as-of join uses the linear
+union+window recipe from operators.asof rather than a quadratic range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from . import dsum, query, t
+
+
+@query(
+    "join_inner_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi inner: orders⨝customer⨝nation, revenue per nation.
+    customer⨝orders shuffles on custkey (AQE-coalesced); nation is an
+    explicit broadcast — zero shuffle for the dim side at any SF."""
+    orders, cust, nation = (t(spark, sf_dir, n) for n in ("orders", "customer", "nation"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_outer_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 0) AS DOUBLE) AS spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left outer: every customer with order count + spend, zero-order
+    customers kept (NULL-extended then coalesced). One shuffle on custkey."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1),
+         e AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+               FROM events GROUP BY 1)
+    SELECT CAST(COALESCE(o.d, e.d) AS VARCHAR) AS day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full outer: order-days ⟗ event-days; each side has days the other
+    lacks (orders span years, events span one month). Aggregates first —
+    the outer join runs on two tiny pre-aggregated sides, not raw facts."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, o.d == e.d, "full").select(
+        F.coalesce(o.d, e.d).cast("string").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left semi: customers having ≥1 open order, counted per segment.
+    Semi join never duplicates left rows and ships only the key column of
+    the right side."""
+    cust = t(spark, sf_dir, "customer")
+    open_orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left anti: customers with no orders at all, per segment."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_theta_price_bands",
+    oracle="""
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM part
+    JOIN (VALUES ('budget', 0.0, 500.0),
+                 ('mid', 500.0, 1200.0),
+                 ('premium', 1200.0, 1e18)) AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def join_theta_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 theta (non-equi): part × price-band table on a range predicate —
+    BroadcastNestedLoopJoin with a 3-row broadcast side, so the 'nested
+    loop' is O(|part|·3) and fully parallel."""
+    part = t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    cond = (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi"))
+    return (
+        part.join(F.broadcast(bands), cond, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 cross: unordered region pairs. Cross joins are reserved for
+    provably tiny inputs (|region| = 5); the < filter halves the square."""
+    r = t(spark, sf_dir, "region")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("r1"), F.col("b.r_name").alias("r2"))
+    )
+
+
+@query(
+    "join_range_shipped_within_30d",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_range_shipped_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 range/interval join: lineitems shipped within 30 days of their
+    order date. The equi key (orderkey) drives the shuffle; the range
+    predicate evaluates post-match, so this stays a hash/sort-merge join,
+    never a nested loop."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(o, cond, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "join_asof_last_purchase_before_error",
+    oracle="""
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of: each error event paired with the user's most recent
+    purchase at-or-before it (NULL if none). Linear union+window recipe
+    (operators.asof) — one shuffle on user_id, no join explosion; DuckDB
+    ASOF JOIN is the oracle."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        F.col("value_r").alias("purchase_value"),
+    )

@@ -1,0 +1,256 @@
+"""Scalar-function inventory — SURVEY.md §2.8. The reference's scalar
+surface (split / contains / atoi / regex / concat / hash / xor / timestamp
+format) plus the standard string / date / math / conditional / array / JSON
+surface, all as JVM-side built-ins inside whole-stage codegen.
+
+Cross-engine notes: md5 is the hash both engines share (native hash()/
+xxhash64 seeds differ); xor via ``^``/``xor()``; fractional math rounded
+to fixed decimals on both sides where formula-level reassociation could
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dsum, query, t
+
+
+@query(
+    "scalar_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           trim(p_type) AS ttype,
+           substr(p_name, 1, 8) AS name8,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           strpos(p_name, 'a') AS first_a,
+           replace(p_name, ' ', '_') AS snake,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           contains(p_name, 'blue') AS has_blue,
+           starts_with(p_brand, 'Brand#1') AS brand1x
+    FROM part
+    """,
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case, trim, substring, length, concat, position,
+    replace, regexp_extract, contains, startswith — one projection, no
+    shuffle (reference surface: strings.Fields/Contains, regexp,
+    server/hothttp.go:60, server/querier.go:28)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim("p_type").alias("ttype"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.col("p_name").contains("blue").alias("has_blue"),
+        F.col("p_brand").startswith("Brand#1").alias("brand1x"),
+    )
+
+
+@query(
+    "scalar_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(dayofmonth(o_orderdate) AS INT) AS d,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS BIGINT)
+             AS days_to_cutoff,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date
+    FROM orders
+    """,
+)
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: year/month/day/ISO-dow/quarter, date_trunc,
+    datediff, date_format (reference's only timestamp use is SDFS version
+    formatting, server/sdfs.go:73-74)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        # Spark dayofweek is 1=Sunday; ISO dow = 1=Monday..7=Sunday.
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("iso_dow"),
+        F.quarter("o_orderdate").alias("q"),
+        # DuckDB date_trunc('month', ts) yields DATE; match by casting via date.
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month_start"),
+        F.datediff(
+            F.lit("1998-12-01").cast("date"), F.to_date("o_orderdate")
+        ).cast("bigint").alias("days_to_cutoff"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+@query(
+    "scalar_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(power(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: round/abs/ceil/floor/ln/sqrt/power/mod/greatest/
+    least/sign. Transcendentals rounded to 6 decimals on both sides (libm
+    vs JVM StrictMath can differ in the last ulp)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 4 decimals: the true product has <=4 decimal digits, so no
+        # half-way ties (Spark HALF_UP on decimal string vs DuckDB on binary
+        # value disagree exactly at ties — e.g. 8285.425 at scale 2).
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "scalar_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: events.props is a JSON string; parse with an
+    explicit schema (from_json) and aggregate the extracted field. Schema-
+    ful parse beats get_json_object when multiple fields are read."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@query(
+    "scalar_conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_tier,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           (c_acctbal IS NULL) AS bal_is_null,
+           if(c_acctbal >= 0, c_acctbal, 0.0) AS bal_clamped
+    FROM customer
+    """,
+)
+def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null functions: CASE WHEN, coalesce, nullif, IS NULL,
+    if() — P6's general predicate surface."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).otherwise(0.0).alias(
+            "bal_clamped"
+        ),
+    )
+
+
+@query(
+    "scalar_hash_xor",
+    oracle="""
+    SELECT event_id,
+           md5(event_type) AS type_md5,
+           xor(event_id, user_id) AS id_xor,
+           event_id & 255 AS id_low8,
+           event_id | 1 AS id_odd,
+           CAST(event_id // 2 AS BIGINT) AS id_half
+    FROM events
+    """,
+)
+def scalar_hash_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash + bitwise ops: md5 (cross-engine-stable hash), XOR (the
+    reference acker's core op, server/acker.go:58), AND/OR, integer div."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.md5("event_type").alias("type_md5"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("id_xor"),
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("id_low8"),
+        F.col("event_id").bitwiseOR(F.lit(1)).alias("id_odd"),
+        F.expr("event_id div 2").alias("id_half"),
+    )
+
+
+@query(
+    "scalar_array_suite",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_contains(toks, 'spark') AS has_spark,
+           toks[1] AS first_token,
+           toks[-1] AS last_token,
+           array_to_string(list_sort(list_distinct(toks)), ',') AS vocab_csv
+    FROM (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+    """,
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text: size, contains, element_at
+    (first/last), distinct+sort+join. Complex types stay columnar — no
+    explode needed for per-array stats."""
+    from ..functions import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.element_at("toks", 1).alias("first_token"),
+        F.element_at("toks", -1).alias("last_token"),
+        F.array_join(F.array_sort(F.array_distinct("toks")), ",").alias("vocab_csv"),
+    )

@@ -1,0 +1,171 @@
+"""Window-function inventory — SURVEY.md §2.5 (entirely absent from the
+reference; declared surface). Ranking, analytic (lag/lead/first/last),
+frames, ntile, and per-group top-k.
+
+Every window totally orders its partition (explicit tiebreak column) so
+results are deterministic and oracle-comparable — the same discipline §7's
+risk register demands for top-k (the reference breaks ties by Go map
+iteration order, server/wordCount.go:107-111).
+
+Scale: a window = one shuffle on partitionBy keys + per-partition sort.
+Partition keys here are high-cardinality (custkey, user_id) so state per
+key is small; no global orderBy without a limit anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+
+@query(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable form of T2: partial
+    top-k per partition, never a global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense_rank_parts",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_dense_rank,
+           NTILE(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile
+    FROM part
+    """,
+)
+def window_rank_dense_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a per-brand price ordering."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead_user_sessions",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(COALESCE(date_diff('second', LAG(ts) OVER w, ts), -1) AS BIGINT) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics along each user's event timeline: neighbouring
+    event types and whole-second gap since the previous event (-1 for the
+    first event of a user)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)), F.lit(-1)
+        ).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames: cumulative spend and a trailing 3-order moving
+    average per customer. Decimal-cast accumulation keeps every prefix sum
+    bit-identical across engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(28,4)")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@query(
+    "window_first_last_order_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_order_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_order_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full-partition frame,
+    one row per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_order_price"),
+            F.last("o_totalprice").over(w).alias("last_order_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,71 @@
+"""As-of join: for each left row, attach the latest right row with
+right.ts <= left.ts within the same key group (SURVEY.md §2.3 J6 — absent
+from both the reference and core Spark; DuckDB ``ASOF JOIN`` oracles it).
+
+Strategy — union + running ``last(ignorenulls)`` window, NOT a range join:
+tag both sides, union, then one window pass per key ordered by time carries
+the most recent right-side values forward onto left rows. Cost is a single
+hash shuffle on the key plus a per-partition sort — linear, skew-tolerant,
+and radically cheaper at 100 TB than the naive conditional-join +
+row_number() which materializes O(|L|·|R|/keys) intermediate rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join.
+
+    For each ``left`` row, the ``value_cols`` of the ``right`` row with the
+    greatest ``right_ts`` satisfying ``right_ts <= left_ts`` and equal join
+    keys; NULLs when no prior right row exists. Ties on the timestamp are
+    broken toward the right row (right sorts before left at equal ts), i.e.
+    a right row at exactly ``left_ts`` matches — same as DuckDB ``ASOF JOIN
+    ... ON l.ts >= r.ts``.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+
+    lhs = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rhs = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    # unionByName with missing-column fill keeps left payload columns.
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # Right rows (side=0) sort before left rows at the same timestamp, so a
+    # same-instant right row is visible to the left row.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )
+    out_cols: list[Column] = [F.col(c) for c in left.columns] + [
+        F.col(f"{v}{suffix}") for v in value_cols
+    ]
+    return carried.filter(F.col("__side") == 1).select(*out_cols)

@@ -1,0 +1,179 @@
+"""Deduplication operators — exact and near-duplicate (north-star surface;
+the reference has no dedup at all, SURVEY.md §2.7/§2.10).
+
+All operators are pure DataFrame transforms over built-in functions:
+shingling, minhash signatures, and banding are array expressions evaluated
+per-row inside codegen (no explode of the shingle set, no Python), and the
+only shuffles are the final band-bucket join / groupBys. Hashes are md5
+(cross-engine stable) so DuckDB can oracle every step.
+
+Scale: LSH turns the O(n²) near-dup problem into per-bucket joins. Bucket
+key cardinality grows with corpus size, so the band join shuffles ~n·BANDS
+rows — linear. Exact jaccard verification runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_hex, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash64",
+]
+
+NUM_HASHES = 12  # minhash signature length
+BAND_ROWS = 3  # rows per LSH band → NUM_HASHES/BAND_ROWS = 4 bands
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one survivor (min id) per
+    distinct content value. Hash-groupBy shuffles the md5, not the content."""
+    return (
+        df.select(md5_hex(content_col).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Token k-shingles as an array expression: tokenize, then slide a
+    k-window via transform over an index sequence — no explode, stays
+    row-local. Empty array when the document has < k tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """Minhash signature: per seed s, min over shingles of md5('s#'+shingle)
+    (lexicographic min of a uniform hex hash is a valid min-hash, and md5 is
+    identical in DuckDB). Returns array<string> of length num_hashes."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda sh, s=s: F.md5(F.concat(F.lit(f"{s}#"), sh)))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, hash each band, and
+    self-join on (band_index, band_hash) — two docs collide iff some band
+    matches entirely. Returns distinct candidate pairs (id_a < id_b).
+
+    The join key (band_idx, band_hash) has cardinality ~n·bands/collision
+    so the shuffle is linear in corpus size; a hot bucket (many identical
+    docs) is an AQE skew-join case, not a crossJoin blow-up."""
+    n_bands = num_hashes // band_rows
+    sig = minhash_signature(shingles(content_col), num_hashes)
+    banded = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.element_at(F.col("sig"), b * band_rows + r + 1) for r in range(band_rows)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, content_col: str, k: int = 3
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: join each side's
+    distinct-shingle array, intersect/union row-locally. Runs only on the
+    LSH-surviving pairs — the expensive exactness is O(candidates)."""
+    sets_df = df.select(
+        F.col(id_col).alias("doc"), F.array_distinct(shingles(content_col, k)).alias("sh")
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash of a document's token multiset, built from md5 hex digits so
+    it is engine-portable: token-hash bit b = bit (b%4) of hex digit b//4 of
+    md5(token); simhash bit b is set iff sum over tokens of (2·bit−1) > 0.
+
+    One fold over the token array accumulating a ±1 vector via zip_with —
+    single pass, no UDF, no explode. DuckDB twin: explode tokens ×
+    generate_series(0,bits-1), hex digit via strpos('0123..f', ...),
+    group-sum, then bit-pack."""
+    toks = tokens(col)
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+
+    def contribs(h: Column) -> Column:
+        return F.array(
+            *[
+                (
+                    F.shiftright(
+                        F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("long"),
+                        b % 4,
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("long")
+                for b in range(bits)
+            ]
+        )
+
+    sums = F.aggregate(
+        toks, zero, lambda acc, tok: F.zip_with(acc, contribs(F.md5(tok)), lambda a, c: a + c)
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(
+            F.element_at(sums, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0))
+    return out

@@ -1,0 +1,95 @@
+"""Embedding similarity search (north-star surface): brute-force cosine
+top-k as the exact baseline, random-hyperplane LSH bucketing as the scale
+path. Embeddings are ``array<float>`` columns; all arithmetic is
+double-precision JVM array expressions (functions.dot/cosine) — no UDFs.
+
+Scale: brute-force is O(|queries|·|corpus|) with the query side broadcast —
+right for small query sets / reranking. LSH assigns each vector to a
+bucket via sign bits of dot products with fixed hyperplanes; search then
+probes only matching buckets: the crossJoin shrinks by ~2^planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine, dot
+
+__all__ = ["hyperplanes", "lsh_bucket", "cosine_topk", "cosine_near_pairs"]
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "crane-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component (p, i)
+    derives from md5(seed|p|i) — reproducible across engines/sessions with
+    no RNG state, so the same literals can be inlined into oracle SQL."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{i}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            row.append(round(u / 2**63 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of dot(vec, plane_p). DuckDB twin:
+    SUM(CASE WHEN list_dot_product(...) > 0 THEN 1<<p END) with the same
+    plane literals."""
+    out = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        out = out + F.when(dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the corpus, per-query window top-k. Rounded to 6 decimals with
+    an id tiebreak so ranking is engine-deterministic."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (exact,
+    pairwise). The all-pairs form is the correctness baseline; at scale,
+    pre-bucket with lsh_bucket and join within buckets instead."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators (north-star surface): language-ID, quality
+scoring, token counting, document fingerprinting — the per-document feature
+extractors of a training-data pipeline, all as built-in column expressions
+(one projection per document, no shuffle, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import md5_hex, tokens
+
+__all__ = [
+    "LANG_MARKERS",
+    "langid_scores",
+    "langid",
+    "quality_features",
+    "quality_score",
+    "token_stats",
+    "fingerprint",
+]
+
+# Marker stopwords per language for the n-gram/stopword heuristic language
+# detector. Deliberately tiny + deterministic; real corpora would train
+# frequency profiles, but the operator shape (score per language → argmax)
+# is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are marker words (multiset count)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def langid_scores(col: Column | str) -> list[Column]:
+    toks = tokens(col)
+    return [
+        _marker_hits(toks, m).alias(f"score_{lang}") for lang, m in LANG_MARKERS.items()
+    ]
+
+
+def langid(col: Column | str) -> Column:
+    """Predicted language = argmax marker-hit count, ties broken by
+    language code order, 'und' when nothing matches. DuckDB twin: same
+    CASE/greatest cascade over list_filter counts."""
+    toks = tokens(col)
+    scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # Reverse order so earlier languages win ties (last when() wins in a
+    # chained otherwise cascade built back-to-front).
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Document quality signals: length, token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    all_markers = tuple(sorted({m for ms in LANG_MARKERS.values() for m in ms}))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len": F.round(
+            (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+        "punct_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+        "stopword_ratio": F.round(
+            _marker_hits(toks, all_markers).cast("double") / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ),
+        "upper_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    moderate length, penalizes punctuation soup — the standard shape of a
+    heuristic quality filter."""
+    f = quality_features(col)
+    len_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 0.4).otherwise(0.0)
+    stop_ok = F.least(f["stopword_ratio"] * 4, F.lit(0.4))
+    punct_pen = F.greatest(F.lit(0.2) - f["punct_ratio"], F.lit(0.0))
+    return F.round(len_ok + stop_ok + punct_pen, 6)
+
+
+def token_stats(col: Column | str) -> dict[str, Column]:
+    """Token counting: whitespace tokens and a BPE-ish regex segmentation
+    (word pieces / numbers / single punctuation — the standard pre-tokenizer
+    shape, giving a deterministic proxy for LLM token counts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = tokens(c)
+    bpe_ish = F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0)
+    return {
+        "ws_tokens": F.size(ws).cast("bigint"),
+        "bpe_ish_tokens": F.size(bpe_ish).cast("bigint"),
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set — detects shuffled/reordered near-copies that exact hashing
+    misses. DuckDB twin: md5(array_to_string(list_sort(list_distinct(...)),' '))."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
