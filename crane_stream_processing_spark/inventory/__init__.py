@@ -82,10 +82,7 @@ def _load_all() -> None:
 
     for mod in ("joins", "aggregates", "windows", "scalars", "setops",
                 "eventtime", "northstar"):
-        try:
-            __import__(f"{__name__}.{mod}")
-        except ImportError:
-            pass  # module added in a later milestone
+        __import__(f"{__name__}.{mod}")
 
 
 _load_all()

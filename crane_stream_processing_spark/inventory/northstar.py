@@ -1,0 +1,345 @@
+"""North-star inventory — the LLM-training-data-pipeline operators the
+driver's `north_star` requires beyond the reference's surface (SURVEY.md
+§2.10): deduplication (exact, minhash-LSH, simhash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (language-ID, quality scoring, token counting, document
+fingerprinting), and multimodal binary columns.
+
+Every operator is a pure partition-parallel DataFrame transform (operators.*)
+and every query here has a full DuckDB oracle — including the minhash-LSH
+pipeline, re-derived end-to-end in SQL via md5 (the one hash both engines
+share bit-for-bit). Multimodal decode runs through mapInPandas; its oracle
+checks the envelope (byte length + payload md5) that the deterministic fake
+decoder extracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..functions import cosine, tokens
+from . import query, t
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (kept in lockstep with the Spark-side operators).
+# ---------------------------------------------------------------------------
+
+# tokens(): whitespace split, empties dropped (functions.tokens).
+SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# shingles(k=3): k-token windows joined by spaces (operators.dedup.shingles).
+SQL_SHINGLES = (
+    "[array_to_string(tk[i:i+2], ' ') FOR i IN range(1, greatest(len(tk)-2, 0)+1)]"
+)
+
+# minhash_signature(NUM_HASHES=12): per seed s, lexicographic min of
+# md5('s#' || shingle) (operators.dedup.minhash_signature).
+SQL_MINHASH = "[list_min([md5(CAST(s AS VARCHAR) || '#' || x) FOR x IN g]) FOR s IN range(0, 12)]"
+
+_CTE_LSH_BANDS = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS g
+  FROM toks WHERE len(tk) >= 3
+),
+sig AS (
+  SELECT doc_id, {SQL_MINHASH} AS mh FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(mh[b*3+1] || '|' || mh[b*3+2] || '|' || mh[b*3+3]) AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+"""
+
+# Inline plane literals shared by Spark and the oracle (similarity.hyperplanes
+# is seeded md5 → identical values both sides; 6 planes → 64 buckets).
+_PLANES = S.hyperplanes(6, 64)
+
+
+def _sql_plane(row: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in row) + "]"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {_sql_plane(row)}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_COSINE = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one survivor per distinct text.
+    The shuffle moves 32-byte md5 keys, never document bodies."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh_jaccard",
+    oracle=_CTE_LSH_BANDS
+    + f""",
+    sets AS (
+      SELECT doc_id, list_distinct(g) AS g FROM sh
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.g, sb.g))::DOUBLE
+                 / len(list_distinct(sa.g || sb.g)), 6) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    """,
+)
+def dedup_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection, the full scale pipeline: 3-token shingles →
+    12-hash minhash signature → 4-band LSH self-join for candidates →
+    exact shingle-set Jaccard only on candidates. Everything up to the
+    band join is row-local array expressions; the join shuffles ~n·bands
+    rows (linear in corpus size)."""
+    docs = t(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 3)
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
+    return D.jaccard_pairs(docs, pairs, "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+    ),
+    bitsum AS (
+      SELECT doc_id, b,
+             SUM(2 * (((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                       >> (b % 4)) & 1) - 1) AS s
+      FROM tk CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) per document — near-dup fingerprints whose Hamming
+    distance tracks content similarity. One fold over the token array
+    (aggregate+zip_with), no explode, no UDF; the oracle re-derives each bit
+    from md5 hex digits."""
+    docs = t(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 1)
+    return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash"))
+
+
+@query(
+    "dedup_embedding_near_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({SQL_COSINE}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({SQL_COSINE}, 6) >= 0.4
+    """,
+)
+def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4). All-pairs
+    exact form — the correctness baseline; the LSH-bucketed variant
+    (sim_lsh_ann_topk) is the scale path."""
+    return S.cosine_near_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC, b.vec_id) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+      JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for a small query set (vec_id < 10):
+    broadcast queries × corpus, per-query window top-k. O(|Q|·|corpus|) —
+    right for reranking / small Q; LSH variant below for large Q."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query(
+    "sim_lsh_bucket_histogram",
+    oracle=f"""
+    SELECT {_sql_bucket('embedding')} AS bucket, COUNT(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (6 planes → 64 buckets) +
+    occupancy histogram — the partitioning step of scalable ANN. Plane
+    components are seeded-md5-derived literals, identical in the oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query(
+    "sim_lsh_ann_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC, b.vec_id) AS rank
+      FROM (SELECT * FROM bucketed WHERE vec_id < 10) a
+      JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via LSH bucketing: candidates restricted to the
+    query's bucket, exact cosine within. The bucket equi-join replaces the
+    crossJoin — per-query candidates shrink ~2^planes; shuffle key = bucket."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_ALL_MARKERS = tuple(sorted({m for ms in X.LANG_MARKERS.values() for m in ms}))
+
+
+def _sql_markers(markers: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+
+
+def _sql_hits(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter(tk, x -> list_contains({_sql_markers(markers)}, x)))"
+
+
+_SQL_LANG_CASE = (
+    "CASE WHEN best = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in X.LANG_MARKERS
+    )
+    + " END"
+)
+
+
+@query(
+    "text_stats_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {SQL_TOKS} AS tk FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, tk,
+             {", ".join(f"{_sql_hits(m)} AS score_{lang}" for lang, m in X.LANG_MARKERS.items())},
+             greatest({", ".join(f"{_sql_hits(m)}" for m in X.LANG_MARKERS.values())}) AS best,
+             len(tk) AS ws_tokens,
+             round({_sql_hits(_ALL_MARKERS)}::DOUBLE / greatest(len(tk), 1), 6) AS stopword_ratio,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1), 6) AS upper_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+           {_SQL_LANG_CASE} AS lang,
+           ws_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_ish_tokens,
+           punct_ratio, upper_ratio, stopword_ratio,
+           round((CASE WHEN ws_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                 + least(stopword_ratio * 4, 0.4)
+                 + greatest(0.2 - punct_ratio, 0.0), 6) AS quality,
+           md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+    FROM scored
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: marker-stopword language-ID, whitespace +
+    BPE-ish regex token counts, punctuation/uppercase/stopword ratios,
+    composite quality score, order-insensitive content fingerprint. One
+    projection per document — no shuffle, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    qf = X.quality_features("text")
+    ts = X.token_stats("text")
+    return docs.select(
+        "doc_id",
+        X.langid("text").alias("lang"),
+        ts["ws_tokens"].alias("ws_tokens"),
+        ts["bpe_ish_tokens"].alias("bpe_ish_tokens"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["upper_ratio"].alias("upper_ratio"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+        X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+@query(
+    "mm_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           strlen(text) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: wrap text bytes as opaque media blobs (typed
+    binary envelope), run the Arrow-batched mapInPandas decoder (the
+    deterministic fake — codecs aren't installed; media_decode_real is the
+    real hook), and emit per-blob features. Oracle checks byte length +
+    payload md5 (DuckDB md5 of a VARCHAR hashes its UTF-8 bytes — the same
+    bytes the Spark side encodes)."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.as_media_column(docs, "doc_id", "text", kind="image")
+    return M.extract_features(media).select("media_id", "kind", "n_bytes", "payload_md5")

@@ -25,7 +25,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "jaccard_pairs",
-    "simhash64",
+    "simhash",
 ]
 
 NUM_HASHES = 12  # minhash signature length
@@ -61,14 +61,17 @@ def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Colu
     """Minhash signature: per seed s, min over shingles of md5('s#'+shingle)
     (lexicographic min of a uniform hex hash is a valid min-hash, and md5 is
     identical in DuckDB). Returns array<string> of length num_hashes."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda sh, s=s: F.md5(F.concat(F.lit(f"{s}#"), sh)))
-            )
-            for s in range(num_hashes)
-        ]
-    )
+
+    def seed_min(seed: int) -> Column:
+        # Single-parameter lambda only: pyspark calls a 2-arg transform
+        # lambda as (element, index), which would silently rebind a seed
+        # default to the index column.
+        prefix = F.lit(f"{seed}#")
+        return F.array_min(
+            F.transform(shingle_col, lambda sh: F.md5(F.concat(prefix, sh)))
+        )
+
+    return F.array(*[seed_min(s) for s in range(num_hashes)])
 
 
 def lsh_candidate_pairs(

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from ..functions import cosine, dot
 
-__all__ = ["hyperplanes", "lsh_bucket", "cosine_topk", "cosine_near_pairs"]
+__all__ = [
+    "hyperplanes",
+    "lsh_bucket",
+    "cosine_topk",
+    "cosine_near_pairs",
+    "lsh_ann_topk",
+]
 
 
 def hyperplanes(n_planes: int, dim: int, seed: str = "crane-lsh") -> list[list[float]]:
@@ -66,6 +72,42 @@ def cosine_topk(
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
     scored = (
         q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: restrict candidates to the query's LSH bucket,
+    then exact cosine + window top-k within it. The bucket equi-join
+    replaces the crossJoin — candidate count per query drops by ~2^planes,
+    and the join shuffles on the bucket key (linear, AQE-skew-handled).
+    Recall is tunable via plane count (fewer planes → bigger buckets)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
