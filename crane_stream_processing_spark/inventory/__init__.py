@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
-__all__ = ["Query", "REGISTRY", "query", "t", "dsum", "davg"]
+__all__ = ["Query", "REGISTRY", "query", "t", "t_cpu", "dsum", "davg"]
 
 
 @dataclass(frozen=True)
@@ -58,6 +58,20 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table for a CPU-bound per-row operator (minhash, simhash,
+    per-pair dot products): when the scan yields fewer partitions than the
+    session's parallelism (small/single parquet files), repartition so the
+    heavy row-local compute uses every core. At 100 TB the scan already has
+    more partitions than cores and this is a no-op — the guard keeps the
+    extra shuffle strictly for the under-partitioned case."""
+    df = load_table(spark, sf_dir, name)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:

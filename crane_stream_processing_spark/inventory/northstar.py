@@ -23,7 +23,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
 from ..functions import cosine, tokens
-from . import query, t
+from . import query, t, t_cpu
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (kept in lockstep with the Spark-side operators).
@@ -128,7 +128,7 @@ def dedup_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-set Jaccard only on candidates. Everything up to the
     band join is row-local array expressions; the join shuffles ~n·bands
     rows (linear in corpus size)."""
-    docs = t(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 3)
+    docs = t_cpu(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 3)
     pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
     return D.jaccard_pairs(docs, pairs, "doc_id", "text")
 
@@ -156,7 +156,7 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance tracks content similarity. One fold over the token array
     (aggregate+zip_with), no explode, no UDF; the oracle re-derives each bit
     from md5 hex digits."""
-    docs = t(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 1)
+    docs = t_cpu(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 1)
     return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash"))
 
 
@@ -174,7 +174,7 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form — the correctness baseline; the LSH-bucketed variant
     (sim_lsh_ann_topk) is the scale path."""
     return S.cosine_near_pairs(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+        t_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
 
 
@@ -198,7 +198,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-3 for a small query set (vec_id < 10):
     broadcast queries × corpus, per-query window top-k. O(|Q|·|corpus|) —
     right for reranking / small Q; LSH variant below for large Q."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_cpu(spark, sf_dir, "embeddings")
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
@@ -213,7 +213,7 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (6 planes → 64 buckets) +
     occupancy histogram — the partitioning step of scalable ANN. Plane
     components are seeded-md5-derived literals, identical in the oracle."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_cpu(spark, sf_dir, "embeddings")
     return (
         emb.select(S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"))
         .groupBy("bucket")
@@ -241,7 +241,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via LSH bucketing: candidates restricted to the
     query's bucket, exact cosine within. The bucket equi-join replaces the
     crossJoin — per-query candidates shrink ~2^planes; shuffle key = bucket."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_cpu(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
 
 
@@ -304,7 +304,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex token counts, punctuation/uppercase/stopword ratios,
     composite quality score, order-insensitive content fingerprint. One
     projection per document — no shuffle, no UDF."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_cpu(spark, sf_dir, "documents")
     qf = X.quality_features("text")
     ts = X.token_stats("text")
     return docs.select(

@@ -42,11 +42,15 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Token k-shingles as an array expression: tokenize, then slide a
+def token_shingles(toks: Column, k: int = 3) -> Column:
+    """k-shingles over an (ideally materialized) token-array column: slide a
     k-window via transform over an index sequence — no explode, stays
-    row-local. Empty array when the document has < k tokens."""
-    toks = tokens(col)
+    row-local. Empty array when the document has < k tokens.
+
+    Performance: pass a *materialized column reference* (select the token
+    array into its own column first). Inlining a computed expression here
+    re-evaluates it once per array element inside the lambda — higher-order
+    functions get no common-subexpression elimination."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     return F.transform(
@@ -55,6 +59,12 @@ def shingles(col: Column | str, k: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Token k-shingles straight from a text column (convenience form; for
+    hot paths stage ``tokens()`` into a column and use token_shingles)."""
+    return token_shingles(tokens(col), k)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Column:
@@ -87,10 +97,19 @@ def lsh_candidate_pairs(
 
     The join key (band_idx, band_hash) has cardinality ~n·bands/collision
     so the shuffle is linear in corpus size; a hot bucket (many identical
-    docs) is an AQE skew-join case, not a crossJoin blow-up."""
+    docs) is an AQE skew-join case, not a crossJoin blow-up.
+
+    Each pipeline stage (tokens → shingles → signature) is materialized as
+    its own column so it evaluates exactly once per row — inlining the
+    whole tree would re-run tokenization per shingle per seed (observed
+    ~50× slowdown)."""
     n_bands = num_hashes // band_rows
-    sig = minhash_signature(shingles(content_col), num_hashes)
-    banded = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).select(
+    staged = (
+        df.select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
+        .select("doc", token_shingles(F.col("toks")).alias("sh"))
+        .select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    )
+    banded = staged.select(
         "doc",
         F.explode(
             F.array(
@@ -129,8 +148,8 @@ def jaccard_pairs(
     distinct-shingle array, intersect/union row-locally. Runs only on the
     LSH-surviving pairs — the expensive exactness is O(candidates)."""
     sets_df = df.select(
-        F.col(id_col).alias("doc"), F.array_distinct(shingles(content_col, k)).alias("sh")
-    )
+        F.col(id_col).alias("doc"), tokens(content_col).alias("toks")
+    ).select("doc", F.array_distinct(token_shingles(F.col("toks"), k)).alias("sh"))
     j = (
         pairs.join(sets_df.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -152,11 +171,18 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     One fold over the token array accumulating a ±1 vector via zip_with —
     single pass, no UDF, no explode. DuckDB twin: explode tokens ×
     generate_series(0,bits-1), hex digit via strpos('0123..f', ...),
-    group-sum, then bit-pack."""
+    group-sum, then bit-pack.
+
+    Expression shape matters: md5 is hashed once per token (a transform
+    stage, not inlined into the fold) and the bit-sum vector appears
+    exactly once (zip_with against a power-of-two array), because
+    higher-order lambdas re-evaluate any inlined subtree per element."""
     toks = tokens(col)
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
     def contribs(h: Column) -> Column:
+        # h is a lambda variable (cheap reference), so 16 substrings of an
+        # already-computed digest — not 16 re-hashes.
         return F.array(
             *[
                 (
@@ -171,12 +197,12 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
             ]
         )
 
+    hashes = F.transform(toks, lambda tok: F.md5(tok))
     sums = F.aggregate(
-        toks, zero, lambda acc, tok: F.zip_with(acc, contribs(F.md5(tok)), lambda a, c: a + c)
+        hashes, zero, lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c)
     )
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(
-            F.element_at(sums, b + 1) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0))
-    return out
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    bitvals = F.zip_with(
+        sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, x: a + x)

@@ -17,7 +17,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot
+from ..functions import dot, l2norm
 
 __all__ = [
     "hyperplanes",
@@ -65,18 +65,30 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the (small) query set
     against the corpus, per-query window top-k. Rounded to 6 decimals with
-    an id tiebreak so ranking is engine-deterministic."""
+    an id tiebreak so ranking is engine-deterministic.
+
+    Norms are computed once per vector BEFORE the join, so each of the
+    |Q|·|corpus| pairs costs one dot product, not three; the value
+    dot/(qn·cn) is bit-identical to cosine()."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2norm(vec_col).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -99,11 +111,13 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        l2norm(vec_col).alias("qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -112,7 +126,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -127,11 +141,24 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (exact,
     pairwise). The all-pairs form is the correctness baseline; at scale,
-    pre-bucket with lsh_bucket and join within buckets instead."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pre-bucket with lsh_bucket and join within buckets instead.
+
+    Norms precomputed per vector (1 dot per pair instead of 3). The
+    non-equi condition makes this a BroadcastNestedLoopJoin — its
+    parallelism equals the stream side's partition count, so repartition
+    the input for CPU-bound corpora (the inventory queries do)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2norm(vec_col).alias("na")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2norm(vec_col).alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

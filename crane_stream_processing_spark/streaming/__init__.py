@@ -1,0 +1,31 @@
+"""Structured-Streaming layer — the reference's stream engine re-expressed.
+
+The reference's mechanisms (XOR acker, UDP transport, role assignment,
+replay maps — reference ``server/Crane.go``, ``server/acker.go``) are
+deliberately NOT ported: Spark's checkpointed micro-batch execution is the
+delivery layer, and it is exactly-once where the reference was
+at-least-once-with-duplicates (SURVEY.md §2.9 ST1-ST3).
+
+- :mod:`.sources` — line sources (file-dir, socket, rate) with the
+  reference's throttling knobs (S1/S2/S10)
+- :mod:`.sinks` — the versioned sink emulating SDFS put/get-versions
+  (S5-S7), plus readers
+- :mod:`.engine` — the app runner: name→pipeline registry → complete-mode
+  periodic-trigger query with checkpointing (ST4/ST9)
+"""
+
+from .sources import file_lines, socket_lines, rate_lines
+from .sinks import VersionedSink, read_latest, read_versions, list_versions
+from .engine import start_app, stop_app
+
+__all__ = [
+    "file_lines",
+    "socket_lines",
+    "rate_lines",
+    "VersionedSink",
+    "read_latest",
+    "read_versions",
+    "list_versions",
+    "start_app",
+    "stop_app",
+]

@@ -1,0 +1,117 @@
+"""Versioned parquet sink — SDFS's versioned blob store re-expressed
+(SURVEY.md §2.1 S5-S8).
+
+The reference stores each ``put`` as a new timestamped version of a named
+file and serves ``get`` (latest) / ``get-versions N`` (N newest,
+concatenated) from replicas (reference ``server/sdfs.go:276-283``,
+``:296-329``); its streaming sink writes the current top-k as a new version
+every 10 s (``server/Crane.go:193-204``). Here a *name* is a directory of
+``v=<version>/`` parquet subdirs plus a ``_manifest/`` of commit markers:
+
+    <base>/<name>/v=00000000000000000042/part-*.parquet
+    <base>/<name>/_manifest/00000000000000000042.json
+
+The marker is written only after the parquet commit succeeds, so readers
+never see a half-written version (the reference got the same property from
+waiting on all 4 replica acks, ``server/sdfs.go:32-52``). Replication is
+the storage layer's job (HDFS/S3), exactly as SURVEY.md §3.2 prescribes.
+
+Scale: each version is a normal partitioned parquet write — the sink
+inherits Spark's parallel write path; readers prune to the selected
+versions only (directory-level pruning, no full-listing scans).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["VersionedSink", "list_versions", "read_latest", "read_versions"]
+
+
+def _vdir(base_dir: str, name: str, version: int) -> str:
+    return os.path.join(base_dir, name, f"v={version:020d}")
+
+
+def _manifest_dir(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, name, "_manifest")
+
+
+class VersionedSink:
+    """foreachBatch-compatible versioned writer.
+
+    Use either as ``writeStream.foreachBatch(sink)`` (batch_id becomes the
+    version) or call :meth:`write_version` directly from batch code.
+    """
+
+    def __init__(self, base_dir: str, name: str):
+        self.base_dir = base_dir
+        self.name = name
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.write_version(df, batch_id)
+
+    def write_version(self, df: DataFrame, version: int) -> None:
+        path = _vdir(self.base_dir, self.name, version)
+        df.write.mode("overwrite").parquet(path)
+        os.makedirs(_manifest_dir(self.base_dir, self.name), exist_ok=True)
+        marker = {
+            "version": version,
+            "path": path,
+            "committed_at": time.time(),
+            "n_columns": len(df.columns),
+        }
+        mpath = os.path.join(
+            _manifest_dir(self.base_dir, self.name), f"{version:020d}.json"
+        )
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, mpath)  # atomic commit marker
+
+
+def list_versions(base_dir: str, name: str) -> list[int]:
+    """Committed versions, newest first (reference ``lsVersions`` order,
+    ``server/sdfs.go:296-329``)."""
+    mdir = _manifest_dir(base_dir, name)
+    if not os.path.isdir(mdir):
+        return []
+    out = [
+        int(fn[: -len(".json")])
+        for fn in os.listdir(mdir)
+        if fn.endswith(".json")
+    ]
+    return sorted(out, reverse=True)
+
+
+def read_latest(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """``get``: the newest committed version (``server/sdfs.go:141-175``)."""
+    versions = list_versions(base_dir, name)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions for {name!r} in {base_dir}")
+    return spark.read.parquet(_vdir(base_dir, name, versions[0]))
+
+
+def read_versions(
+    spark: SparkSession, base_dir: str, name: str, n: int
+) -> DataFrame:
+    """``get-versions N``: the N newest versions concatenated, each row
+    tagged with its version (``server/sdfs.go:178-207``, ``:296-329`` —
+    the reference concatenates newest-first text; order here is carried as
+    an explicit column, the relational form of the same information)."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(base_dir, name)[:n]
+    if not versions:
+        raise FileNotFoundError(f"no committed versions for {name!r} in {base_dir}")
+    dfs = [
+        spark.read.parquet(_vdir(base_dir, name, v)).withColumn("version", F.lit(v))
+        for v in versions
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,66 @@
+"""Streaming line sources (SURVEY.md §2.1 S1/S2/S10).
+
+The reference spout reads an SDFS file line-by-line and throttles emission
+with a per-tuple sleep (reference ``server/Crane.go:63-99``, ``:84``); the
+Spark equivalents are replayable sources with declarative throttles —
+``maxFilesPerTrigger`` for file dirs, ``rowsPerSecond`` for the rate
+source. Each returns a streaming DataFrame with a single ``value: string``
+column (plus ``ts``/``seq`` for rate), directly consumable by the
+:mod:`..apps` pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["file_lines", "socket_lines", "rate_lines"]
+
+
+def file_lines(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-directory text source — the SDFS-file spout analog (S1). New
+    files landing in ``path`` are discovered per micro-batch; offsets are
+    checkpointed so a restarted query resumes exactly where it stopped
+    (replaces the reference's replay map, ``server/Crane.go:101-128``)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """TCP socket text source (S10) — the reference benchmark rivals'
+    input (``spark-streaming/src/word-count.py:42``). Not replayable; for
+    demos/benchmarks only."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def rate_lines(
+    spark: SparkSession, rows_per_second: int, words: list[str] | None = None
+) -> DataFrame:
+    """Rate-limited synthetic line source — the spout's SendPeriod throttle
+    (S2, ``server/Crane.go:84``) as a declarative rowsPerSecond. Each row
+    becomes a deterministic pseudo-line (word cycle on the sequence number)
+    so aggregations have repeatable content."""
+    words = words or ["alpha", "beta", "gamma", "delta"]
+    n = len(words)
+    word = F.array(*[F.lit(w) for w in words])[
+        (F.col("value") % n).cast("int")
+    ]
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("seq"),
+            word.alias("value"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Streaming tests (SURVEY.md §5 rebuild strategy): app pipelines running
+as Structured Streaming queries over a file-dir source with the versioned
+sink, plus the kill/restart recovery property the reference could not give
+(exactly-once — no loss, no duplicates; the reference documents duplicate
+replays, SURVEY.md §2.9 ST2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from crane_stream_processing_spark.streaming import (
+    VersionedSink,
+    list_versions,
+    read_latest,
+    read_versions,
+    start_app,
+    stop_app,
+)
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path)
+
+
+def _write_lines(path: str, name: str, lines: list[str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(path, name))
+
+
+def test_versioned_sink_batch_roundtrip(spark, tdir):
+    """SDFS put/get/get-versions semantics on batch DataFrames (S6/S7)."""
+    sink = VersionedSink(tdir, "blob")
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    df2 = spark.createDataFrame([("b", 2)], "k string, v int")
+    sink.write_version(df1, 0)
+    sink.write_version(df2, 1)
+
+    assert list_versions(tdir, "blob") == [1, 0]
+    assert read_latest(spark, tdir, "blob").collect()[0].k == "b"
+    both = read_versions(spark, tdir, "blob", 2)
+    assert sorted((r.k, r.version) for r in both.collect()) == [("a", 0), ("b", 1)]
+    with pytest.raises(FileNotFoundError):
+        read_latest(spark, tdir, "nope")
+
+
+def test_streaming_wordcount_end_to_end(spark, tdir):
+    """start→process→flush→stop (§3.1 flagship path): top-5 snapshot lands
+    as a committed version and matches the batch answer."""
+    src = os.path.join(tdir, "src")
+    out = os.path.join(tdir, "out")
+    _write_lines(src, "f1.txt", ["a b a", "c a b"])
+
+    q = start_app(spark, "wordCount", src, out, period="1 seconds")
+    try:
+        q.processAllAvailable()
+    finally:
+        stop_app(q)
+
+    latest = read_latest(spark, out, "wordcount_result")
+    got = {(r.word, r.cnt) for r in latest.collect()}
+    assert got == {("a", 3), ("b", 2), ("c", 1)}
+
+
+def test_streaming_restart_exactly_once(spark, tdir):
+    """Kill/restart from checkpoint: new files are picked up exactly once
+    and the complete-mode aggregate covers the whole stream — no loss, no
+    dupes (vs the reference's at-least-once duplicates, ST2)."""
+    src = os.path.join(tdir, "src")
+    out = os.path.join(tdir, "out")
+    _write_lines(src, "f1.txt", ["x x y"])
+
+    q = start_app(spark, "wordCount", src, out, period="1 seconds")
+    try:
+        q.processAllAvailable()
+    finally:
+        stop_app(q)
+
+    # While the query is down, more data arrives (the reference would
+    # restart the whole app and lose sink state, ST6).
+    _write_lines(src, "f2.txt", ["y z"])
+
+    q2 = start_app(spark, "wordCount", src, out, period="1 seconds")
+    try:
+        q2.processAllAvailable()
+    finally:
+        stop_app(q2)
+
+    latest = read_latest(spark, out, "wordcount_result")
+    got = {(r.word, r.cnt) for r in latest.collect()}
+    assert got == {("x", 2), ("y", 2), ("z", 1)}
+
+
+def test_streaming_hot_resources_app(spark, tdir):
+    """Registry dispatch beyond wordCount (the reference leaves twitter/
+    hothttp unwired, ST9 — we register all three)."""
+    src = os.path.join(tdir, "src")
+    out = os.path.join(tdir, "out")
+    clf = 'h - - [01/Jan/2024: +0000] "GET {r} HTTP/1.0" 200 77'
+    _write_lines(
+        src, "log.txt", [clf.format(r="/a"), clf.format(r="/a"), clf.format(r="/b")]
+    )
+    q = start_app(spark, "hothttp", src, out, period="1 seconds")
+    try:
+        q.processAllAvailable()
+    finally:
+        stop_app(q)
+    latest = read_latest(spark, out, "hothttp_result")
+    got = {(r.resource, r.cnt) for r in latest.collect()}
+    assert got == {("/a", 2), ("/b", 1)}
+
+
+def test_unknown_app_rejected(spark, tdir):
+    with pytest.raises(KeyError):
+        start_app(spark, "nosuch", tdir, tdir)
