@@ -95,7 +95,7 @@ def _load_all() -> None:
     from . import core  # noqa: F401
 
     for mod in ("joins", "aggregates", "windows", "scalars", "setops",
-                "eventtime", "northstar"):
+                "eventtime", "northstar", "streaming_queries"):
         __import__(f"{__name__}.{mod}")
 
 

@@ -1,0 +1,161 @@
+"""Streaming inventory — real Structured Streaming executions in the
+driver-graded registry (SURVEY.md §2.3 J7, §2.9 ST4/ST5).
+
+Each query builds a streaming DataFrame over the parquet table dir, runs a
+bounded availableNow pass into a memory sink, and returns the final result
+as a batch DataFrame — so the SAME DuckDB oracles that check the batch
+operators check the streaming engine's answers. The reference's streaming
+semantics were processing-time-only with a lossy acker (SURVEY.md §2.9);
+these exercise the strictly stronger surface: event-time windows,
+watermarks, stream-static and stream-stream joins, exactly-once.
+
+Scale: nothing here is driver-bound except the memory sink used for the
+bounded verification pass — production pipelines swap it for the
+VersionedSink/parquet sink (streaming.sinks) with identical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dsum, query, t
+
+# events.parquet stores TIMESTAMP(NANOS) → read as long under the session's
+# nanosAsLong conf, converted exactly like catalog.load_table.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming file source takes a directory; events.parquet is a
+    # single file, so scan the table dir with a filename glob.
+    src = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_tumbling_daily_by_type",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 as a real streaming query: event-time tumbling window aggregate
+    over the events stream, complete-mode snapshot after a bounded
+    availableNow pass — the streaming twin of evt_tumbling_daily_by_type,
+    held to the identical DuckDB oracle."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    _run_to_memory(agg, "stream_tumbling_daily_by_type", "complete")
+    return spark.table("stream_tumbling_daily_by_type")
+
+
+@query(
+    "stream_static_enrich_segment",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 stream-static join: the events stream enriched against the static
+    customer dimension (broadcast — no stream-side shuffle), aggregated per
+    market segment. The static side is re-resolvable per micro-batch."""
+    ev = _stream_events(spark, sf_dir)
+    cust = F.broadcast(t(spark, sf_dir, "customer"))
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    _run_to_memory(agg, "stream_static_enrich_segment", "complete")
+    return spark.table("stream_static_enrich_segment")
+
+
+@query(
+    "stream_stream_join_error_purchase",
+    oracle="""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts - INTERVAL '1 hour' AND p.ts <= e.ts
+    """,
+)
+def stream_stream_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 stream-stream join: errors joined to same-user purchases in the
+    preceding hour. Both sides watermarked so join state is bounded (the
+    interval condition lets Spark evict rows older than watermark+1h);
+    inner-join matches emit eagerly, so the bounded pass yields the full
+    relational answer."""
+    ev = _stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("e_ts")),
+        "inner",
+    ).select("error_id", "purchase_id", "purchase_value")
+    _run_to_memory(joined, "stream_stream_join_error_purchase", "append")
+    return spark.table("stream_stream_join_error_purchase")
