@@ -150,6 +150,32 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_order_value",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 percentiles: exact linear-interpolated percentiles per group
+    (Spark `percentile` ≡ DuckDB `quantile_cont`). At 100 TB swap for
+    `percentile_approx` (t-digest sketch: constant memory, mergeable
+    partials) — kept exact here so the oracle can hash-match."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 6).alias("p99"),
+        )
+    )
+
+
+@query(
     "agg_value_histogram",
     oracle="""
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
