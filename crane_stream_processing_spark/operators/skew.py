@@ -1,0 +1,71 @@
+"""Skew-mitigation recipes: salting for hot keys (SURVEY.md scale rules).
+
+AQE's skew-join splitting handles most skew at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.get_spark); these
+explicit recipes cover the cases AQE can't — a single hot GROUP BY key
+whose partial aggregate is itself too large for one task, and broadcast-
+ineligible joins against a skewed key distribution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_count", "salted_agg_sum", "salted_join"]
+
+
+def _salt(n: int) -> Column:
+    # Uniform spread; the salt never reaches output columns, so its exact
+    # values are irrelevant to results.
+    return F.floor(F.rand(42) * n).cast("int")
+
+
+def salted_count(df: DataFrame, keys: Sequence[str], salt_buckets: int = 16) -> DataFrame:
+    """Two-phase count: groupBy(key, salt) partial → groupBy(key) final.
+    A key with 10^9 rows becomes ``salt_buckets`` parallel partials instead
+    of one straggler task."""
+    keys = list(keys)
+    partial = (
+        df.withColumn("__salt", _salt(salt_buckets))
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias("cnt"))
+
+
+def salted_agg_sum(
+    df: DataFrame, keys: Sequence[str], value: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase sum with the same salting shape (decimal-safe: caller
+    casts if cross-engine exactness is needed)."""
+    keys = list(keys)
+    partial = (
+        df.withColumn("__salt", _salt(salt_buckets))
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(value).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(f"sum_{value}"))
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed-side salting: the skewed fact side gets a random salt in
+    [0, n); the small side is exploded n× with every salt value, then the
+    join runs on (key, salt) — the hot key's rows spread over n tasks.
+
+    Use when the small side is too big to broadcast but the key histogram
+    is pathological; cost = n× replication of the small side."""
+    salted_fact = skewed.withColumn("__salt", _salt(salt_buckets))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_fact.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,57 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY.md §2.9 ST6, §2.10).
+
+The reference's only stateful construct is the joiner's in-process
+``result``/``Cache`` maps — unreplicated, lost on failure (reference
+``server/wordCount.go:28-31``, MP4 PDF §2.2.1). Here custom keyed state
+lives in Spark's checkpointed state store: per-key pandas logic with
+explicit GroupState, surviving restarts exactly-once.
+
+Scale: state is partitioned by key across executors (the reference funneled
+all keys into one sink node — its admitted bottleneck); each micro-batch
+touches only keys present in that batch plus timed-out state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_keyed_count"]
+
+
+def running_keyed_count(
+    lines_grouped_key: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Running count per key across the whole stream — the reference
+    joiner's ``result`` map (A1/A2) as explicit managed state. Emits the
+    updated (key, total) row for every key seen in each micro-batch.
+
+    Built on applyInPandasWithState so arbitrary per-key logic (beyond what
+    built-in agg can express) plugs into the same shape; for a plain count
+    prefer ``groupBy().count()`` (SURVEY.md §4 — don't hand-roll what the
+    engine optimizes)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = sum(len(p) for p in pdfs)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({"key": [key[0]], "total": [total]})
+
+    return lines_grouped_key.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
