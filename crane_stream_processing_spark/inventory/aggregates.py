@@ -176,6 +176,63 @@ def agg_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot_segment_status",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS status_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 pivot: order counts per (segment × status), statuses as columns.
+    Explicit pivot values skip the extra distinct-discovery job — at scale
+    always enumerate the pivot domain."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    p = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = p.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in ("F", "O", "P")],
+    )
+    return out
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT o_orderstatus,
+           round(var_samp(o_totalprice), 4) AS var_price,
+           round(stddev_samp(o_totalprice), 6) AS std_price,
+           round(corr(o_totalprice, o_custkey), 9) AS corr_price_cust,
+           round(covar_samp(o_totalprice, o_custkey), 4) AS covar_price_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 statistical aggregates: sample variance/stddev, correlation,
+    covariance — single-pass mergeable moments (the distributed-friendly
+    formulation both engines use)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+            F.round(F.stddev_samp("o_totalprice"), 6).alias("std_price"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 9).alias("corr_price_cust"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias("covar_price_cust"),
+        )
+    )
+
+
+@query(
     "agg_value_histogram",
     oracle="""
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,

@@ -225,6 +225,64 @@ def scalar_hash_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_map_suite",
+    oracle="""
+    SELECT o_orderkey,
+           map_extract(m, 'status')[1] AS status_v,
+           CAST(cardinality(m) AS INT) AS m_size,
+           array_to_string(map_keys(m), ',') AS keys_csv,
+           array_to_string(map_values(m), ',') AS vals_csv
+    FROM (
+      SELECT o_orderkey,
+             MAP(['status','prio'], [o_orderstatus, o_orderpriority]) AS m
+      FROM orders
+    )
+    """,
+)
+def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions: construct (create_map), element access, size,
+    map_keys/map_values — complex types stay columnar end-to-end."""
+    o = t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("vals_csv"),
+    )
+
+
+@query(
+    "scalar_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok
+    FROM (
+      SELECT doc_id,
+             unnest(tk) AS tok,
+             generate_subscripts(tk, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents WHERE doc_id < 50
+      )
+    )
+    """,
+)
+def scalar_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued expansion with ordinality: posexplode of the token
+    array (the lateral-view shape; 0-based in Spark, aligned here)."""
+    from ..functions import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+
+
+@query(
     "scalar_array_suite",
     oracle="""
     SELECT doc_id,
