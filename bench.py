@@ -30,12 +30,21 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
-    force(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))  # warm-up
+    try:
+        force(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))  # warm-up
+    except Exception as e:
+        print(f"bench: warm-up FAILED: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in sorted(REGISTRY):
         t0 = time.perf_counter()
-        force(REGISTRY[name].fn(spark, sf_dir))
+        try:
+            force(REGISTRY[name].fn(spark, sf_dir))
+        except Exception as e:  # one bad query must not void the whole run
+            failed.append(name)
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
@@ -46,6 +55,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -68,6 +68,10 @@ cand AS (
 # is seeded md5 → identical values both sides; 6 planes → 64 buckets).
 _PLANES = S.hyperplanes(6, 64)
 
+# IVF coarse-quantizer centroids: 16 fixed seeded-pseudo-random directions
+# (data-independent demo cells; a production build would k-means these).
+_CENTROIDS = S.hyperplanes(16, 64, seed="crane-ivf")
+
 
 def _sql_plane(row: list[float]) -> str:
     return "[" + ", ".join(f"{v!r}" for v in row) + "]"
@@ -245,6 +249,81 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
 
 
+def _sql_ivf_cell(vec_expr: str) -> str:
+    dots = ", ".join(
+        f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {_sql_plane(row)})"
+        for row in _CENTROIDS
+    )
+    return f"(list_position([{dots}], list_max([{dots}])) - 1)"
+
+
+@query(
+    "sim_ivf_ann_topk",
+    oracle=f"""
+    WITH celled AS (
+      SELECT vec_id, embedding, {_sql_ivf_cell('embedding')} AS cell FROM embeddings
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC, b.vec_id) AS rank
+      FROM (SELECT * FROM celled WHERE vec_id < 10) a
+      JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the inverted-file scale path next to LSH): vectors
+    assigned to the nearest of 16 fixed centroid directions (argmax dot),
+    search probes only the query's cell. Cell assignment is a row-local
+    argmax both engines compute identically."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), _CENTROIDS, k=3)
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, list_distinct({SQL_SHINGLES}) AS g
+      FROM (
+        SELECT doc_id, {SQL_TOKS} AS tk FROM documents WHERE doc_id < 100
+      ) WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE
+                 / len(list_distinct(a.g || b.g)), 6) AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.g, b.g))::DOUBLE
+                / len(list_distinct(a.g || b.g)), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard near-dup pairs over a bounded
+    id window — the ground-truth measure the minhash-LSH pipeline
+    approximates; all-pairs on purpose (candidate generation is the LSH
+    query's job), kept bounded so cost is a constant ~5k pairs."""
+    docs = t_cpu(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = docs.filter(F.size(tokens("text")) >= 3)
+    sets_df = docs.select(
+        F.col("doc_id"), tokens("text").alias("toks")
+    ).select("doc_id", F.array_distinct(D.token_shingles(F.col("toks"))).alias("g"))
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -317,6 +396,69 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         qf["stopword_ratio"].alias("stopword_ratio"),
         X.quality_score("text").alias("quality"),
         X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {SQL_TOKS} AS tk FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             len(tk) AS ws_tokens,
+             round({_sql_hits(_ALL_MARKERS)}::DOUBLE / greatest(len(tk), 1), 6) AS stopword_ratio,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+      FROM toks
+    ),
+    quality AS (
+      SELECT *,
+             round((CASE WHEN ws_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                   + least(stopword_ratio * 4, 0.4)
+                   + greatest(0.2 - punct_ratio, 0.0), 6) AS q
+      FROM scored
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM quality WHERE q >= 0.5
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality,
+           SUM(ws_tokens) AS total_tokens
+    FROM kept WHERE rn = 1
+    GROUP BY source
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline: quality-score every doc,
+    keep quality >= 0.5, drop near-copies via the order-insensitive
+    fingerprint (min doc_id survives), report per-source kept counts /
+    mean quality / token volume. One projection + one window + one
+    aggregate — the full curation pass is 2 shuffles regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    qf = X.quality_features("text")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score("text").alias("q"),
+        qf["n_tokens"].alias("ws_tokens"),
+        X.fingerprint("text").alias("fingerprint"),
+    ).filter(F.col("q") >= 0.5)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = staged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("q").cast("decimal(28,6)")).cast("double") / F.count("q")).alias(
+            "avg_quality"
+        ),
+        F.sum("ws_tokens").alias("total_tokens"),
     )
 
 

@@ -25,6 +25,8 @@ __all__ = [
     "cosine_topk",
     "cosine_near_pairs",
     "lsh_ann_topk",
+    "ivf_centroid",
+    "ivf_ann_topk",
 ]
 
 
@@ -122,6 +124,58 @@ def lsh_ann_topk(
     )
     scored = (
         q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantizer: assign a vector to the nearest centroid
+    (max dot product — equivalent to min L2 for unit-ish vectors, and
+    cheaper). Centroids are fixed literals (e.g. a deterministic sample of
+    the corpus), so assignment is a pure row-local expression both engines
+    compute identically; ties break toward the lower centroid index."""
+    dots = F.array(
+        *[dot(vec, F.array(*[F.lit(v) for v in row])) for row in centroids]
+    )
+    # array_position returns the 1-based index of the first occurrence of
+    # the max → deterministic low-index tiebreak; 0-based centroid id.
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: both sides assigned to their nearest
+    centroid cell; search probes only the query's cell (nprobe=1), exact
+    cosine + top-k within it. The cell equi-join replaces the crossJoin —
+    candidates shrink by ~|centroids|; recall/cost is tuned by the
+    centroid count and (in a fuller build) nprobe > 1."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2norm(vec_col).alias("qn"),
+        ivf_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+        ivf_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
