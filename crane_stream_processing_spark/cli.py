@@ -1,0 +1,126 @@
+"""Command-line surface mirroring the reference client
+(reference ``client/client.go``): the commands a user of the reference
+runs today, re-expressed over the Spark engine.
+
+    grep <pattern> <path-glob>          — distributed regex scan (MP1)
+    put <local-parquet-or-csv> <name>   — store as a new version (SDFS put)
+    get <name> [--version N]            — read latest / pinned version
+    get-versions <name> <n>             — N newest versions, tagged
+    ls <name>                           — committed versions
+    start <app> <source-dir> [...]      — run a streaming app
+    apps                                — list registered apps
+
+Usage: ``python -m crane_stream_processing_spark.cli <cmd> ...``
+(store root defaults to ``./crane_store``, override with --store).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark() -> SparkSession:
+    from .session import get_spark
+
+    return get_spark("crane-cli")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="crane", description=__doc__)
+    p.add_argument("--store", default="./crane_store", help="versioned store root")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grep", help="distributed regex scan with line numbers")
+    g.add_argument("pattern")
+    g.add_argument("path")
+
+    pu = sub.add_parser("put", help="store a table as a new version")
+    pu.add_argument("local")
+    pu.add_argument("name")
+
+    ge = sub.add_parser("get", help="read the latest (or pinned) version")
+    ge.add_argument("name")
+    ge.add_argument("--version", type=int, default=None)
+
+    gv = sub.add_parser("get-versions", help="read the N newest versions")
+    gv.add_argument("name")
+    gv.add_argument("n", type=int)
+
+    ls = sub.add_parser("ls", help="list committed versions")
+    ls.add_argument("name")
+
+    st = sub.add_parser("start", help="run a streaming app to completion of available data")
+    st.add_argument("app")
+    st.add_argument("source")
+    st.add_argument("--period", default="10 seconds")
+
+    sub.add_parser("apps", help="list registered apps")
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "apps":
+        from .apps import APP_REGISTRY
+
+        print("\n".join(sorted(APP_REGISTRY)))
+        return 0
+
+    if a.cmd == "ls":
+        from .streaming.sinks import list_versions
+
+        for v in list_versions(a.store, a.name):
+            print(v)
+        return 0
+
+    spark = _spark()
+    try:
+        if a.cmd == "grep":
+            from .apps import grep, grep_counts
+
+            matches = grep(spark, a.path, a.pattern)
+            for r in matches.collect():
+                print(f"{r.vm}:{r.line_no}: {r.value}")
+            for r in grep_counts(matches).collect():
+                print(f"# {r.vm}: {r.cnt} matches", file=sys.stderr)
+        elif a.cmd == "put":
+            from .streaming.sinks import VersionedSink, list_versions
+
+            df = (
+                spark.read.parquet(a.local)
+                if a.local.endswith(".parquet")
+                else spark.read.option("header", "true").csv(a.local)
+            )
+            versions = list_versions(a.store, a.name)
+            v = (versions[0] + 1) if versions else 0
+            VersionedSink(a.store, a.name).write_version(df, v)
+            print(f"committed {a.name} v{v}")
+        elif a.cmd == "get":
+            from .streaming.sinks import read_latest, read_version
+
+            df = (
+                read_version(spark, a.store, a.name, a.version)
+                if a.version is not None
+                else read_latest(spark, a.store, a.name)
+            )
+            df.show(50, truncate=False)
+        elif a.cmd == "get-versions":
+            from .streaming.sinks import read_versions
+
+            read_versions(spark, a.store, a.name, a.n).show(50, truncate=False)
+        elif a.cmd == "start":
+            from .streaming.engine import start_app
+
+            q = start_app(spark, a.app, a.source, a.store, period=a.period)
+            q.processAllAvailable()
+            q.stop()
+            print(f"{a.app}: processed available data; results under "
+                  f"{a.store}/{a.app.lower()}_result")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

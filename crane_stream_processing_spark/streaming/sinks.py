@@ -29,7 +29,13 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VersionedSink", "list_versions", "read_latest", "read_versions"]
+__all__ = [
+    "VersionedSink",
+    "list_versions",
+    "read_latest",
+    "read_version",
+    "read_versions",
+]
 
 
 def _vdir(base_dir: str, name: str, version: int) -> str:
@@ -93,6 +99,17 @@ def read_latest(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no committed versions for {name!r} in {base_dir}")
     return spark.read.parquet(_vdir(base_dir, name, versions[0]))
+
+
+def read_version(
+    spark: SparkSession, base_dir: str, name: str, version: int
+) -> DataFrame:
+    """Time travel: read one pinned committed version."""
+    if version not in list_versions(base_dir, name):
+        raise FileNotFoundError(
+            f"version {version} of {name!r} not committed in {base_dir}"
+        )
+    return spark.read.parquet(_vdir(base_dir, name, version))
 
 
 def read_versions(

@@ -1,0 +1,64 @@
+"""Plan-quality regression tests: the physical-plan properties the 100 TB
+design depends on, asserted so refactors can't silently lose them
+(SURVEY.md scale rules; README 'Scale design rules')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crane_stream_processing_spark.inventory import REGISTRY
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    # predicate reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns are read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "join_inner_revenue_by_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "join_range_shipped_within_30d", sf_dir)
+    assert "NestedLoop" not in plan
+    # the interval predicate rides the equi-join as a post-condition
+    assert "Join condition" in plan and "30" in plan
+
+
+def test_asof_join_single_shuffle_no_join_explosion(spark, sf_dir):
+    plan = _plan(spark, "join_asof_last_purchase_before_error", sf_dir)
+    # the linear recipe: a window over a union — no join operator at all
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_lsh_band_join_is_equi(spark, sf_dir):
+    plan = _plan(spark, "dedup_minhash_lsh_jaccard", sf_dir)
+    # candidate generation must be an equi join on (band_idx, band_hash),
+    # never a nested-loop over all pairs
+    assert "BroadcastNestedLoopJoin" not in plan.split("jaccard")[0]
+
+
+def test_cpu_bound_scans_are_parallel(spark, sf_dir):
+    df = REGISTRY["dedup_simhash_documents"].fn(spark, sf_dir)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() >= min(p, 8)
+
+
+def test_scalar_projection_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, "scalar_string_suite", sf_dir)
+    assert "Exchange" not in plan  # pure projection pipelines scan→project
