@@ -91,6 +91,30 @@ def stream_tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_dedup_user_day",
+    oracle="""
+    SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+    FROM events
+    """,
+)
+def stream_dedup_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 streaming dedup: withWatermark + dropDuplicates on
+    (user_id, day) — the first event per key passes, later duplicates are
+    dropped against watermark-bounded state. Output projects only the key
+    (which survivor wins depends on arrival order; the key set is exact),
+    so the DuckDB DISTINCT oracles it."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withColumn("day", F.to_date("ts").cast("string"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "day"])
+        .select("user_id", "day")
+    )
+    _run_to_memory(deduped, "stream_dedup_user_day", "append")
+    return spark.table("stream_dedup_user_day")
+
+
+@query(
     "stream_static_enrich_segment",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_events,

@@ -51,6 +51,31 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "sort_multi_key_nulls_last",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi_key_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 global multi-key sort with explicit nulls ordering + limit. A
+    global ORDER BY LIMIT compiles to TakeOrderedAndProject — per-partition
+    partial top-k merged on one reducer, never a full global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
     "window_rank_dense_rank_parts",
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice,
