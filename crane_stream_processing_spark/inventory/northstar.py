@@ -462,9 +462,45 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+             (a, b) -> (a * 1000003 + b) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp rolling hash per document — one fold over
+    character codes, bit-identical in both engines; the order-sensitive
+    complement of the fingerprint in text_stats_documents."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.rolling_hash("text").alias("rhash"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, i AS frame_idx,
+           ((i + 1) * strlen(text)) // 4 - (i * strlen(text)) // 4 AS frame_len
+    FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each blob split into 4 contiguous
+    'frames' via mapInPandas (1 row → 4 rows); the oracle re-derives every
+    frame's byte extent arithmetically."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.as_media_column(docs, "doc_id", "text", kind="video")
+    frames = M.sample_frames(media, n_frames=4)
+    return frames.select("media_id", "frame_idx", "frame_len")
+
+
 @query(
     "mm_media_features",
     oracle="""

@@ -29,10 +29,14 @@ if TYPE_CHECKING:
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
+    "RESIZED_SCHEMA",
+    "FRAME_SCHEMA",
     "as_media_column",
     "media_fake_decode",
     "media_decode_real",
     "extract_features",
+    "resize_images",
+    "sample_frames",
 ]
 
 # The typed envelope for an opaque media blob: payload + metadata columns a
@@ -108,3 +112,78 @@ def media_decode_real(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFra
 def extract_features(media: DataFrame, decoder=media_fake_decode) -> DataFrame:
     """Run the decoder over Arrow batches, partition-parallel."""
     return media.mapInPandas(decoder, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize plumbing (1 row in → 1 row out, new binary payload).
+    The DETERMINISTIC FAKE 'decoder' nearest-neighbour-samples the payload
+    bytes onto a width×height grid; a real build swaps the inner loop for
+    PIL/cv2 (not installed here) with the identical mapInPandas contract."""
+
+    def _resize(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        def grid(b: bytes) -> bytes:
+            n = width * height
+            if not len(b):
+                return bytes(n)
+            # nearest-neighbour positions across the byte stream
+            return bytes(b[(i * len(b)) // n] for i in range(n))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["payload"].map(lambda b: grid(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing (1 row in → n rows out): the payload
+    is split into ``n_frames`` contiguous chunks — frame i covers bytes
+    [⌊i·L/n⌋, ⌊(i+1)·L/n⌋). A real build would demux/seek with libav under
+    the same 1→N mapInPandas contract."""
+
+    def _frames(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        rows = {"media_id": [], "frame_idx": [], "frame_len": [], "frame": []}
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                L = len(b)
+                for i in range(n_frames):
+                    lo, hi = (i * L) // n_frames, ((i + 1) * L) // n_frames
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_len"].append(hi - lo)
+                    rows["frame"].append(b[lo:hi])
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -19,6 +19,7 @@ __all__ = [
     "quality_score",
     "token_stats",
     "fingerprint",
+    "rolling_hash",
 ]
 
 # Marker stopwords per language for the n-gram/stopword heuristic language
@@ -121,3 +122,23 @@ def fingerprint(col: Column | str) -> Column:
     token set — detects shuffled/reordered near-copies that exact hashing
     misses. DuckDB twin: md5(array_to_string(list_sort(list_distinct(...)),' '))."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+ROLLING_BASE = 1000003
+ROLLING_MOD = 2147483647  # 2^31 - 1; base*mod < 2^63, no long overflow
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Order-SENSITIVE polynomial rolling hash (Rabin-Karp) over the
+    document's character codes: h = fold((h·B + code(c)) mod M). One fold,
+    no UDF. Complements :func:`fingerprint` (order-insensitive): equal
+    rolling hashes ⇒ identical character stream. DuckDB twin:
+    ``list_reduce(list_prepend(0, [unicode(c) FOR c IN
+    string_split(text,'')]), (a,b) -> (a*B + b) % M)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * ROLLING_BASE + v) % ROLLING_MOD,
+    )
