@@ -95,7 +95,7 @@ def _load_all() -> None:
     from . import core  # noqa: F401
 
     for mod in ("joins", "aggregates", "windows", "scalars", "setops",
-                "eventtime", "northstar", "streaming_queries"):
+                "eventtime", "northstar", "streaming_queries", "analytics"):
         __import__(f"{__name__}.{mod}")
 
 
