@@ -139,6 +139,31 @@ def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_running_count",
+    oracle="""
+    SELECT event_type AS key, COUNT(*) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/§2.10 custom stateful operator as a graded query: the
+    applyInPandasWithState running keyed count (streaming.stateful) over
+    the events stream. The memory sink logs one row per key per batch;
+    taking each key's max running total yields the end-of-stream counts —
+    which must equal the batch GROUP BY."""
+    from ..streaming.stateful import running_keyed_count
+
+    ev = _stream_events(spark, sf_dir).select(F.col("event_type").alias("key"))
+    counted = running_keyed_count(ev)
+    _run_to_memory(counted, "stream_stateful_running_count", "update")
+    return (
+        spark.table("stream_stateful_running_count")
+        .groupBy("key")
+        .agg(F.max("total").alias("total"))
+    )
+
+
+@query(
     "stream_stream_join_error_purchase",
     oracle="""
     SELECT e.event_id AS error_id, p.event_id AS purchase_id, p.value AS purchase_value
