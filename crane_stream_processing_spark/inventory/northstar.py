@@ -22,7 +22,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
-from ..functions import cosine, tokens
+from ..functions import tokens
 from . import query, t, t_cpu
 
 # ---------------------------------------------------------------------------
