@@ -25,6 +25,7 @@ __all__ = [
     "cosine_topk",
     "cosine_near_pairs",
     "lsh_ann_topk",
+    "centroid_dots",
     "ivf_centroid",
     "ivf_ann_topk",
 ]
@@ -135,17 +136,22 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """IVF coarse quantizer: assign a vector to the nearest centroid
-    (max dot product — equivalent to min L2 for unit-ish vectors, and
-    cheaper). Centroids are fixed literals (e.g. a deterministic sample of
-    the corpus), so assignment is a pure row-local expression both engines
-    compute identically; ties break toward the lower centroid index."""
-    dots = F.array(
+def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    """Per-centroid dot products as an array column. Materialize this into
+    its own column before argmax-ing — `ivf_centroid` references it twice
+    (array_position + array_max), and an inlined expression would compute
+    all |centroids| dots twice per row."""
+    return F.array(
         *[dot(vec, F.array(*[F.lit(v) for v in row])) for row in centroids]
     )
-    # array_position returns the 1-based index of the first occurrence of
-    # the max → deterministic low-index tiebreak; 0-based centroid id.
+
+
+def ivf_centroid(dots: Column) -> Column:
+    """IVF coarse quantizer: cell id = argmax of the centroid-dot array
+    (max dot ≈ min L2 for unit-ish vectors, and cheaper). Centroids are
+    fixed literals so assignment is a pure row-local expression both
+    engines compute identically; array_position takes the FIRST occurrence
+    of the max → deterministic low-index tiebreak; 0-based cell id."""
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -166,13 +172,17 @@ def ivf_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         l2norm(vec_col).alias("qn"),
-        ivf_centroid(F.col(vec_col), centroids).alias("cell"),
+        centroid_dots(F.col(vec_col), centroids).alias("__dots"),
+    ).select(
+        "query_id", "qvec", "qn", ivf_centroid(F.col("__dots")).alias("cell")
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         l2norm(vec_col).alias("cn"),
-        ivf_centroid(F.col(vec_col), centroids).alias("cell"),
+        centroid_dots(F.col(vec_col), centroids).alias("__dots"),
+    ).select(
+        "cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell")
     )
     scored = (
         q.join(c, "cell")

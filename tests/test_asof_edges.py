@@ -1,0 +1,81 @@
+"""Edge-case unit tests for the as-of join — the load-bearing custom
+operator (SURVEY.md §2.3 J6): same-instant ties, no-prior-match NULLs,
+multiple keys, and carry-forward across many left rows."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from crane_stream_processing_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_basic_tie_and_null(spark):
+    left = _df(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00:00"), "L-before-any"),
+            (1, ts("2024-01-01 12:00:00"), "L-at-tie"),
+            (1, ts("2024-01-01 13:00:00"), "L-after"),
+            (2, ts("2024-01-01 09:00:00"), "L-other-key"),
+        ],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark,
+        [
+            (1, ts("2024-01-01 12:00:00"), 100.0),
+            (1, ts("2024-01-01 12:30:00"), 200.0),
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = {
+        r.tag: r.v_r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+    assert out["L-before-any"] is None  # no prior right row
+    assert out["L-at-tie"] == 100.0  # same-instant right row matches
+    assert out["L-after"] == 200.0  # latest prior wins
+    assert out["L-other-key"] is None  # keys don't leak
+
+
+def test_asof_carry_forward_many_lefts(spark):
+    left = _df(
+        spark,
+        [(1, ts(f"2024-01-01 10:0{i}:00"), i) for i in range(5)],
+        "k int, t timestamp, i int",
+    )
+    right = _df(
+        spark,
+        [(1, ts("2024-01-01 10:01:30"), 7.0)],
+        "k int, t timestamp, v double",
+    )
+    got = {
+        r.i: r.v_r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+    assert got == {0: None, 1: None, 2: 7.0, 3: 7.0, 4: 7.0}
+
+
+def test_asof_multiple_value_columns(spark):
+    left = _df(spark, [(1, ts("2024-01-01 12:00:00"))], "k int, t timestamp")
+    right = _df(
+        spark,
+        [(1, ts("2024-01-01 11:00:00"), 1.5, "x")],
+        "k int, t timestamp, v double, s string",
+    )
+    r = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", value_cols=["v", "s"]
+    ).collect()[0]
+    assert (r.v_r, r.s_r) == (1.5, "x")
