@@ -139,6 +139,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema in SCHEMAS is the declared contract (asserted in tests)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        # events stores TIMESTAMP(NANOS); without this conf the scan throws
+        # PARQUET_TYPE_ILLEGAL. Set at runtime so the engine also works on
+        # sessions it didn't build (e.g. the driver's own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong — see
     # session.get_spark); convert with integer division (ns → µs) so there is
