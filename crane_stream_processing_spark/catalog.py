@@ -139,10 +139,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema in SCHEMAS is the declared contract (asserted in tests)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    # The engine declares UTC timestamp semantics (oracle-comparable,
+    # cluster-independent). Set at runtime so results are identical on
+    # sessions the engine didn't build (e.g. the driver's own session in a
+    # non-UTC default): rendering/windowing of TIMESTAMP_LTZ values (the
+    # events ts) follows the session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events stores TIMESTAMP(NANOS); without this conf the scan throws
-        # PARQUET_TYPE_ILLEGAL. Set at runtime so the engine also works on
-        # sessions it didn't build (e.g. the driver's own SparkSession).
+        # PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong — see

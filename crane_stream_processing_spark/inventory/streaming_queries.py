@@ -38,8 +38,9 @@ _EVENTS_RAW = T.StructType(
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-set so sessions the engine didn't build can read NANOS
-    # timestamps (see catalog.load_table).
+    # timestamps and render/window them in UTC (see catalog.load_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The streaming file source takes a directory; events.parquet is a
     # single file, so scan the table dir with a filename glob.
     src = (
