@@ -462,6 +462,55 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ngram_score(grams: tuple[str, ...]) -> str:
+    terms = [
+        f"((length(text) - length(replace(text, '{g}', ''))) // {len(g)})"
+        for g in grams
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_NGRAM_CASE = (
+    "CASE WHEN best = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in X.NGRAM_PROFILES
+    )
+    + " END"
+)
+
+
+@query(
+    "text_langid_ngram",
+    oracle=f"""
+    SELECT doc_id, {_SQL_NGRAM_CASE} AS lang_ngram,
+           {", ".join(f"s_{lang}" for lang in X.NGRAM_PROFILES)}
+    FROM (
+      SELECT doc_id,
+             {", ".join(f"{_sql_ngram_score(g)} AS s_{lang}" for lang, g in X.NGRAM_PROFILES.items())},
+             greatest({", ".join(_sql_ngram_score(g) for g in X.NGRAM_PROFILES.values())}) AS best
+      FROM documents
+    )
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character-n-gram profiles (Cavnar-Trenkle shape):
+    per-language signature-trigram counts, argmax with deterministic
+    tiebreak — the n-gram complement of the stopword-marker detector in
+    text_stats_documents."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (X.ngram_count("text", g) for g in grams), F.lit(0).cast("long")
+        ).alias(f"s_{lang}")
+        for lang, grams in X.NGRAM_PROFILES.items()
+    }
+    return docs.select(
+        "doc_id",
+        X.langid_ngram("text").alias("lang_ngram"),
+        *scores.values(),
+    )
+
+
 @query(
     "text_rolling_hash",
     oracle="""

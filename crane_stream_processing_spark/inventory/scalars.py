@@ -225,6 +225,44 @@ def scalar_hash_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_higher_order_suite",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(tk, t -> length(t) >= 6)) AS n_long_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a,b) -> a + b)
+             AS total_chars,
+           (len(list_filter(tk, t -> t[1] = 'q')) > 0) AS any_q_token,
+           array_to_string(list_transform(tk[1:3], t -> upper(t)), ' ') AS head_upper
+    FROM (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    )
+    """,
+)
+def scalar_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as user surface: transform / filter /
+    exists / aggregate (fold) / slicing — all row-local, codegen-side
+    (the same primitives the dedup operators build on)."""
+    from ..functions import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter("tk", lambda t: F.length(t) >= 6)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform("tk", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.exists("tk", lambda t: t.startswith("q")).alias("any_q_token"),
+        F.array_join(
+            F.transform(F.slice("tk", 1, 3), lambda t: F.upper(t)), " "
+        ).alias("head_upper"),
+    )
+
+
+@query(
     "scalar_map_suite",
     oracle="""
     SELECT o_orderkey,

@@ -20,6 +20,9 @@ __all__ = [
     "token_stats",
     "fingerprint",
     "rolling_hash",
+    "NGRAM_PROFILES",
+    "ngram_count",
+    "langid_ngram",
 ]
 
 # Marker stopwords per language for the n-gram/stopword heuristic language
@@ -122,6 +125,48 @@ def fingerprint(col: Column | str) -> Column:
     token set — detects shuffled/reordered near-copies that exact hashing
     misses. DuckDB twin: md5(array_to_string(list_sort(list_distinct(...)),' '))."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+# Character-trigram profiles per language for the n-gram language
+# detector (the classic Cavnar-Trenkle shape, reduced to a fixed tiny
+# profile per language so scoring is a pure column expression).
+NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "ing", " a "),
+    "es": ("de ", "la ", "os ", "ue"),
+    "de": ("der", "ein", "ch", "sch"),
+    "fr": ("le ", "es ", "ent", "ou"),
+}
+
+
+def ngram_count(col: Column | str, gram: str) -> Column:
+    """Non-overlapping occurrence count of a literal n-gram via
+    greedy replace: (len(x) − len(replace(x, g, ''))) / len(g). Both
+    engines replace greedily left-to-right, so counts match exactly.
+    DuckDB twin: ``(length(x) - length(replace(x, g, ''))) // len``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(gram), F.lit(""))))
+        / len(gram)
+    ).cast("long")
+
+
+def langid_ngram(col: Column | str) -> Column:
+    """Language-ID, n-gram heuristic: score = total count of the
+    language's signature character trigrams; argmax with ties toward
+    profile order, 'und' when no gram matches. Complements the
+    stopword-marker detector (:func:`langid`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = {
+        lang: sum(
+            (ngram_count(c, g) for g in grams), F.lit(0).cast("long")
+        )
+        for lang, grams in NGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(NGRAM_PROFILES)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
 ROLLING_BASE = 1000003
