@@ -324,6 +324,19 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_kmeans_topk")
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF: distributed Lloyd's k-means (2 iterations, 8 cells)
+    learns data-driven centroids, then cell-restricted exact-cosine top-3
+    for queries vec_id < 10. No oracle — k-means is an iterative algorithm
+    outside SQL (the driver applies the rows-only check, per contract);
+    the fixed-centroid variant sim_ivf_ann_topk carries the full oracle
+    for the search machinery."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_fit(emb, k=8, iters=2)
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

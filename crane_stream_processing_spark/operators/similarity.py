@@ -28,6 +28,7 @@ __all__ = [
     "centroid_dots",
     "ivf_centroid",
     "ivf_ann_topk",
+    "kmeans_fit",
 ]
 
 
@@ -195,6 +196,64 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the trainer
+    for data-driven IVF cells (vs the fixed-direction demo centroids).
+
+    Each iteration is two distributed steps: (1) assign every vector to its
+    nearest centroid — argmin L2 via argmax(dot(v,c) − ||c||²/2), a staged
+    row-local expression; (2) recompute means — posexplode to
+    (cell, dim, value), one groupBy. Only the k×dim centroid matrix ever
+    reaches the driver (the model, not the data) — at 100 TB that is a few
+    KB per iteration. Init is deterministic: the k lowest-id vectors.
+    """
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    dim = len(centroids[0])
+
+    vecs = df.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        # argmax over dot(v, c_i) - ||c_i||^2 / 2  ==  argmin ||v - c_i||^2
+        offs = [sum(x * x for x in c) / 2.0 for c in centroids]
+        scores = F.array(
+            *[
+                dot(F.col("v"), F.array(*[F.lit(x) for x in c])) - F.lit(o)
+                for c, o in zip(centroids, offs)
+            ]
+        )
+        assigned = vecs.select("v", scores.alias("__s")).select(
+            "v",
+            (F.array_position(F.col("__s"), F.array_max("__s")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cells keep old center
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r.cell, [0.0] * dim)[r.dim] = float(r.m)
+        for cell, vals in acc.items():
+            new_c[cell] = vals
+        centroids = new_c
+    return centroids
 
 
 def cosine_near_pairs(

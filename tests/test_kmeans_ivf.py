@@ -1,0 +1,67 @@
+"""Distributed k-means (the IVF trainer): convergence and integration
+with ivf_ann_topk. Only the k x dim centroid matrix touches the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crane_stream_processing_spark.catalog import load_table
+from crane_stream_processing_spark.functions import dot
+from crane_stream_processing_spark.operators.similarity import (
+    centroid_dots,
+    ivf_ann_topk,
+    ivf_centroid,
+    kmeans_fit,
+)
+
+
+def _inertia(emb, centroids) -> float:
+    """Total squared distance to the assigned centroid."""
+    offs = [sum(x * x for x in c) for c in centroids]
+    scores = F.array(
+        *[
+            2 * dot(F.col("embedding"), F.array(*[F.lit(x) for x in c])) - F.lit(o)
+            for c, o in zip(centroids, offs)
+        ]
+    )
+    # ||v-c||^2 = ||v||^2 - (2 v.c - ||c||^2); minimize over c == maximize score
+    return (
+        emb.select(
+            (dot("embedding", "embedding") - F.array_max(scores)).alias("d2")
+        )
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_reduces_inertia(spark, emb):
+    c1 = kmeans_fit(emb, k=4, iters=1)
+    c4 = kmeans_fit(emb, k=4, iters=4)
+    i1, i4 = _inertia(emb, c1), _inertia(emb, c4)
+    assert i4 <= i1 + 1e-6  # Lloyd's never increases inertia
+    assert len(c4) == 4 and len(c4[0]) == 64
+
+
+def test_kmeans_cells_partition_corpus(spark, emb):
+    cents = kmeans_fit(emb, k=4, iters=2)
+    cells = emb.select(
+        centroid_dots(F.col("embedding"), cents).alias("__d")
+    ).select(ivf_centroid(F.col("__d")).alias("cell"))
+    counts = {r.cell: r.n for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()
+    assert set(counts) <= set(range(4))
+
+
+def test_trained_ivf_search_runs(spark, emb):
+    cents = kmeans_fit(emb, k=4, iters=2)
+    out = ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=3)
+    rows = out.collect()
+    assert all(r.rank <= 3 for r in rows)
+    assert len({r.query_id for r in rows}) <= 5
