@@ -35,6 +35,7 @@ __all__ = [
     "read_latest",
     "read_version",
     "read_versions",
+    "expire_versions",
 ]
 
 
@@ -99,6 +100,23 @@ def read_latest(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no committed versions for {name!r} in {base_dir}")
     return spark.read.parquet(_vdir(base_dir, name, versions[0]))
+
+
+def expire_versions(base_dir: str, name: str, keep: int) -> list[int]:
+    """Retention: drop all but the ``keep`` newest committed versions
+    (the reference's SDFS never reclaimed old versions — unbounded growth;
+    a real deployment needs a GC). The marker is removed FIRST so readers
+    stop resolving the version before its data disappears — the reverse of
+    the commit order. Returns the expired version ids."""
+    import shutil
+
+    victims = list_versions(base_dir, name)[keep:]
+    for v in victims:
+        marker = os.path.join(_manifest_dir(base_dir, name), f"{v:020d}.json")
+        if os.path.exists(marker):
+            os.remove(marker)
+        shutil.rmtree(_vdir(base_dir, name, v), ignore_errors=True)
+    return victims
 
 
 def read_version(

@@ -28,6 +28,63 @@ def test_read_version_pinned(spark, tmp_path):
         read_version(spark, str(tmp_path), "t", 9)
 
 
+def test_socket_source_smoke(spark):
+    """S10: TCP socket text source (the reference rivals' input,
+    spark-streaming/src/word-count.py:42) — serve a few lines from a local
+    socket, run wordcount over the stream."""
+    import socket
+    import threading
+    import time
+
+    from crane_stream_processing_spark.apps import wordcount
+    from crane_stream_processing_spark.streaming.sources import socket_lines
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            for _ in range(30):
+                conn.sendall(b"ping pong ping\n")
+                time.sleep(0.1)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    seen: list[dict] = []
+
+    def sink(df, batch_id):
+        seen.append({r.word: r.cnt for r in df.collect()})
+
+    q = (
+        wordcount(socket_lines(spark, "127.0.0.1", port))
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 25
+        while time.time() < deadline and not any(seen):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    merged = {}
+    for s in seen:
+        merged.update(s)
+    assert set(merged) <= {"ping", "pong"} and merged
+    assert merged.get("ping", 0) >= merged.get("pong", 0)
+
+
 def test_rate_source_smoke(spark):
     """S2: declarative rate throttle — a couple of micro-batches of the
     synthetic word stream through the wordcount pipeline."""

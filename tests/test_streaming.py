@@ -49,6 +49,18 @@ def test_versioned_sink_batch_roundtrip(spark, tdir):
         read_latest(spark, tdir, "nope")
 
 
+def test_versioned_sink_retention(spark, tdir):
+    """expire_versions GC (the reference's SDFS grew without bound)."""
+    from crane_stream_processing_spark.streaming.sinks import expire_versions
+
+    sink = VersionedSink(tdir, "blob")
+    for v in range(5):
+        sink.write_version(spark.createDataFrame([(v,)], "v int"), v)
+    assert expire_versions(tdir, "blob", keep=2) == [2, 1, 0]
+    assert list_versions(tdir, "blob") == [4, 3]
+    assert read_latest(spark, tdir, "blob").collect()[0].v == 4
+
+
 def test_streaming_wordcount_end_to_end(spark, tdir):
     """start→process→flush→stop (§3.1 flagship path): top-5 snapshot lands
     as a committed version and matches the batch answer."""
