@@ -233,6 +233,23 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_count_by_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated count: the two-phase salted aggregation
+    (operators.skew) — groupBy(key, salt) partials then groupBy(key)
+    final — must be value-identical to the plain GROUP BY, which is the
+    oracle. The salt column never reaches the output, so correctness is
+    independent of the salt distribution."""
+    from ..operators.skew import salted_count
+
+    return salted_count(t(spark, sf_dir, "events"), ["event_type"], salt_buckets=16)
+
+
+@query(
     "agg_value_histogram",
     oracle="""
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,

@@ -1,0 +1,79 @@
+"""Property tests for the dedup operators' defining guarantees:
+- identical documents ALWAYS collide in LSH (jaccard-1 pairs can't be
+  missed — minhash signatures are deterministic functions of the shingle
+  set);
+- simhash is invariant to token order only in its multiset sense,
+  and identical docs hash identically;
+- the order-insensitive fingerprint equates permutations while the
+  rolling hash distinguishes them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crane_stream_processing_spark.operators import dedup as D
+from crane_stream_processing_spark.operators.text import fingerprint, rolling_hash
+
+
+def test_identical_docs_always_lsh_collide(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs  # exact copies must be candidates
+    j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(
+            docs, D.lsh_candidate_pairs(docs, "doc_id", "text"), "doc_id", "text"
+        ).collect()
+    }
+    assert j[(1, 2)] == 1.0
+
+
+def test_near_copy_collides_distant_does_not(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # one token changed
+    docs = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
+    j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    # high-jaccard near-copy: expect a collision in at least one band
+    assert j.get((1, 2), 0) > 0.7
+
+
+def test_simhash_identity_and_sensitivity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "one two three four five"),
+            (3, "six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.h for r in df.select("doc_id", D.simhash("text").alias("h")).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+
+
+def test_fingerprint_permutation_vs_rolling_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        rolling_hash("text").alias("rh"),
+    ).collect()
+    by = {r.doc_id: r for r in rows}
+    assert by[1].fp == by[2].fp      # order-insensitive: permutations equate
+    assert by[1].rh != by[2].rh      # order-sensitive: permutations differ

@@ -55,6 +55,44 @@ def test_stateful_running_count_across_batches(spark, tmp_path):
     assert out == {"a": 3, "b": 1, "c": 1}
 
 
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Kill the stateful query, restart from the SAME checkpoint: GroupState
+    must be restored, so totals keep accumulating (the reference lost all
+    joiner state on restart, SURVEY.md §2.9 ST6)."""
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.streaming.stateful import running_keyed_count
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out: dict[str, int] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            out[r.key] = r.total
+
+    def run_once():
+        lines = spark.readStream.format("text").load(str(src)).select(
+            F.col("value").alias("key")
+        )
+        q = (
+            running_keyed_count(lines)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "b1.txt").write_text("a\na\nb\n")
+    run_once()
+    assert out == {"a": 2, "b": 1}
+    (src / "b2.txt").write_text("a\nb\nb\n")
+    run_once()  # fresh query object, same checkpoint → state restored
+    assert out == {"a": 3, "b": 3}
+
+
 def test_salted_count_and_sum_match_plain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {
