@@ -143,6 +143,51 @@ def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_windows_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 session windows as a real streaming query: state-store-merged
+    F.session_window sessions (30-minute gap), complete-mode snapshot over
+    a bounded pass (update mode is unsupported for session windows) — same
+    gaps-and-islands oracle as the batch twin (evt_session_windows_30m)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_session_windows_30m", "complete")
+    return spark.table("stream_session_windows_30m")
+
+
+@query(
     "stream_stateful_running_count",
     oracle="""
     SELECT event_type AS key, COUNT(*) AS total
