@@ -282,6 +282,50 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), _CENTROIDS, k=3)
 
 
+_SQL_IVF_DOTS = "[" + ", ".join(
+    f"list_dot_product(CAST(embedding AS DOUBLE[]), {_sql_plane(row)})"
+    for row in _CENTROIDS
+) + "]"
+
+
+@query(
+    "sim_ivf_nprobe_topk",
+    oracle=f"""
+    WITH dotted AS (
+      SELECT vec_id, embedding, {_SQL_IVF_DOTS} AS dots FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, embedding,
+             (list_position(dots, list_max(dots)) - 1) AS cell
+      FROM dotted
+    ),
+    probes AS (
+      SELECT vec_id, embedding,
+             unnest(list_transform(list_slice(list_reverse_sort(dots), 1, 2),
+                                   d -> list_position(dots, d) - 1)) AS cell
+      FROM dotted WHERE vec_id < 10
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC, b.vec_id) AS rank
+      FROM probes a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): each query searches its two nearest
+    centroid cells instead of one, recovering boundary-loss recall for ~2×
+    candidate cost. Probe cells come from a row-local sort-slice-position
+    over the centroid-dot array; the oracle re-derives the identical probe
+    list with DuckDB list functions."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk_nprobe(
+        emb, emb.filter(F.col("vec_id") < 10), _CENTROIDS, k=3, nprobe=2
+    )
+
+
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""

@@ -51,6 +51,39 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream unioned with two far-future sentinel rows (one per
+    joined event_type, user_id = -1, year 2100). The sentinels push the
+    event-time watermark past every real row on the bounded availableNow
+    pass, so append-mode operators whose output waits on watermark
+    advancement (outer-join null rows, finalized windows) flush completely
+    — the streaming analog of an end-of-stream marker. Callers filter the
+    sentinels back out of the result."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    far = 4102444800 * 1_000_000_000  # 2100-01-01 as TIMESTAMP(NANOS)
+    sentinel_dir = tempfile.mkdtemp(prefix="crane_sentinel_")
+    spark.createDataFrame(
+        [
+            (-1, far, -1, "error", 0.0, "{}"),
+            (-2, far - 86_400 * 2 * 1_000_000_000, -1, "purchase", 0.0, "{}"),
+        ],
+        _EVENTS_RAW,
+    ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+    real = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sent = spark.readStream.schema(_EVENTS_RAW).parquet(sentinel_dir)
+    return real.union(sent).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
     q = (
         df.writeStream.outputMode(mode)
@@ -116,6 +149,43 @@ def stream_dedup_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(deduped, "stream_dedup_user_day", "append")
     return spark.table("stream_dedup_user_day")
+
+
+@query(
+    "stream_rocksdb_dedup_user_type",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_rocksdb_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 state at scale: watermarked streaming dedup on
+    (user_id, event_type) running on the RocksDB state store provider —
+    keyed state lives off-heap in RocksDB with changelog checkpointing
+    instead of the default in-JVM-heap HDFSBackedStateStore. At 100 TB the
+    dedup key space outgrows executor heap; RocksDB spills to local SSD and
+    restores from the checkpoint on failover, so the same plan survives.
+    The answer must be byte-identical to the heap provider's — the DISTINCT
+    oracle checks exactly that."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, "")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _stream_events(spark, sf_dir)
+        deduped = (
+            ev.withWatermark("ts", "1 day")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        _run_to_memory(deduped, "stream_rocksdb_dedup_user_type", "append")
+    finally:
+        if prev:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+    return spark.table("stream_rocksdb_dedup_user_type")
 
 
 @query(
@@ -257,3 +327,58 @@ def stream_stream_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataF
     ).select("error_id", "purchase_id", "purchase_value")
     _run_to_memory(joined, "stream_stream_join_error_purchase", "append")
     return spark.table("stream_stream_join_error_purchase")
+
+
+@query(
+    "stream_stream_left_join_error_purchase",
+    oracle="""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts - INTERVAL '1 hour' AND p.ts <= e.ts
+    """,
+)
+def stream_stream_left_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 stream-stream LEFT OUTER join: like the inner variant, but errors
+    with no same-user purchase in the preceding hour emit a null-extended
+    row. Outer rows only flush once the watermark proves no future match is
+    possible, so the source is the sentinel-extended stream
+    (_stream_events_sentinel): a year-2100 marker drives the final
+    watermark past every real error, and the bounded pass emits the
+    complete relational LEFT JOIN. Sentinel rows (user_id = -1) are
+    filtered from the output."""
+    ev = _stream_events_sentinel(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("e_ts")),
+        "left_outer",
+    ).select("error_id", "purchase_id", "purchase_value")
+    _run_to_memory(joined, "stream_stream_left_join_error_purchase", "append")
+    # Sentinel filter happens on the BATCH read-back, not inside the
+    # streaming plan: a pre-join filter would be pushed below the watermark
+    # operator and the sentinel would never advance the watermark.
+    return spark.table("stream_stream_left_join_error_purchase").filter(
+        F.col("error_id") != F.lit(-1)
+    )

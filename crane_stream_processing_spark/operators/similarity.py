@@ -28,6 +28,7 @@ __all__ = [
     "centroid_dots",
     "ivf_centroid",
     "ivf_ann_topk",
+    "ivf_ann_topk_nprobe",
     "kmeans_fit",
 ]
 
@@ -185,6 +186,71 @@ def ivf_ann_topk(
     ).select(
         "cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell")
     )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_ann_topk_nprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN with multi-probe: each query searches its ``nprobe`` nearest
+    cells (descending centroid dot), recovering most of the recall nprobe=1
+    loses at cell boundaries for ~nprobe× the candidate cost — still
+    |centroids|/nprobe× cheaper than brute force.
+
+    The probe list is a row-local array expression: sort the centroid-dot
+    array descending, slice the top ``nprobe`` values, map each back to its
+    cell index (first-occurrence on ties → deterministic), explode to one
+    (query, cell) row per probe. Candidates live in exactly one cell, so
+    probing distinct cells can't duplicate a pair and the downstream
+    equi-join + window top-k is unchanged."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2norm(vec_col).alias("qn"),
+            centroid_dots(F.col(vec_col), centroids).alias("__dots"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qn",
+            "__dots",
+            F.slice(F.reverse(F.array_sort("__dots")), 1, nprobe).alias("__top"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qn",
+            F.explode(
+                F.transform(
+                    "__top",
+                    lambda d: (F.array_position(F.col("__dots"), d) - 1).cast("int"),
+                )
+            ).alias("cell"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+        centroid_dots(F.col(vec_col), centroids).alias("__dots"),
+    ).select("cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell"))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))

@@ -36,6 +36,7 @@ __all__ = [
     "read_version",
     "read_versions",
     "expire_versions",
+    "compact_latest",
 ]
 
 
@@ -117,6 +118,32 @@ def expire_versions(base_dir: str, name: str, keep: int) -> list[int]:
             os.remove(marker)
         shutil.rmtree(_vdir(base_dir, name, v), ignore_errors=True)
     return victims
+
+
+def compact_latest(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    target_files: int = 1,
+) -> int:
+    """Delta-OPTIMIZE-style small-file compaction: rewrite the newest
+    committed version's data as a NEW version with ``target_files`` output
+    files, then commit it. A long-running streaming sink writes one version
+    per micro-batch, each with up-to-shuffle-partitions tiny files; at 100
+    TB the resulting listing/open overhead dominates reads. Compaction is a
+    metadata-transactional rewrite — readers either resolve the old version
+    or, after the marker lands, the compacted one; nothing is mutated in
+    place (old versions remain for time travel until expire_versions).
+    Returns the new version id."""
+    versions = list_versions(base_dir, name)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions for {name!r} in {base_dir}")
+    latest = versions[0]
+    df = spark.read.parquet(_vdir(base_dir, name, latest)).coalesce(target_files)
+    new_version = latest + 1
+    sink = VersionedSink(base_dir, name)
+    sink.write_version(df, new_version)
+    return new_version
 
 
 def read_version(

@@ -61,6 +61,33 @@ def test_versioned_sink_retention(spark, tdir):
     assert read_latest(spark, tdir, "blob").collect()[0].v == 4
 
 
+def test_versioned_sink_compaction(spark, tdir):
+    """compact_latest rewrites the newest version's many small files as one
+    new committed version with few files; data identical, old version still
+    time-travel-readable."""
+    import glob as g
+
+    from crane_stream_processing_spark.streaming.sinks import (
+        compact_latest,
+        read_version,
+    )
+
+    sink = VersionedSink(tdir, "blob")
+    df = spark.range(1000).repartition(16)
+    sink.write_version(df, 7)
+    assert len(g.glob(os.path.join(tdir, "blob", "v=" + "0" * 19 + "7", "*.parquet"))) == 16
+
+    new_v = compact_latest(spark, tdir, "blob", target_files=1)
+    assert new_v == 8
+    assert list_versions(tdir, "blob") == [8, 7]
+    files = g.glob(os.path.join(tdir, "blob", "v=" + "0" * 19 + "8", "*.parquet"))
+    assert len(files) == 1
+    assert sorted(r.id for r in read_latest(spark, tdir, "blob").collect()) == list(
+        range(1000)
+    )
+    assert read_version(spark, tdir, "blob", 7).count() == 1000
+
+
 def test_streaming_wordcount_end_to_end(spark, tdir):
     """start→process→flush→stop (§3.1 flagship path): top-5 snapshot lands
     as a committed version and matches the batch answer."""
