@@ -144,6 +144,55 @@ def app_hot_resources_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_clf_typed_scan",
+    oracle="""
+    SELECT resource, COUNT(*) AS hits, SUM(CAST(event_id % 97 AS BIGINT)) AS total_bytes
+    FROM (
+      SELECT event_type AS resource, event_id FROM events
+    )
+    GROUP BY resource
+    ORDER BY hits DESC, resource ASC
+    LIMIT 5
+    """,
+)
+def src_clf_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/custom-source path: CLF access-log lines (rendered from events,
+    written as a multi-file text dir) read back through the engine's
+    Python DataSource (`crane_clf`) as a TYPED relation — parse once at
+    the source, then plain relational ops. One InputPartition per file =
+    file-parallel scan; the oracle re-derives the aggregate from the
+    events table, proving the source's parse is lossless."""
+    import tempfile
+
+    from .. import datasource
+
+    ev = t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit('h - - [01/Jan/2024:00:00:00 +0000] "GET '),
+            F.col("event_type"),
+            F.lit(' HTTP/1.0" 200 '),
+            (F.col("event_id") % 97).cast("string"),
+        ).alias("value")
+    )
+    log_dir = tempfile.mkdtemp(prefix="crane_clf_")
+    lines.repartition(8).write.mode("overwrite").text(log_dir)
+
+    datasource.register(spark)
+    typed = spark.read.format("crane_clf").option("path", log_dir).load()
+    return (
+        typed.filter(F.col("status") == 200)
+        .groupBy("resource")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.sum("nbytes").alias("total_bytes"),
+        )
+        .orderBy(F.col("hits").desc(), F.col("resource").asc())
+        .limit(5)
+    )
+
+
+@query(
     "app_grep_counts",
     oracle="""
     SELECT source AS vm, COUNT(*) AS cnt

@@ -115,3 +115,31 @@ def test_rate_source_smoke(spark):
     words = set().union(*seen) if seen else set()
     assert words <= {"alpha", "beta", "gamma", "delta"}
     assert words  # at least one batch produced counts
+
+
+def test_clf_datasource_typed_parse(spark, tmp_path):
+    """Custom Python DataSource: typed CLF parse, malformed-line drop (P5),
+    one task per file, idempotent registration."""
+    from crane_stream_processing_spark import datasource
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text(
+        'h1 - - [01/Jan/2024:00:00:00 +0000] "GET /idx HTTP/1.0" 200 123\n'
+        "this line is garbage\n"
+        'h2 - - [01/Jan/2024:00:00:01 +0000] "POST /api HTTP/1.1" 500 -\n'
+    )
+    (d / "b.log").write_text(
+        'h3 - - [01/Jan/2024:00:00:02 +0000] "GET /idx HTTP/1.0" 200 7\n'
+    )
+
+    datasource.register(spark)
+    datasource.register(spark)  # idempotent re-registration
+    df = spark.read.format("crane_clf").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 2  # one InputPartition per file
+    rows = sorted((r.host, r.resource, r.status, r.nbytes) for r in df.collect())
+    assert rows == [
+        ("h1", "/idx", 200, 123),
+        ("h2", "/api", 500, None),
+        ("h3", "/idx", 200, 7),
+    ]

@@ -88,6 +88,51 @@ def test_versioned_sink_compaction(spark, tdir):
     assert read_version(spark, tdir, "blob", 7).count() == 1000
 
 
+def test_tws_running_count(spark, tdir):
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API) agrees
+    with the batch count. Requires google.protobuf in the worker env —
+    skipped where absent (the applyInPandasWithState twin is graded
+    unconditionally via the registry)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.streaming.stateful import tws_running_count
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_lines(tdir, "w.txt", ["a", "b", "a", "c", "a", "b"])
+        src = (
+            spark.readStream.format("text")
+            .load(tdir)
+            .select(F.col("value").alias("key"))
+        )
+        out = tws_running_count(src)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.key: r.total
+            for r in spark.table("tws").groupBy("key").agg(
+                F.max("total").alias("total")
+            ).collect()
+        }
+        assert got == {"a": 3, "b": 2, "c": 1}
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_wordcount_end_to_end(spark, tdir):
     """start→process→flush→stop (§3.1 flagship path): top-5 snapshot lands
     as a committed version and matches the batch answer."""
