@@ -95,7 +95,8 @@ def _load_all() -> None:
     from . import core  # noqa: F401
 
     for mod in ("joins", "aggregates", "windows", "scalars", "setops",
-                "eventtime", "northstar", "streaming_queries", "analytics"):
+                "eventtime", "northstar", "streaming_queries", "analytics",
+                "tpch_full"):
         __import__(f"{__name__}.{mod}")
 
 
