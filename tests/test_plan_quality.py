@@ -62,3 +62,47 @@ def test_cpu_bound_scans_are_parallel(spark, sf_dir):
 def test_scalar_projection_no_shuffle(spark, sf_dir):
     plan = _plan(spark, "scalar_string_suite", sf_dir)
     assert "Exchange" not in plan  # pure projection pipelines scan→project
+
+
+def test_q21_exists_stack_stays_semi_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS must plan as semi + anti joins on the
+    equi key — a nested-loop here is O(|lineitem|²) and unrunnable at
+    scale. The supplier-inequality and shipdate residuals ride the equi
+    join as post-conditions."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q19_disjunctive_single_table_conjuncts_push(spark, sf_dir):
+    """Q19's OR-of-brackets: Catalyst must extract the brand IN-set and
+    push it into the part scan (the common single-table conjunct of the
+    disjunction); the join itself stays broadcast-hash."""
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    scan = plan.split("PushedFilters")
+    assert len(scan) > 1 and "Brand" in "".join(
+        s.splitlines()[0] for s in scan[1:]
+    )
+
+
+def test_q17_correlated_avg_decorrelates_to_one_extra_scan(spark, sf_dir):
+    """Q17's per-part average threshold is one groupBy pass joined back —
+    never a per-row subquery re-execution. Two lineitem scans total
+    (probe + threshold build), each column-pruned."""
+    plan = _plan(spark, "tpch_q17_small_quantity_revenue", sf_dir)
+    # formatted mode prints each scan node twice (tree + details):
+    # 3 distinct scans (lineitem probe, lineitem threshold build, part)
+    assert plan.count("Scan parquet") <= 6
+    assert "HashAggregate" in plan
+
+
+def test_q15_scalar_max_is_single_row_broadcast(spark, sf_dir):
+    """Q15's WHERE revenue = (SELECT MAX(...)) must evaluate as a
+    broadcast of the single-row max — the revenue aggregate feeds both
+    sides without a third lineitem scan."""
+    plan = _plan(spark, "tpch_q15_top_supplier", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # 3 distinct scans (×2 in formatted output): lineitem ×2 + supplier
+    assert plan.count("Scan parquet") <= 6
