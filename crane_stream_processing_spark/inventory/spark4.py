@@ -1,0 +1,148 @@
+"""Spark-4-native surface — the extension APIs the reference's Go `App`
+interface (reference ``server/Crane.go:179-188``: one flatMap transform +
+one keyed merge per app) maps onto in modern Spark, beyond classic UDFs:
+
+- **Python UDTF** (table-valued transform, SURVEY.md §2.10 "table-valued →
+  explode of an array-returning UDF"): a declared-schema generator class,
+  Arrow-batched, invoked through SQL ``LATERAL`` so each input row fans
+  out to N output rows inside the task — the direct analog of the
+  reference's per-line flatMap ``transform`` (``server/wordCount.go:75-84``).
+- **VariantType** for semi-structured data: ``parse_json`` → binary
+  variant, field access via ``variant_get`` without a declared schema —
+  the schema-on-read path for ragged JSON at 100 TB (no full-schema
+  inference pass over the corpus).
+- **Correlated LATERAL subquery**: per-row dependent subqueries that
+  Catalyst decorrelates into joins — the declarative form of "for each
+  outer row, run an inner query", which at scale must NEVER execute
+  per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from . import query, t
+
+
+@udtf(returnType="bigram string", useArrow=True)
+class BigramUDTF:
+    """Emit each adjacent token pair of a whitespace-tokenized text.
+    Declared single-column schema; Arrow batches the row fan-out."""
+
+    def eval(self, text):  # noqa: D102 — UDTF contract
+        if text is None:
+            return
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a and b:
+                yield (a + " " + b,)
+
+
+@query(
+    "udtf_bigram_top20",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bi AS (
+      SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE ts[i] <> '' AND ts[i + 1] <> ''
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bi
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def udtf_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 table-valued function: top-20 corpus bigrams via a Python
+    UDTF fanned out with SQL LATERAL. The UDTF runs inside the scan task
+    (no shuffle before the fan-out); the count aggregates map-side before
+    the single exchange. The same job as the reference's wordCount
+    flatMap→count, lifted to a declared-schema table function."""
+    spark.udtf.register("crane_bigrams", BigramUDTF)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT b.bigram, COUNT(*) AS n
+        FROM docs_udtf d, LATERAL crane_bigrams(d.text) b
+        GROUP BY b.bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS k_distinct,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)
+               * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sq_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path: events.props parses once into a
+    binary variant (no declared schema — schema-on-read), fields come out
+    with ``variant_get`` typed casts. At 100 TB variant beats
+    from_json-with-inferred-schema because there is no inference pass and
+    unqueried fields are never decoded; integer aggregates are exact so
+    the oracle matches bit-for-bit."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.sum(F.col("k") * F.col("k")).alias("k_sq_sum"),
+        )
+    )
+
+
+@query(
+    "sql_lateral_top2_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 2
+    )
+    WHERE c_mktsegment = 'FURNITURE'
+    """,
+)
+def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each FURNITURE customer's two largest
+    orders. Catalyst decorrelates the per-row dependent subquery into a
+    ranked window over one orders shuffle — semantically "run a query per
+    customer", physically ONE pass (per-row re-execution would be O(|C|)
+    scans at scale). Deterministic (price, orderkey) tiebreak."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer_lat,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_lat
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        )
+        WHERE c_mktsegment = 'FURNITURE'
+        """
+    )
