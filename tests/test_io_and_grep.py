@@ -4,6 +4,7 @@ grep app over real text files (P4/A4, reference server/querier.go)."""
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -39,8 +40,11 @@ def test_write_partitioned_parquet_prunes(spark, tmp_path):
     cio.write_table(df, out, partition_by=["name"])
     back = cio.read_parquet(spark, out).filter(F.col("name") == "x")
     assert sorted(r.k for r in back.collect()) == [1, 3]
-    # partition pruning: only the name=x directory is listed
+    # partition pruning: the predicate lands in PartitionFilters (directory
+    # pruning BEFORE any file is opened), not as a post-scan Filter
     assert os.path.isdir(os.path.join(out, "name=x"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*name#\d+ = x", plan)
 
 
 def test_grep_lines_and_counts(spark, tmp_path):
