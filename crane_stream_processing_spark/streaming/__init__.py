@@ -12,20 +12,26 @@ at-least-once-with-duplicates (SURVEY.md §2.9 ST1-ST3).
   (S5-S7), plus readers
 - :mod:`.engine` — the app runner: name→pipeline registry → complete-mode
   periodic-trigger query with checkpointing (ST4/ST9)
+- :mod:`.monitor` — delivery accounting: in-plan observed metrics + a
+  progress listener (the acker's books without its replay duty)
 """
 
 from .sources import file_lines, socket_lines, rate_lines
-from .sinks import VersionedSink, read_latest, read_versions, list_versions
+from .sinks import MergeSink, VersionedSink, read_latest, read_versions, list_versions
 from .engine import start_app, stop_app
+from .monitor import ProgressRecorder, with_observed_metrics
 
 __all__ = [
     "file_lines",
     "socket_lines",
     "rate_lines",
     "VersionedSink",
+    "MergeSink",
     "read_latest",
     "read_versions",
     "list_versions",
     "start_app",
     "stop_app",
+    "ProgressRecorder",
+    "with_observed_metrics",
 ]

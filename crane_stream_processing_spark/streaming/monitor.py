@@ -1,0 +1,87 @@
+"""Streaming observability — the engine's delivery-accounting surface.
+
+The reference accounts for in-flight work in the acker: a running XOR per
+messageId plus success/fail counters driving commit or replay (reference
+``server/acker.go:24-74``), and the client prints per-node match counts
+(``client/client.go:87-89``). Structured Streaming already gives the
+delivery guarantee (checkpointed exactly-once), so what remains of the
+acker is its *accounting*: per-batch input rows, processed rows, state
+size, and user-defined dataset metrics. This module surfaces both halves:
+
+- :func:`with_observed_metrics` attaches ``Dataset.observe`` aggregates —
+  computed inside the running plan, no second pass, arriving with each
+  micro-batch's progress event;
+- :class:`ProgressRecorder` is a ``StreamingQueryListener`` that collects
+  progress events (batchId, numInputRows, observed metrics, state rows)
+  for assertion / export.
+
+Scale note: observe() metrics are accumulator-style partial aggregates
+merged on the driver per batch — O(#metrics) driver cost, independent of
+data volume, so they stay on at 100 TB where a separate metrics query
+would double the read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+__all__ = ["with_observed_metrics", "ProgressRecorder"]
+
+
+def with_observed_metrics(
+    df: DataFrame, name: str = "crane_metrics", **metrics: Column
+) -> DataFrame:
+    """Attach in-plan observed metrics. Default set mirrors the acker's
+    books: tuple count. Extra named aggregate columns ride along."""
+    cols = [F.count(F.lit(1)).alias("n_rows")]
+    cols += [c.alias(k) for k, c in metrics.items()]
+    return df.observe(name, *cols)
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Collects every query-progress event: the per-micro-batch ledger
+    (the reference's acker scan, minus the replay duty). Attach with
+    ``spark.streams.addListener(rec)``; detach with ``removeListener``."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (listener API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.progress.append(
+            {
+                "query": p.name,
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "observed": dict(p.observedMetrics or {}),
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self.terminated.append(str(event.id))
+
+    # -- convenience ----------------------------------------------------
+    def total_input_rows(self, query_name: str | None = None) -> int:
+        return sum(
+            p["num_input_rows"]
+            for p in self.progress
+            if query_name is None or p["query"] == query_name
+        )
+
+    def observed_series(self, metric: str, obs_name: str = "crane_metrics"):
+        """All values of one observed metric across batches, in order."""
+        out = []
+        for p in self.progress:
+            row = p["observed"].get(obs_name)
+            if row is not None:
+                out.append(row[metric])
+        return out

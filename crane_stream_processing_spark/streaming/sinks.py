@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "VersionedSink",
+    "MergeSink",
     "list_versions",
     "read_latest",
     "read_version",
@@ -79,6 +80,54 @@ class VersionedSink:
         with open(tmp, "w") as f:
             json.dump(marker, f)
         os.replace(tmp, mpath)  # atomic commit marker
+
+
+class MergeSink(VersionedSink):
+    """Keyed UPSERT sink (MERGE INTO semantics) over the versioned store —
+    the sink-side half of the reference's aggregate commit: the joiner
+    folds each committed micro-batch's staged cache into its running
+    ``result`` map keyed by word (reference ``server/wordCount.go:33-43``
+    ``mergeCache``; commit dispatch ``server/failure-detector.go:139-142``).
+    Here each micro-batch MERGEs into the latest snapshot: matched keys are
+    replaced by the batch row (last-writer-wins), unmatched keys are
+    inserted, and the merged snapshot commits as a NEW version — readers
+    time-travel across merge states exactly like SDFS versions.
+
+    Exactly-once: the version id is the foreachBatch ``batch_id``; a retry
+    of an already-committed batch is a no-op (the marker is the ledger),
+    so sink-side duplicates are impossible — the property the reference's
+    at-least-once acker could not give (SURVEY.md §2.9 ST1).
+
+    Scale: each merge rewrites the snapshot (read latest + anti-join +
+    union) — O(|snapshot|) per batch, fine while snapshots are aggregate-
+    sized (top-k, per-key rollups). For fact-sized snapshots swap the
+    store for a format with file-level MERGE (Delta/Iceberg); the sink's
+    contract — idempotent keyed upsert per micro-batch — is unchanged."""
+
+    def __init__(self, base_dir: str, name: str, keys: list[str]):
+        super().__init__(base_dir, name)
+        if not keys:
+            raise ValueError("MergeSink needs at least one key column")
+        self.keys = list(keys)
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.merge_version(df, batch_id)
+
+    def merge_version(self, batch_df: DataFrame, version: int) -> None:
+        if version in list_versions(self.base_dir, self.name):
+            return  # retried batch: already committed, idempotent no-op
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(self.keys)
+        try:
+            current = read_latest(spark, self.base_dir, self.name)
+        except FileNotFoundError:
+            merged = batch
+        else:
+            kept = current.join(
+                batch.select(*self.keys), on=self.keys, how="left_anti"
+            )
+            merged = kept.unionByName(batch)
+        self.write_version(merged, version)
 
 
 def list_versions(base_dir: str, name: str) -> list[int]:

@@ -133,6 +133,102 @@ def test_tws_running_count(spark, tdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_merge_sink_upsert_across_batches(spark, tdir):
+    """MERGE INTO semantics at the sink (A2 mergeCache): matched keys
+    replaced, new keys inserted, each merge a new committed version;
+    retried batch ids are no-ops (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.streaming import MergeSink, read_latest
+
+    src_dir = os.path.join(tdir, "src")
+    out_dir = os.path.join(tdir, "out")
+    ckpt = os.path.join(tdir, "ckpt")
+    sink = MergeSink(out_dir, "kv", keys=["k"])
+
+    def run_pass():
+        src = spark.readStream.format("text").load(src_dir)
+        parsed = src.select(
+            F.split("value", " ")[0].alias("k"),
+            F.split("value", " ")[1].cast("long").alias("v"),
+        )
+        q = (
+            parsed.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_lines(src_dir, "b0.txt", ["a 1", "b 2"])
+    run_pass()
+    snap0 = {r.k: r.v for r in read_latest(spark, out_dir, "kv").collect()}
+    assert snap0 == {"a": 1, "b": 2}
+
+    _write_lines(src_dir, "b1.txt", ["a 10", "c 3"])
+    run_pass()  # checkpoint resumes: only b1.txt is a new batch
+    snap1 = {r.k: r.v for r in read_latest(spark, out_dir, "kv").collect()}
+    assert snap1 == {"a": 10, "b": 2, "c": 3}
+
+    # retried batch id: committed marker makes it a no-op
+    before = list_versions(out_dir, "kv")
+    retry = spark.createDataFrame([("a", 999)], "k string, v long")
+    sink.merge_version(retry, before[0])
+    assert list_versions(out_dir, "kv") == before
+    assert {r.k: r.v for r in read_latest(spark, out_dir, "kv").collect()} == snap1
+
+
+def test_observed_metrics_and_listener(spark, tdir):
+    """Delivery accounting (the acker's books, ST1-ST3 accounting half):
+    observe() metrics computed in-plan arrive on the listener's progress
+    events and agree with ground truth; the listener also sees input-row
+    counts and termination."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.streaming import (
+        ProgressRecorder,
+        with_observed_metrics,
+    )
+
+    _write_lines(tdir, "m.txt", ["a 1", "b 2", "a 3", "c 4"])
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = spark.readStream.format("text").load(tdir)
+        parsed = src.select(
+            F.split("value", " ")[0].alias("k"),
+            F.split("value", " ")[1].cast("long").alias("v"),
+        )
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS); HLL is the mergeable substitute.
+        observed = with_observed_metrics(
+            parsed, "acct", v_sum=F.sum("v"), k_distinct=F.approx_count_distinct("k")
+        )
+        q = (
+            observed.writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .queryName("obs_q")
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered async — bounded wait
+        for _ in range(60):
+            if rec.progress and rec.terminated:
+                break
+            time.sleep(0.5)
+        assert rec.total_input_rows("obs_q") == 4
+        assert sum(rec.observed_series("n_rows", "acct")) == 4
+        assert sum(rec.observed_series("v_sum", "acct")) == 10
+        assert max(rec.observed_series("k_distinct", "acct")) == 3
+        assert rec.terminated
+    finally:
+        spark.streams.removeListener(rec)
+
+
 def test_streaming_wordcount_end_to_end(spark, tdir):
     """start→process→flush→stop (§3.1 flagship path): top-5 snapshot lands
     as a committed version and matches the batch answer."""
