@@ -161,7 +161,12 @@ def src_clf_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python DataSource (`crane_clf`) as a TYPED relation — parse once at
     the source, then plain relational ops. One InputPartition per file =
     file-parallel scan; the oracle re-derives the aggregate from the
-    events table, proving the source's parse is lossless."""
+    events table, proving the source's parse is lossless.
+
+    Bench note: first use of a Python DataSource in a session pays ~5 s of
+    worker spin-up (planner + per-task Python processes); the warm scan of
+    the same 600k-line dir is <1 s. The cost is per-session, not per-query
+    — long-lived sessions amortize it away."""
     import tempfile
 
     from .. import datasource

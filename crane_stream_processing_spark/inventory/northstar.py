@@ -182,6 +182,54 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({SQL_COSINE}, 6) >= 0.4
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, node) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+    )
+    SELECT node AS doc_id, MIN(src) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step after pair generation in a real
+    dedup pipeline: connected components over the near-dup pair graph,
+    labeling every involved doc with its component's minimum id (the
+    canonical survivor; keep doc_id == cluster_id downstream). Pairs are
+    LSH-bucket-pruned exact-cosine (the scale path: equi join on bucket,
+    Σ n_b² not n² — the all-pairs baseline is dedup_embedding_near_pairs);
+    clustering is distributed hash-min label propagation (O(diameter)
+    rounds of join+groupBy on the EDGE list, corpus never re-touched).
+    The oracle runs the same closure as a recursive CTE — tractable for
+    DuckDB at test SF, where the distributed form is the one that
+    survives 10⁹-edge graphs."""
+    pairs = S.cosine_near_pairs(
+        t_cpu(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        bucket_planes=_PLANES,
+    )
+    labels = D.connected_components(pairs, num_partitions=8)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

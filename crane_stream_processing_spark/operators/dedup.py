@@ -26,6 +26,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash",
+    "connected_components",
 ]
 
 NUM_HASHES = 12  # minhash signature length
@@ -206,3 +207,81 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
         sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    clustering step that turns pairwise dedup output (minhash/simhash/
+    embedding pairs above threshold) into groups with one canonical
+    member: ``(node, label)`` where label = the component's minimum id.
+    Downstream, keep ``node == label`` rows and drop the rest.
+
+    Algorithm: distributed hash-min label propagation (the standard
+    large-graph CC — each round every node takes the min label among
+    itself and its neighbors), converging in O(graph diameter) rounds.
+    Near-dup components are shallow (diameter a few hops), so 3-5 rounds
+    typify. Each round is one shuffle (join on node) + one groupBy;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    exponentially across iterations; the convergence probe is a scalar
+    count — the only driver-side value, as in the k-means trainer.
+    The reference has no graph step (its dedup surface is absent
+    entirely, SURVEY.md §2.7); this is north-star pipeline machinery.
+
+    ``num_partitions``: the edge list is usually orders of magnitude
+    smaller than the corpus that produced it — re-size the iteration's
+    shuffles to the GRAPH, not the corpus (each round pays fixed per-
+    partition cost). At 100 TB corpus / 10⁹-edge graph, size to the edge
+    count as usual.
+    """
+    spark = pairs.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if num_partitions:
+        # every iteration's join/groupBy shuffles the EDGE-sized data;
+        # scope the shuffle width to it for the duration of the loop
+        # (restored after — each localCheckpoint action plans under it)
+        spark.conf.set(key, str(min(int(prev), num_partitions)))
+    try:
+        edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        edges = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if num_partitions:
+            edges = edges.repartition(num_partitions)
+        edges = edges.localCheckpoint(eager=True)
+
+        labels = (
+            edges.select("u")
+            .distinct()
+            .select(F.col("u").alias("node"), F.col("u").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges.v == labels.node)
+                .select(edges.u.alias("node"), F.col("label"))
+            )
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        spark.conf.set(key, prev)

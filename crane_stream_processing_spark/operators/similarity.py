@@ -327,23 +327,42 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    bucket_planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (exact,
-    pairwise). The all-pairs form is the correctness baseline; at scale,
-    pre-bucket with lsh_bucket and join within buckets instead.
+    pairwise). The all-pairs form (``bucket_planes=None``) is the
+    correctness baseline; passing hyperplanes restricts candidates to
+    same-LSH-bucket pairs — the join gains an equi key, the plan flips
+    from BroadcastNestedLoopJoin to a hash/sort-merge join on bucket, and
+    cost drops from O(n²) to Σ per-bucket n_b² — the form that survives a
+    10⁹-vector corpus (recall bounded by bucket collision probability,
+    raise planes→more/smaller buckets or union several plane sets).
 
-    Norms precomputed per vector (1 dot per pair instead of 3). The
-    non-equi condition makes this a BroadcastNestedLoopJoin — its
-    parallelism equals the stream side's partition count, so repartition
-    the input for CPU-bound corpora (the inventory queries do)."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2norm(vec_col).alias("na")
+    Norms precomputed per vector (1 dot per pair instead of 3). In the
+    all-pairs form the non-equi condition makes parallelism equal the
+    stream side's partition count, so repartition the input for CPU-bound
+    corpora (the inventory queries do)."""
+    cols = [F.col(id_col), F.col(vec_col), l2norm(vec_col).alias("nrm")]
+    if bucket_planes is not None:
+        cols.append(lsh_bucket(F.col(vec_col), bucket_planes).alias("bucket"))
+    staged = df.select(*cols)
+    a = staged.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        *([F.col("bucket")] if bucket_planes is not None else []),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2norm(vec_col).alias("nb")
+    b = staged.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        *([F.col("bucket").alias("bucket_b")] if bucket_planes is not None else []),
     )
+    cond = F.col("id_a") < F.col("id_b")
+    if bucket_planes is not None:
+        cond = (F.col("bucket") == F.col("bucket_b")) & cond
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, cond)
         .select(
             "id_a",
             "id_b",

@@ -77,3 +77,31 @@ def test_fingerprint_permutation_vs_rolling_hash(spark):
     by = {r.doc_id: r for r in rows}
     assert by[1].fp == by[2].fp      # order-insensitive: permutations equate
     assert by[1].rh != by[2].rh      # order-sensitive: permutations differ
+
+
+def test_connected_components_hand_graph(spark):
+    """Hash-min label propagation: components labeled by their min id;
+    a 10-node chain (worst diameter) still converges."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (7, 7)], "id_a long, id_b long"
+    )
+    got = {
+        (r.node, r.label)
+        for r in D.connected_components(pairs, num_partitions=4).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7)}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    labels = {
+        r.label for r in D.connected_components(chain, num_partitions=4).collect()
+    }
+    assert labels == {0}
+
+
+def test_connected_components_restores_shuffle_conf(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    D.connected_components(pairs, num_partitions=2).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
