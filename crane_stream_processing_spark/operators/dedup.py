@@ -229,7 +229,10 @@ def connected_components(
     typify. Each round is one shuffle (join on node) + one groupBy;
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     exponentially across iterations; the convergence probe is a scalar
-    count — the only driver-side value, as in the k-means trainer.
+    SUM of labels — hash-min labels are monotone non-increasing, so an
+    unchanged sum proves a fixpoint without the labels-to-labels join a
+    changed-row count would need (one cheap agg per round, the only
+    driver-side value, as in the k-means trainer).
     The reference has no graph step (its dedup surface is absent
     entirely, SURVEY.md §2.7); this is north-star pipeline machinery.
 
@@ -262,26 +265,22 @@ def connected_components(
             .select(F.col("u").alias("node"), F.col("u").alias("label"))
             .localCheckpoint(eager=True)
         )
+        prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         for _ in range(max_iters):
             nbr = (
                 edges.join(labels, edges.v == labels.node)
                 .select(edges.u.alias("node"), F.col("label"))
             )
-            new_labels = (
+            labels = (
                 labels.unionByName(nbr)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels
     finally:
         spark.conf.set(key, prev)
