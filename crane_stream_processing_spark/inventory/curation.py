@@ -1,0 +1,216 @@
+"""Corpus-curation inventory — the sampling / balancing / redaction /
+retention steps of a training-data pipeline (north-star surface; the
+reference has no curation ops, SURVEY.md §2).
+
+All sampling is hash-deterministic (operators.sampling): the draw for a
+row is substr(md5(id),1,8) compared lexicographically against a hex
+threshold, so Spark and DuckDB reproduce the exact same sample row-for-row
+and the oracle can assert full row equality, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..operators import sampling as SA
+from . import query, t
+from .northstar import SQL_TOKS
+
+# Oracle twin of operators.sampling.hash_uniform_hex.
+SQL_U = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@query(
+    "sample_stratified_lang",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {SQL_U} < CASE lang
+        WHEN 'en' THEN '{SA.hex_threshold(0.5)}'
+        WHEN 'es' THEN '{SA.hex_threshold(0.25)}'
+        ELSE '{SA.hex_threshold(0.1)}' END
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — rebalance a corpus by language
+    (keep half the dominant 'en', a quarter of 'es', a tenth of the rest).
+    Pure codegen filter: no shuffle, no RNG state, the same rows on any
+    cluster layout — reproducible corpus construction. At 100 TB this is
+    one scan; the id-hash draw means re-runs and incremental backfills
+    select identical rows."""
+    docs = t(spark, sf_dir, "documents")
+    return SA.stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25}, "doc_id", default_fraction=0.1
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_uniform_k_docs",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    ORDER BY {SQL_U}, doc_id LIMIT 100
+    """,
+)
+def sample_uniform_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample as deterministic hash-order top-k (reservoir-
+    equivalent in distribution, but reproducible and engine-portable).
+    Executes as TakeOrderedAndProject — per-partition k-heaps merged on
+    the driver, never a global sort; 100 TB in, k rows out."""
+    docs = t(spark, sf_dir, "documents")
+    return SA.uniform_k(docs, 100, "doc_id").select("doc_id", "source")
+
+
+@query(
+    "sample_cap_per_source",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+    FROM (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY {SQL_U}, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    GROUP BY source
+    """,
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (domain balancing): at most 10 docs per source,
+    chosen by id-hash — no single domain may dominate the corpus. One
+    hash-partitioned window; the aggregate proves which rows survived.
+    Giant-domain skew is the normal case this exists for; a pathological
+    single-source corpus would pre-salt (operators.skew)."""
+    docs = t(spark, sf_dir, "documents")
+    capped = SA.cap_per_group(docs, "source", 10, "doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("kept_chars")
+    )
+
+
+@query(
+    "text_vocab_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({SQL_TOKS}) AS tok FROM documents
+    ), tc AS (
+      SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           SUM(c) AS total_tokens,
+           COUNT(*) AS vocab_size,
+           COUNT(*) FILTER (c = 1) AS hapax_count,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
+    FROM tc GROUP BY lang
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per language: token volume, distinct
+    vocabulary, hapax legomena (frequency-1 types), type/token ratio —
+    the profile a tokenizer-training or quality-monitoring step reads.
+    Two-level aggregation: explode → (lang, token) partial counts (map-
+    side combine collapses repeats before the shuffle) → per-lang rollup.
+    The single double division is the same IEEE op in both engines."""
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("lang").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("hapax_count"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "text_redact_marker",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) FILTER (len(regexp_extract_all(text, '\bspark\b')) > 0) AS docs_hit,
+           SUM(len(regexp_extract_all(text, '\bspark\b'))) AS n_redacted
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_redact_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction accounting — the PII-scrub shape (regex match →
+    replace → audit counts), run on a word-boundary marker term since the
+    synthetic corpus has no real PII. regexp_count is a codegen expression
+    (one automaton pass per doc, no UDF); the redacted text itself is
+    ``regexp_replace(text, pat, '[X]')`` on the same pass — the audit
+    aggregate is what's asserted because it pins BOTH the match count and
+    its grouping."""
+    docs = t(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(r"\bspark\b"))
+    return (
+        docs.select("source", hits.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("h") > 0, 1)).alias("docs_hit"),
+            F.sum("h").alias("n_redacted"),
+        )
+    )
+
+
+@query(
+    "dedup_survivor_retention",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars, {SQL_TOKS} AS tk FROM documents
+    ), fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS f
+      FROM toks
+    ), surv AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      FROM fp
+    ), per_surv AS (
+      SELECT source, COUNT(*) AS n_survivors, SUM(n_chars) AS retained_chars
+      FROM surv WHERE rn = 1 GROUP BY source
+    ), per_tot AS (
+      SELECT source, COUNT(*) AS total_docs FROM documents GROUP BY source
+    )
+    SELECT t.source, total_docs, n_survivors, retained_chars
+    FROM per_tot t JOIN per_surv s ON t.source = s.source
+    """,
+)
+def dedup_survivor_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RETENTION accounting: fingerprint each doc by its
+    sorted-distinct token set (order-insensitive, so permuted near-copies
+    collapse — collapses this corpus ~11%), keep the min-id survivor per
+    fingerprint, and report per-source document/char retention — the
+    shrinkage report every dedup run ships with. Fingerprint is one
+    row-local projection (token array staged once — HOFs get no CSE);
+    survivor choice is one window over the fingerprint; both aggregates
+    are map-side-combinable counts."""
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        tokens("text").alias("tk"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tk"))))).alias("f"),
+    )
+    w = Window.partitionBy("f").orderBy("doc_id")
+    surv = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_chars").alias("retained_chars"),
+        )
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("total_docs"))
+    return tot.join(surv, "source").select(
+        "source", "total_docs", "n_survivors", "retained_chars"
+    )

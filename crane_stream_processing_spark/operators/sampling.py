@@ -1,0 +1,109 @@
+"""Sampling operators (north-star surface): the corpus-shaping steps of a
+training-data pipeline — stratified sampling, uniform-k selection, and
+per-group caps (domain balancing).
+
+All sampling here is DETERMINISTIC: the "random" draw for a row is a pure
+hash of its id (md5, the one hash Spark and DuckDB share bit-for-bit), so
+a sample is reproducible across runs, engines, and cluster layouts —
+exactly what a data pipeline wants for auditable corpus construction, and
+what lets the DuckDB oracle reproduce every sampled row. The reference has
+no sampling surface (SURVEY.md §2); this is north-star machinery.
+
+Scale: every operator is a narrow projection + filter (no shuffle) or a
+single window/top-k:
+
+- ``stratified_sample``: filter only — the hash threshold is evaluated
+  per-row inside codegen; the scan prunes nothing but the filter is
+  pipeline-parallel. 100 TB → still one pass, no shuffle.
+- ``uniform_k``: global top-k by hash order → TakeOrderedAndProject
+  (per-partition heap + driver merge of k·partitions rows), never a full
+  sort. k must fit on the driver, which it does by definition of a sample.
+- ``cap_per_group``: one hash-partitioned window (row_number per group,
+  ordered by hash). Skewed groups are exactly the point (cap the giant
+  domain); the shuffle key is the group, so a pathological single-group
+  corpus should pre-salt — see operators.skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform_hex",
+    "hex_threshold",
+    "stratified_sample",
+    "uniform_k",
+    "cap_per_group",
+]
+
+_HEX_DIGITS = 8  # 32 bits of the digest: plenty for sampling resolution
+
+
+def hash_uniform_hex(key: Column | str) -> Column:
+    """First 8 hex chars of md5(key) — a uniform draw in [0, 16^8)
+    represented as a STRING, compared lexicographically (hex strings of
+    equal length order identically to their numeric values). Stays a
+    string so DuckDB reproduces it with substr(md5(..)) verbatim."""
+    return F.substring(F.md5(F.col(key).cast("string") if isinstance(key, str) else key.cast("string")), 1, _HEX_DIGITS)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 8-hex-digit threshold t such that P[hash_uniform_hex < t] ==
+    fraction (up to 1/16^8): row kept iff its hash string sorts below.
+    fraction=1.0 returns 'g', which sorts above every hex string — a
+    9-digit '100000000' would sort BELOW 'f...' lexicographically and
+    silently drop ~15/16 of rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    val = int(fraction * (16**_HEX_DIGITS))
+    if val >= 16**_HEX_DIGITS:
+        return "g"
+    return format(val, f"0{_HEX_DIGITS}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its id-hash falls
+    below its stratum's threshold. Per-stratum fractions rebalance a
+    corpus (e.g. downsample the dominant language); strata absent from
+    ``fractions`` get ``default_fraction``. Pure filter — no shuffle, no
+    state, same rows every run on any cluster."""
+    u = hash_uniform_hex(id_col)
+    thresh: Column = F.lit(hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(hex_threshold(frac))).otherwise(thresh)
+    return df.filter(u < thresh)
+
+
+def uniform_k(df: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Uniform-without-replacement k-sample as a deterministic top-k: the
+    k rows with the smallest id-hash. Equivalent in distribution to a
+    reservoir sample, but reproducible and engine-portable; executes as
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    return (
+        df.withColumn("__u", hash_uniform_hex(id_col))
+        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__u")
+    )
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int, id_col: str) -> DataFrame:
+    """At most ``n`` rows per group, chosen by smallest id-hash — the
+    domain-balancing cap of web-corpus curation (no single source may
+    dominate). One window over (group, hash-order); rank ties broken by
+    id so the result is total-order deterministic."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform_hex(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1,0 +1,76 @@
+"""Property tests for the deterministic sampling operators: reproducibility
+(the defining feature), fraction accuracy, cap enforcement, and the
+plan shapes the scale story depends on (filter-only stratification, top-k
+not global sort)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crane_stream_processing_spark.operators import sampling as SA
+
+
+def _people(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+
+
+def test_stratified_fractions_and_determinism(spark):
+    df = _people(spark)
+    frac = {"0": 0.5, "1": 0.1}
+    got1 = SA.stratified_sample(df, "grp", frac, "pid", default_fraction=0.25)
+    got2 = SA.stratified_sample(df, "grp", frac, "pid", default_fraction=0.25)
+    rows1 = {r.pid for r in got1.collect()}
+    rows2 = {r.pid for r in got2.collect()}
+    assert rows1 == rows2  # identical draw every run
+    by_grp = {
+        r.grp: r.n
+        for r in got1.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 500 rows per stratum; md5 is uniform so tolerate ±40%
+    assert 150 <= by_grp["0"] <= 350
+    assert 20 <= by_grp["1"] <= 90
+    assert 75 <= by_grp["2"] <= 180
+
+
+def test_stratified_is_filter_only(spark):
+    plan = SA.stratified_sample(
+        _people(spark), "grp", {"0": 0.5}, "pid"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure codegen filter, no shuffle
+
+
+def test_uniform_k_exact_size_and_topk_plan(spark):
+    df = _people(spark)
+    sample = SA.uniform_k(df, 50, "pid")
+    assert sample.count() == 50
+    assert {r.pid for r in sample.collect()} == {
+        r.pid for r in SA.uniform_k(df, 50, "pid").collect()
+    }
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap top-k, not a global Sort
+
+
+def test_cap_per_group_enforced(spark):
+    df = _people(spark)
+    capped = SA.cap_per_group(df, "grp", 7, "pid")
+    sizes = [
+        r.n for r in capped.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert sizes == [7, 7, 7, 7]
+    # under-cap groups pass through whole
+    small = SA.cap_per_group(_people(spark, 8), "grp", 7, "pid")
+    assert small.count() == 8
+
+
+def test_hex_threshold_edges(spark):
+    assert SA.hex_threshold(0.0) == "00000000"
+    assert SA.hex_threshold(0.5) == "80000000"
+    # fraction=1.0 must sort above EVERY hex hash (a naive 9-digit
+    # '100000000' sorts below 'f...' and drops ~15/16 of rows)
+    assert SA.hex_threshold(1.0) > "ffffffff"
+    df = _people(spark, 100)
+    assert SA.stratified_sample(df, "grp", {}, "pid", default_fraction=1.0).count() == 100
+    assert SA.stratified_sample(df, "grp", {}, "pid", default_fraction=0.0).count() == 0
