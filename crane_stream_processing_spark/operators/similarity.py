@@ -276,10 +276,17 @@ def kmeans_fit(
 
     Each iteration is two distributed steps: (1) assign every vector to its
     nearest centroid — argmin L2 via argmax(dot(v,c) − ||c||²/2), a staged
-    row-local expression; (2) recompute means — posexplode to
-    (cell, dim, value), one groupBy. Only the k×dim centroid matrix ever
-    reaches the driver (the model, not the data) — at 100 TB that is a few
-    KB per iteration. Init is deterministic: the k lowest-id vectors.
+    row-local expression; (2) recompute means as k rows of per-dimension
+    SUM aggregates + a count — map-side partial aggregation collapses each
+    partition to ≤k rows of dim sums BEFORE the shuffle, so the exchange
+    moves O(k·dim·partitions) values regardless of corpus size (the
+    earlier posexplode form shuffled n·dim rows — linear in the data).
+    Only the k×dim centroid matrix ever reaches the driver (the model,
+    not the data) — at 100 TB that is a few KB per iteration. Init is
+    deterministic: the k lowest-id vectors. The vector column is cached
+    for the duration of training (each iteration re-reads it; at cluster
+    scale this is the standard iterate-over-cached-input pattern) and
+    released before returning.
     """
     seeds = (
         df.orderBy(id_col)
@@ -290,35 +297,36 @@ def kmeans_fit(
     centroids = [[float(x) for x in r[0]] for r in seeds]
     dim = len(centroids[0])
 
-    vecs = df.select(F.col(vec_col).alias("v"))
-    for _ in range(iters):
-        # argmax over dot(v, c_i) - ||c_i||^2 / 2  ==  argmin ||v - c_i||^2
-        offs = [sum(x * x for x in c) / 2.0 for c in centroids]
-        scores = F.array(
-            *[
-                dot(F.col("v"), F.array(*[F.lit(x) for x in c])) - F.lit(o)
-                for c, o in zip(centroids, offs)
-            ]
-        )
-        assigned = vecs.select("v", scores.alias("__s")).select(
-            "v",
-            (F.array_position(F.col("__s"), F.array_max("__s")) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # empty cells keep old center
-        acc: dict[int, list[float]] = {}
-        for r in means:
-            acc.setdefault(r.cell, [0.0] * dim)[r.dim] = float(r.m)
-        for cell, vals in acc.items():
-            new_c[cell] = vals
-        centroids = new_c
+    vecs = df.select(F.col(vec_col).alias("v")).persist()
+    try:
+        for _ in range(iters):
+            # argmax over dot(v, c_i) - ||c_i||^2 / 2  ==  argmin ||v - c_i||^2
+            offs = [sum(x * x for x in c) / 2.0 for c in centroids]
+            scores = F.array(
+                *[
+                    dot(F.col("v"), F.array(*[F.lit(x) for x in c])) - F.lit(o)
+                    for c, o in zip(centroids, offs)
+                ]
+            )
+            assigned = vecs.select("v", scores.alias("__s")).select(
+                "v",
+                (F.array_position(F.col("__s"), F.array_max("__s")) - 1)
+                .cast("int")
+                .alias("cell"),
+            )
+            sums = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            ).collect()
+            new_c = [list(c) for c in centroids]  # empty cells keep old center
+            for r in sums:
+                new_c[r.cell] = [float(r[f"s{d}"]) / r.n for d in range(dim)]
+            centroids = new_c
+    finally:
+        vecs.unpersist()
     return centroids
 
 
