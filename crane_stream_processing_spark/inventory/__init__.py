@@ -96,7 +96,7 @@ def _load_all() -> None:
 
     for mod in ("joins", "aggregates", "windows", "scalars", "setops",
                 "eventtime", "northstar", "streaming_queries", "analytics",
-                "tpch_full", "spark4", "curation"):
+                "tpch_full", "spark4", "curation", "relevance"):
         __import__(f"{__name__}.{mod}")
 
 

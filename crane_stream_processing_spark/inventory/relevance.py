@@ -1,0 +1,338 @@
+"""Relevance & corpus-preparation inventory — TF-IDF / BM25 term scoring,
+benchmark decontamination, sequence packing, and embedding quantization:
+the retrieval/curation steps between raw text and a training run
+(north-star surface; the reference has no relevance ops, SURVEY.md §2.10).
+
+Cross-engine float discipline (see inventory.__doc__): ``ln`` differs from
+DuckDB in the last ulp on ~4% of inputs (measured), so log-bearing scores
+are ALWAYS rounded (scale 4) before they participate in output values or
+ordering, and every row-selection key is integer or rounded. Quantization
+and packing emit integers only — floor/comparison on identically-computed
+doubles is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..operators.dedup import token_shingles
+from . import query, t, t_cpu
+from .northstar import SQL_TOKS
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tc AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score_r FROM (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score_r,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) DESC,
+                        term ASC
+             ) AS rk
+      FROM tc JOIN dfs USING (term) CROSS JOIN n
+    ) WHERE rk <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-document top-3 terms by tf·ln(N/df). Two shuffles (term
+    counts, then df) plus one per-doc window; df and N are tiny relative to
+    the corpus, so the df side broadcasts back onto term counts. Ranking is
+    over the ROUNDED score (ties → term asc) so the cut is identical in any
+    engine. At 100 TB the vocabulary aggregate is the only wide state and
+    it is bounded by vocabulary size, not corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score_r = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_r").desc(), F.col("term").asc()
+    )
+    return (
+        tc.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_r", score_r)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_r")
+        .orderBy("doc_id", "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "merge")
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    dls AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dls
+    ),
+    tc AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      WHERE tok IN ('dup', 'spark', 'merge')
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1)
+    SELECT doc_id, n_matched, score_r FROM (
+      SELECT tc.doc_id, COUNT(*) AS n_matched,
+             round(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({_K1} + 1.0))
+               / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+             ), 4) AS score_r
+      FROM tc
+      JOIN dfs USING (term)
+      JOIN dls ON tc.doc_id = dls.doc_id
+      CROSS JOIN stats
+      GROUP BY tc.doc_id
+    ) WHERE n_matched >= 2
+    ORDER BY doc_id
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) of every document against a fixed 3-term query;
+    keep docs matching >=2 distinct terms. The per-term filter happens at
+    tokenize time, so the only per-corpus shuffles are the (doc, term)
+    count and one per-doc sum; df/avgdl sides are scalar-or-vocab-sized and
+    broadcast. Score formula is written with identical operator order on
+    both engines; the <=3-term double sum is rounded to absorb last-ulp
+    divergence of ln (row membership is decided by the integer n_matched,
+    never by the float)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    dls = toks.select("doc_id", F.size("tk").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tc = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf")
+        + _K1 * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tc.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum(idf * tf_part), 4).alias("score_r"),
+        )
+        .filter(F.col("n_matched") >= 2)
+        .select("doc_id", "n_matched", "score_r")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# 5-token shingles: long enough that only genuine text overlap with the
+# holdout collides (the standard n-gram decontamination trade-off).
+_SQL_SHINGLES5 = (
+    "[array_to_string(tk[i:i+4], ' ') FOR i IN range(1, greatest(len(tk)-4, 0)+1)]"
+)
+
+
+@query(
+    "curate_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES5} AS g FROM toks),
+    bench AS (SELECT DISTINCT unnest(g) AS s FROM sh WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(g) AS s FROM sh WHERE doc_id % 20 <> 0)
+      WHERE s IN (SELECT s FROM bench)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing any
+    5-token shingle with the holdout set (doc_id % 20 == 0 stands in for an
+    eval benchmark). Holdout shingle set is benchmark-sized (small), so it
+    broadcasts into the semi-join; the training side streams through map-
+    side — at 100 TB this is one scan plus two broadcast joins, no wide
+    shuffle. Docs shorter than 5 tokens have no shingles and survive by
+    construction on both engines."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    # Stage tokens as a real column before shingling: higher-order lambdas
+    # get no CSE, so an inlined tokens() would re-split per array element.
+    sh = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("is_bench"),
+        tokens("text").alias("tk"),
+    ).select("doc_id", "is_bench", token_shingles(F.col("tk"), 5).alias("g"))
+    exploded = sh.select("doc_id", "is_bench", F.explode("g").alias("s"))
+    bench_shingles = exploded.filter("is_bench").select("s").distinct()
+    contaminated = (
+        exploded.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_shingles), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "curate_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({SQL_TOKS}) AS ntok FROM documents
+    ),
+    packed AS (
+      SELECT source,
+             CAST(floor(COALESCE(SUM(ntok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+             ntok
+      FROM toks
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs, SUM(ntok) AS total_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): within each source, documents
+    in doc_id order are concatenated and chunked into fixed token budgets;
+    a document belongs to the pack where its first token falls. One window
+    per source partition (running token sum) then a grouped count — pack
+    assignment is pure integer arithmetic, so any engine derives identical
+    packs. At 100 TB sources partition the corpus, so the sort is
+    per-source, never global."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.size(tokens("text")).alias("ntok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("ntok").over(w), F.lit(0))
+    return (
+        toks.withColumn(
+            "pack_id", F.floor(cum_before / _PACK_BUDGET).cast("bigint")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    scales AS (
+      SELECT dim, MAX(abs(val)) AS maxabs FROM vals GROUP BY dim
+    )
+    SELECT vec_id, dim, CAST(floor(val / maxabs * 127.0) AS INT) AS q8
+    FROM vals JOIN scales USING (dim)
+    WHERE maxabs > 0 AND vec_id < 100
+    ORDER BY vec_id, dim
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding table
+    (the compression step before a memory-resident ANN index): scale each
+    dimension by its global max-|v| and floor into [-128, 127]. The scale
+    pass is a 64-row aggregate (broadcast back); quantization itself is a
+    map-side projection. float32→double promotion, division, and floor are
+    IEEE-identical in any engine, so outputs are exact integers — no
+    rounding discipline needed. Output clipped to vec_id < 100 to bound the
+    comparison set; the computation spans the full table."""
+    emb = t(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "valf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    scales = vals.groupBy("dim").agg(F.max(F.abs(F.col("val"))).alias("maxabs"))
+    return (
+        vals.join(F.broadcast(scales), "dim")
+        .filter((F.col("maxabs") > 0) & (F.col("vec_id") < 100))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("val") / F.col("maxabs") * F.lit(127.0))
+            .cast("int")
+            .alias("q8"),
+        )
+        .orderBy("vec_id", "dim")
+    )
