@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .session import exclude_generate_filter_rule
+
 __all__ = ["TABLES", "SCHEMAS", "default_sf_dir", "load_table", "load_tables"]
 
 TABLES = (
@@ -145,6 +147,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # non-UTC default): rendering/windowing of TIMESTAMP_LTZ values (the
     # events ts) follows the session timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Keep explode pipelines cheap on any host session (see session.py).
+    exclude_generate_filter_rule(spark)
     if name == "events":
         # events stores TIMESTAMP(NANOS); without this conf the scan throws
         # PARQUET_TYPE_ILLEGAL.

@@ -214,3 +214,70 @@ def dedup_survivor_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(surv, "source").select(
         "source", "total_docs", "n_survivors", "retained_chars"
     )
+
+
+@query(
+    "sample_weighted_length",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, len({SQL_TOKS}) AS ntok FROM documents)
+    SELECT doc_id, source, ntok FROM d
+    WHERE {SQL_U} < CASE WHEN ntok / 100.0 >= 1.0 THEN 'g'
+      ELSE lpad(lower(hex(CAST(floor(ntok / 100.0 * 4294967296.0) AS BIGINT))), 8, '0')
+      END
+    ORDER BY doc_id
+    """,
+)
+def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a per-row keep probability — here
+    length-proportional (ntok/100), the shape used to build token-budget
+    estimates or favor substantive documents. The weight→threshold mapping
+    is floor(w·16^8)→hex, IEEE/integer-deterministic, so Spark and the
+    oracle keep exactly the same rows. Pure filter: one scan, no shuffle,
+    reproducible on any layout."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.size(tokens("text")).alias("ntok"))
+    w = F.col("ntok") / F.lit(100.0)
+    return SA.weighted_sample(d, w, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "sample_temperature_lang",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS c_s FROM documents GROUP BY lang),
+    m AS (SELECT MAX(c_s) AS c_max FROM c),
+    f AS (
+      SELECT lang,
+             least(1.0, 0.2 * sqrt(c_max / c_s)) AS frac
+      FROM c CROSS JOIN m
+    )
+    SELECT doc_id, lang FROM documents JOIN f USING (lang)
+    WHERE {SQL_U} < CASE WHEN frac >= 1.0 THEN 'g'
+      ELSE lpad(lower(hex(CAST(floor(frac * 4294967296.0) AS BIGINT))), 8, '0')
+      END
+    ORDER BY doc_id
+    """,
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style source mixing: per-language sampling fraction
+    0.2·sqrt(c_max/c_s), capped at 1 — rare languages keep relatively more
+    of their documents than the dominant one (the alpha=0.5 rebalancing of
+    multilingual corpus construction). sqrt is IEEE-correctly-rounded (no
+    libm drift), division is exact-input IEEE, so both engines compute the
+    identical fraction and hence identical thresholds — cross-group double
+    sums are deliberately avoided. One tiny aggregate broadcast back onto
+    a scan-side filter."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_s"))
+    m = c.agg(F.max("c_s").alias("c_max"))
+    f = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.least(F.lit(1.0), F.lit(0.2) * F.sqrt(F.col("c_max") / F.col("c_s"))).alias(
+            "frac"
+        ),
+    )
+    return (
+        docs.join(F.broadcast(f), "lang")
+        .filter(SA.hash_uniform_hex("doc_id") < SA.hex_threshold_col(F.col("frac")))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

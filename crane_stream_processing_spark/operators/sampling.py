@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_uniform_hex",
     "hex_threshold",
+    "hex_threshold_col",
     "stratified_sample",
+    "weighted_sample",
     "uniform_k",
     "cap_per_group",
 ]
@@ -60,6 +62,28 @@ def hex_threshold(fraction: float) -> str:
     if val >= 16**_HEX_DIGITS:
         return "g"
     return format(val, f"0{_HEX_DIGITS}x")
+
+
+def hex_threshold_col(fraction: Column) -> Column:
+    """Column form of :func:`hex_threshold` for per-row/per-group keep
+    probabilities. Every step (multiply by the exactly-representable 16^8,
+    floor, hex) is IEEE/integer-deterministic, so any engine computing the
+    same fraction double produces the same threshold string. fraction >= 1
+    maps to 'g' (sorts above all hex — keep everything); lpad would
+    otherwise TRUNCATE the 9-digit 16^8 to a near-zero threshold."""
+    scaled = F.floor(fraction * F.lit(float(16**_HEX_DIGITS))).cast("bigint")
+    return F.when(fraction >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(scaled)), _HEX_DIGITS, "0")
+    )
+
+
+def weighted_sample(df: DataFrame, weight: Column, id_col: str) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its id-hash draw
+    falls below its own weight (a [0,1] keep-probability column — e.g.
+    quality score, length/100, a model score). Same contract as
+    stratified_sample but the 'stratum' is per-row. Pure filter: no
+    shuffle, reproducible on any engine/layout."""
+    return df.filter(hash_uniform_hex(id_col) < hex_threshold_col(weight))
 
 
 def stratified_sample(

@@ -22,9 +22,38 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS", "exclude_generate_filter_rule"]
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# InferFiltersFromGenerate adds a `size(e) > 0` pre-filter before every
+# explode; pushdown then moves it below exchanges and CollapseProject
+# inlines the generator's full expression tree into the filter. For cheap
+# arrays that's a win, but for computed pipelines (tokens → shingles →
+# explode) the inlined copy re-evaluates the whole pipeline per row — and
+# higher-order lambdas get no CSE, so the filter alone cost ~50× the
+# generate (measured: 13 s vs 0.3 s on the sf0.1 decontamination scan,
+# single-partition because the filter also lands below the repartition).
+# Excluding the rule is semantics-preserving (it only prunes rows the
+# Generate would drop anyway).
+_GENERATE_FILTER_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def exclude_generate_filter_rule(spark: SparkSession) -> None:
+    """Append InferFiltersFromGenerate to the session's excluded optimizer
+    rules (runtime-safe: works on sessions the engine didn't build)."""
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _GENERATE_FILTER_RULE)
+    elif _GENERATE_FILTER_RULE not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", f"{cur},{_GENERATE_FILTER_RULE}"
+        )
 
 
 def get_spark(
@@ -58,6 +87,7 @@ def get_spark(
         # precision loss; see catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.excludedRules", _GENERATE_FILTER_RULE)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -74,3 +74,43 @@ def test_hex_threshold_edges(spark):
     df = _people(spark, 100)
     assert SA.stratified_sample(df, "grp", {}, "pid", default_fraction=1.0).count() == 100
     assert SA.stratified_sample(df, "grp", {}, "pid", default_fraction=0.0).count() == 0
+
+
+def test_weighted_sample_matches_scalar_thresholds(spark):
+    """hex_threshold_col(lit(f)) must select exactly the rows the scalar
+    hex_threshold(f) selects — the column form is the same mapping."""
+    df = _people(spark)
+    for f in (0.0, 0.25, 1.0):
+        col_rows = {
+            r.pid for r in SA.weighted_sample(df, F.lit(f), "pid").collect()
+        }
+        scalar_rows = {
+            r.pid
+            for r in df.filter(
+                SA.hash_uniform_hex("pid") < F.lit(SA.hex_threshold(f))
+            ).collect()
+        }
+        assert col_rows == scalar_rows, f"fraction {f}"
+    assert SA.weighted_sample(df, F.lit(0.0), "pid").count() == 0
+    assert SA.weighted_sample(df, F.lit(1.0), "pid").count() == df.count()
+
+
+def test_weighted_sample_per_row_weights(spark):
+    """Per-row weights: rows with weight 1 all kept, weight 0 all dropped,
+    and the mid stratum lands near its fraction; draws are reproducible."""
+    df = _people(spark).withColumn(
+        "w",
+        F.when(F.col("grp") == "0", 1.0)
+        .when(F.col("grp") == "1", 0.0)
+        .otherwise(0.5),
+    )
+    got = SA.weighted_sample(df, F.col("w"), "pid")
+    by_grp = {
+        r.grp: r.n
+        for r in got.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_grp["0"] == 500
+    assert "1" not in by_grp
+    assert 350 <= by_grp["2"] + by_grp["3"] <= 650
+    again = {r.pid for r in SA.weighted_sample(df, F.col("w"), "pid").collect()}
+    assert again == {r.pid for r in got.collect()}
