@@ -414,3 +414,52 @@ def stream_stream_left_join_error_purchase(spark: SparkSession, sf_dir: str) -> 
     return spark.table("stream_stream_left_join_error_purchase").filter(
         F.col("error_id") != F.lit(-1)
     )
+
+
+@query(
+    "stream_versioned_sink_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_versioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-S8 as one graded path: a complete-mode per-type aggregate where
+    every micro-batch commits as a NEW version of a named blob through the
+    foreachBatch VersionedSink — the reference's periodic top-k flush into
+    SDFS (server/Crane.go:193-204, server/wordCount.go:99-137) — and the
+    answer is what time travel reads back from the LATEST committed
+    version. The oracle therefore certifies the whole
+    write → manifest-commit → read-latest cycle, not an in-memory result.
+    Scale: the sink write is a normal parallel parquet job per trigger;
+    state is aggregate-sized."""
+    import tempfile
+
+    from ..streaming.sinks import VersionedSink, read_latest
+
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+    base = tempfile.mkdtemp(prefix="crane_vsink_q_")
+    sink = VersionedSink(base, "by_type")
+
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    scoped = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    spark.conf.set(key, str(min(int(prev), int(scoped))))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return read_latest(spark, base, "by_type")

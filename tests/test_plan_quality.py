@@ -106,3 +106,29 @@ def test_q15_scalar_max_is_single_row_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # 3 distinct scans (×2 in formatted output): lineitem ×2 + supplier
     assert plan.count("Scan parquet") <= 6
+
+
+def test_decontaminate_is_broadcast_only(spark, sf_dir):
+    """The holdout shingle set and contaminated-id set are benchmark-sized:
+    both joins must broadcast — a sort-merge here would shuffle the full
+    training corpus at 100 TB."""
+    plan = _plan(spark, "curate_decontaminate", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_inferred_filter_from_generate(spark, sf_dir):
+    """InferFiltersFromGenerate must stay excluded: its inferred
+    size(shingles(...)) > 0 pre-filter re-inlines the whole staged token
+    pipeline (50x regression, see DESIGN.md)."""
+    plan = _plan(spark, "curate_decontaminate", sf_dir)
+    for line in plan.splitlines():
+        if "Filter" in line and "size(" in line:
+            assert "split(" not in line, f"generator tree inlined into filter: {line[:200]}"
+
+
+def test_tfidf_vocab_sides_broadcast(spark, sf_dir):
+    """df and N are vocabulary-/scalar-sized; both must broadcast back onto
+    the (doc, term) counts — never a corpus-wide sort-merge."""
+    plan = _plan(spark, "text_tfidf_top_terms", sf_dir)
+    assert "SortMergeJoin" not in plan
