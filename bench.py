@@ -25,6 +25,69 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def app_throughput(spark, sf_dir: str) -> dict:
+    """Streaming wordCount throughput at the reference's own benchmark
+    scale (Shakespeare complete works, 43.7 MB — MP4 PDF §3.1): replicate
+    documents.text to ~44 MB of line files, stream them availableNow
+    through the wordcount pipeline (tokenize → count → top-5 snapshot,
+    complete mode), and report lines/s and MB/s of the full pass. The
+    reference spout emitted 1 tuple per 10-100 ms (server/Crane.go:31,
+    MP4 PDF §2.1), i.e. 10-100 lines/s ceiling before tuple drops."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark import apps
+    from crane_stream_processing_spark.catalog import load_table
+
+    target_mb = 44.0
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text").alias("value")
+    )
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("value")).alias("chars")
+    ).collect()[0]
+    copies = max(1, int(target_mb * 1024 * 1024 / max(row.chars, 1)))
+    fixture = tempfile.mkdtemp(prefix="crane_apps_bench_")
+    big = docs.crossJoin(
+        spark.range(copies).select(F.col("id").alias("__copy"))
+    ).select("value")
+    n_lines = row.n * copies
+    big.repartition(8).write.mode("overwrite").text(fixture)
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    t0 = time.perf_counter()
+    try:
+        lines = spark.readStream.text(fixture)
+        q = (
+            apps.wordcount(lines)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("bench_app_wordcount")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    sec = time.perf_counter() - t0
+    mb = row.chars * copies / 1024 / 1024
+    shutil.rmtree(fixture, ignore_errors=True)
+    return {
+        "app_wordcount_stream": {
+            "mb": round(mb, 1),
+            "lines": n_lines,
+            "sec": round(sec, 2),
+            "lines_per_sec": int(n_lines / sec),
+            "mb_per_sec": round(mb / sec, 1),
+            "reference_emit_rate_lines_per_sec": "10-100 (SendPeriod 10-100 ms)",
+        }
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -77,6 +140,7 @@ def main() -> None:
                 "queries": timings,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "apps_throughput": app_throughput(spark, sf_dir),
             }
         )
     )

@@ -60,16 +60,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_SCAN_PARTS: dict[tuple[str, str], int] = {}  # (sf_dir, table) → scan partitions
+
+
 def t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table for a CPU-bound per-row operator (minhash, simhash,
     per-pair dot products): when the scan yields fewer partitions than the
     session's parallelism (small/single parquet files), repartition so the
     heavy row-local compute uses every core. At 100 TB the scan already has
     more partitions than cores and this is a no-op — the guard keeps the
-    extra shuffle strictly for the under-partitioned case."""
+    extra shuffle strictly for the under-partitioned case. The probe
+    (an RDD conversion) is cached per (sf_dir, table): static input files
+    → static partition count."""
     df = load_table(spark, sf_dir, name)
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < p:
+    key = (sf_dir, name)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    if _SCAN_PARTS[key] < p:
         df = df.repartition(p)
     return df
 

@@ -281,3 +281,44 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curate_shard_assignment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({SQL_TOKS}) AS ntok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 16 AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, SUM(ntok) AS total_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM d GROUP BY shard ORDER BY shard
+    """,
+)
+def curate_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output sharding: assign every document to one of 16 shards by id-hash
+    (the write-side layout step before a 100 TB corpus export — shard =
+    the partitionBy/bucketBy key) and report per-shard balance (doc and
+    token totals). Hash assignment is md5-deterministic, so shards are
+    stable across engines, re-runs, and cluster layouts — an interrupted
+    export resumes into identical shards. One scan + one 16-group
+    aggregate; the balance stats are what an operator alarms on (a skewed
+    shard means a hot writer)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ntok"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+         .cast("int") % 16).alias("shard"),
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -463,3 +463,51 @@ def stream_versioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set(key, prev)
     return read_latest(spark, base, "by_type")
+
+
+@query(
+    "stream_merge_sink_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 merge-commit as a graded path: the same per-type aggregate in
+    UPDATE mode — each micro-batch emits only changed keys, and the keyed
+    MergeSink upserts them into the latest snapshot (the reference joiner's
+    mergeCache fold of staged partials into its running result map,
+    server/wordCount.go:33-43). Because every key's final update carries
+    the full aggregate value, the last snapshot equals the complete-mode
+    answer — which is exactly what the batch oracle asserts. Retried
+    batches are idempotent no-ops (version-ledger check), the exactly-once
+    property the reference's at-least-once acker lacked (ST1)."""
+    import os
+    import tempfile
+
+    from ..streaming.sinks import MergeSink, read_latest
+
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+    base = tempfile.mkdtemp(prefix="crane_msink_q_")
+    sink = MergeSink(base, "by_type", keys=["event_type"])
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    scoped = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    spark.conf.set(key, str(min(int(prev), int(scoped))))
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return read_latest(spark, base, "by_type")

@@ -105,3 +105,44 @@ def test_connected_components_restores_shuffle_conf(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     D.connected_components(pairs, num_partitions=2).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing is a partition of the corpus: every document lands in
+    exactly one pack, so per-source pack totals must sum to the corpus
+    token total."""
+    from crane_stream_processing_spark.functions import tokens
+    from crane_stream_processing_spark.inventory import REGISTRY
+
+    packed = REGISTRY["curate_pack_sequences"].fn(spark, sf_dir)
+    got = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    from crane_stream_processing_spark.catalog import load_table
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).alias("n")
+    )
+    want = raw.agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")).collect()[0]
+    assert got.docs == want.docs
+    assert got.toks == want.toks
+
+
+def test_quantize_int8_bounds_and_signs(spark, sf_dir):
+    """Quantized values stay in [-128, 127] and keep the sign of the
+    original component (floor can only move toward -inf by < 1)."""
+    from crane_stream_processing_spark.inventory import REGISTRY
+
+    q = REGISTRY["sim_quantize_int8"].fn(spark, sf_dir)
+    bad = q.filter((F.col("q8") > 127) | (F.col("q8") < -128)).count()
+    assert bad == 0
+    from crane_stream_processing_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    joined = q.join(vals, ["vec_id", "dim"])
+    # positive component can never quantize below 0; negative never above -1
+    assert joined.filter((F.col("val") > 0) & (F.col("q8") < 0)).count() == 0
+    assert joined.filter((F.col("val") < 0) & (F.col("q8") >= 0)).count() == 0
