@@ -336,3 +336,137 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tc AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      GROUP BY 1, 2
+    ),
+    lm AS (
+      SELECT term, SUM(tf) AS cf FROM tc GROUP BY term
+    ),
+    corpus AS (SELECT SUM(cf) AS total_cf FROM lm)
+    SELECT doc_id, dl,
+           round(lp_sum / dl, 4) AS avg_logprob
+    FROM (
+      SELECT tc.doc_id,
+             SUM(tf) AS dl,
+             SUM(tf * ln(cf / CAST(total_cf AS DOUBLE))) AS lp_sum
+      FROM tc JOIN lm USING (term) CROSS JOIN corpus
+      GROUP BY tc.doc_id
+    )
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: train a unigram LM on the corpus itself
+    (p(t) = cf/total) and score every document by average token log-prob —
+    the perplexity-proxy filter that flags gibberish/outlier documents
+    (heuristic twin: quality_score). The LM is vocabulary-sized and
+    broadcasts; the per-doc score is one grouped sum over the (doc, term)
+    counts — two corpus shuffles total, both on keys Catalyst already
+    needs. Log-bearing values are rounded (scale 4) and row selection is
+    by integer doc_id, per the cross-engine float discipline above."""
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lm = tc.groupBy("term").agg(F.sum("tf").alias("cf"))
+    corpus = lm.agg(F.sum("cf").alias("total_cf"))
+    lp = F.col("tf") * F.log(F.col("cf") / F.col("total_cf").cast("double"))
+    return (
+        tc.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"), F.sum(lp).alias("lp_sum"))
+        .select(
+            "doc_id",
+            "dl",
+            F.round(F.col("lp_sum") / F.col("dl"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+    SELECT query_id, query_label, cand_id, cand_label, cos_sim FROM (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS cand_id, b.label AS cand_label,
+             round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) DESC, b.vec_id
+             ) AS rk
+      FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
+      JOIN embeddings b ON a.label <> b.label
+    ) WHERE rk <= 1
+    ORDER BY query_id
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector
+    the single most-similar DIFFERENT-label vector (the negatives that
+    matter for embedding-model fine-tuning). Broadcast query set x corpus
+    with norms precomputed per vector (one dot per pair); the left-fold
+    dot product is evaluation-order-fixed, so cosine is bit-identical to
+    DuckDB's list_dot_product and the rounded ranking cut is exact. At
+    scale the corpus side would first be label-bucketed or IVF-celled —
+    same recipe as sim_ivf_ann_topk."""
+    from ..functions import dot, l2norm
+
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qvec"),
+            l2norm("embedding").alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cvec"),
+        l2norm("embedding").alias("cn"),
+    )
+    scored = q.join(c, F.col("query_label") != F.col("cand_label")).select(
+        "query_id",
+        "query_label",
+        "cand_id",
+        "cand_label",
+        F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 1)
+        .drop("rk")
+        .orderBy("query_id")
+    )

@@ -132,3 +132,43 @@ def test_tfidf_vocab_sides_broadcast(spark, sf_dir):
     the (doc, term) counts — never a corpus-wide sort-merge."""
     plan = _plan(spark, "text_tfidf_top_terms", sf_dir)
     assert "SortMergeJoin" not in plan
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: tiny
+# broadcast sides (scalar stats, band tables, bounded pair subsets) or the
+# deliberate brute-force similarity baseline. Everything else must stay on
+# hash/sort-merge equi strategies.
+_NLJ_ALLOWED = {
+    "dedup_embedding_near_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "join_cross_region_pairs",
+    "join_theta_price_bands",
+    "sample_temperature_lang",
+    "sim_cosine_topk",
+    "sim_hard_negatives",
+    "text_bm25_search",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity",
+}
+
+
+def test_registry_wide_no_accidental_quadratic_joins(spark, sf_dir):
+    """Sweep every batch query's physical plan: a CartesianProduct anywhere,
+    or a BroadcastNestedLoopJoin outside the explicit allowlist, is a
+    100 TB-killer introduced by accident (lost broadcast hint, non-equi
+    condition slipping into a big join)."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        if name.startswith("stream_"):
+            continue  # streaming queries execute on build; covered elsewhere
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"quadratic join shapes crept in: {offenders}"
