@@ -16,6 +16,8 @@ VersionedSink/parquet sink (streaming.sinks) with identical plans.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,27 +96,36 @@ def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
-    """Bounded availableNow pass into a memory sink, with the stateful-
-    operator partition count scoped down for the single-box verification
-    harness: each state partition carries fixed store-init/commit cost per
-    micro-batch, so 32 partitions of tiny state halves throughput vs 8
-    (measured 14.6s → 7.6s on the sf0.1 stream-stream join), and 4 beats 8
-    across the whole family (27.0s → 17.1s for all nine sf0.1 streaming
-    queries — state commit, not CPU, is the floor at this state size). The
-    shuffle partition count is baked into the checkpoint at query start, so
-    it's set just for the start() and restored after. On a real cluster set
+@contextmanager
+def _scoped_stream_partitions(spark: SparkSession):
+    """Scope the stateful-operator partition count down for the single-box
+    verification harness: each state partition carries fixed
+    store-init/commit cost per micro-batch, so 32 partitions of tiny state
+    halves throughput vs 8 (measured 14.6s → 7.6s on the sf0.1
+    stream-stream join), and 4 beats 8 across the whole family (27.0s →
+    17.1s for all nine sf0.1 streaming queries — state commit, not CPU, is
+    the floor at this state size). The shuffle partition count is baked
+    into the checkpoint at query start, so it's set just for the start()
+    and restored after. On a real cluster set
     SPARK_GRAFT_STREAM_PARTITIONS to O(total cores) — state scales OUT
     with partitions; this knob only trims fixed overhead when state is
     small."""
     import os
 
-    spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     scoped = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     spark.conf.set(key, str(min(int(prev), int(scoped))))
     try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    """Bounded availableNow pass into a memory sink under the scoped
+    partition count (see _scoped_stream_partitions)."""
+    with _scoped_stream_partitions(df.sparkSession):
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
@@ -123,8 +134,6 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
 
 
 @query(
@@ -447,11 +456,7 @@ def stream_versioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
     import os
 
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    scoped = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
-    spark.conf.set(key, str(min(int(prev), int(scoped))))
-    try:
+    with _scoped_stream_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .foreachBatch(sink)
@@ -460,8 +465,6 @@ def stream_versioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
     return read_latest(spark, base, "by_type")
 
 
@@ -495,11 +498,7 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="crane_msink_q_")
     sink = MergeSink(base, "by_type", keys=["event_type"])
 
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    scoped = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
-    spark.conf.set(key, str(min(int(prev), int(scoped))))
-    try:
+    with _scoped_stream_partitions(spark):
         q = (
             agg.writeStream.outputMode("update")
             .foreachBatch(sink)
@@ -508,6 +507,4 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
     return read_latest(spark, base, "by_type")
