@@ -1,0 +1,44 @@
+"""Hostile-session regression: the driver runs registry queries on ITS OWN
+SparkSession — default confs, arbitrary timezone, none of the engine's
+builder config. Every conf the engine depends on (UTC semantics, NANOS
+timestamp reads, the InferFiltersFromGenerate exclusion) must be
+self-set at runtime by load_table / the streaming readers, not assumed.
+
+spark.newSession() shares the SparkContext but gets its own SQLConf; the
+test then actively sets adversarial values to prove the engine recovers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crane_stream_processing_spark.inventory import REGISTRY
+
+from .conftest import assert_query_matches_oracle
+
+# One query per self-set dependency: timestamp semantics (events table),
+# the generate-filter exclusion (shingle explode), money aggregates (UTC
+# date predicate), and a streaming reader with its own conf path.
+HOSTILE_CHECKED = [
+    "evt_tumbling_daily_by_type",
+    "curate_decontaminate",
+    "q1_pricing_summary",
+    "stream_tumbling_daily_by_type",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    ns = spark.newSession()
+    # Adversarial defaults: wrong timezone, NANOS reads disabled, no
+    # optimizer exclusions. The engine must override all three itself.
+    ns.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ns.conf.set("spark.sql.optimizer.excludedRules", "")
+    return ns
+
+
+@pytest.mark.parametrize("name", HOSTILE_CHECKED)
+def test_query_matches_oracle_on_hostile_session(hostile, duck, sf_dir, name):
+    q = REGISTRY[name]
+    assert_query_matches_oracle(hostile, duck, q.fn, q.oracle, sf_dir)
