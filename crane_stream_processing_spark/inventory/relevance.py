@@ -470,3 +470,60 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-duplicates (blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_levenshtein_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(floor(n_chars / 50.0) AS BIGINT) AS block,
+             substr(text, 1, 40) AS pfx
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.pfx, b.pfx) AS lev
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 24
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking: candidates must share
+    (lang, 50-char length bucket) — the classic blocking key that turns an
+    O(n²) fuzzy match into an equi-join whose per-block pair count is
+    bounded — then Levenshtein over 40-char prefixes keeps pairs within
+    distance 24 (the corpus' closest decile — min observed pair distance is 18). Levenshtein is exact-integer and identical across
+    engines, so no float discipline is needed. Complements the shingle/
+    minhash family: edit distance catches single-character corruption
+    that token-level shingles miss."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(50.0)).cast("bigint").alias("block"),
+        F.substring("text", 1, 40).alias("pfx"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(lev <= 24)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lev.alias("lev"),
+        )
+        .orderBy("id_a", "id_b")
+    )
