@@ -223,3 +223,49 @@ def app_grep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("vm")
     )
     return matches.groupBy("vm").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_PART_DIRS: dict[str, str] = {}  # per-process partitioned-write fixture cache
+
+
+@query(
+    "io_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('error', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side layout path, graded end-to-end: events written
+    partitioned by event_type (hive-style dirs), then read back with a
+    partition predicate — the filter must resolve at directory level
+    (PartitionFilters, zero data files of other types opened; asserted in
+    tests/test_plan_quality.py for the catalog path) and the aggregate
+    must match the oracle computed from the unpartitioned source, proving
+    the write→read cycle is lossless. The fixture is a deterministic
+    function of the events table, written once per (process, sf_dir) —
+    the query under test is the partitioned SCAN."""
+    import tempfile
+
+    from .. import catalog
+    from . import dsum
+
+    part_dir = _PART_DIRS.get(sf_dir)
+    if part_dir is None:
+        ev = catalog.load_table(spark, sf_dir, "events")
+        part_dir = tempfile.mkdtemp(prefix="crane_part_")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(part_dir)
+        _PART_DIRS[sf_dir] = part_dir
+
+    df = spark.read.parquet(part_dir)
+    return (
+        df.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )

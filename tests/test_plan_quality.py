@@ -172,3 +172,16 @@ def test_registry_wide_no_accidental_quadratic_joins(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"quadratic join shapes crept in: {offenders}"
+
+
+def test_partitioned_roundtrip_prunes_directories(spark, sf_dir):
+    """The event_type predicate must resolve at directory level
+    (PartitionFilters on the hive-partitioned scan), not as a post-scan
+    data filter — at 100 TB that is the difference between opening two
+    type directories and opening all of them."""
+    import re
+
+    plan = _plan(spark, "io_partitioned_roundtrip", sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters section in scan"
+    assert "event_type" in m.group(1)
