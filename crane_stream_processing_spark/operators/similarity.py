@@ -157,6 +157,28 @@ def ivf_centroid(dots: Column) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def ivf_bucket_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF index build: assign every corpus vector to its nearest
+    centroid cell and precompute its norm — columns (cand_id, cvec, cn,
+    cell). In a production system this runs ONCE per corpus+centroid set
+    and persists (the inverted file); searches then only bucket the query
+    side. Persisting and re-reading it is lossless (float/double/int
+    columns), so cached indexes answer identically to inline bucketing."""
+    return corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+        centroid_dots(F.col(vec_col), centroids).alias("__dots"),
+    ).select(
+        "cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,12 +186,15 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: both sides assigned to their nearest
     centroid cell; search probes only the query's cell (nprobe=1), exact
     cosine + top-k within it. The cell equi-join replaces the crossJoin —
     candidates shrink by ~|centroids|; recall/cost is tuned by the
-    centroid count and (in a fuller build) nprobe > 1."""
+    centroid count and (in a fuller build) nprobe > 1. Pass ``bucketed``
+    (a prebuilt :func:`ivf_bucket_corpus` result) to search an existing
+    index instead of bucketing the corpus inline."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -178,13 +203,8 @@ def ivf_ann_topk(
     ).select(
         "query_id", "qvec", "qn", ivf_centroid(F.col("__dots")).alias("cell")
     )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
-        l2norm(vec_col).alias("cn"),
-        centroid_dots(F.col(vec_col), centroids).alias("__dots"),
-    ).select(
-        "cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell")
+    c = bucketed if bucketed is not None else ivf_bucket_corpus(
+        corpus, centroids, id_col, vec_col
     )
     scored = (
         q.join(c, "cell")
@@ -207,6 +227,7 @@ def ivf_ann_topk_nprobe(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 2,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with multi-probe: each query searches its ``nprobe`` nearest
     cells (descending centroid dot), recovering most of the recall nprobe=1
@@ -245,12 +266,9 @@ def ivf_ann_topk_nprobe(
             ).alias("cell"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
-        l2norm(vec_col).alias("cn"),
-        centroid_dots(F.col(vec_col), centroids).alias("__dots"),
-    ).select("cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell"))
+    c = bucketed if bucketed is not None else ivf_bucket_corpus(
+        corpus, centroids, id_col, vec_col
+    )
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
