@@ -150,16 +150,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Keep explode pipelines cheap on any host session (see session.py).
     exclude_generate_filter_rule(spark)
     if name == "events":
-        # events stores TIMESTAMP(NANOS); without this conf the scan throws
-        # PARQUET_TYPE_ILLEGAL.
+        # events.ts may be stored as TIMESTAMP(NANOS) (generation-dependent);
+        # without this conf such a scan throws PARQUET_TYPE_ILLEGAL. Harmless
+        # for MICROS files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong — see
-    # session.get_spark); convert with integer division (ns → µs) so there is
-    # no double-precision loss. DuckDB truncates ns→µs identically.
+    # Normalize events.ts to TIMESTAMP_LTZ whatever the stored type:
+    # TIMESTAMP(NANOS) arrives as long under nanosAsLong → integer-divide
+    # ns → µs (no double-precision loss; DuckDB truncates identically);
+    # TIMESTAMP(MICROS) NTZ → reinterpret in the UTC session.
     for f in df.schema.fields:
-        if name == "events" and f.name == "ts" and f.dataType.typeName() == "long":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events" and f.name == "ts":
+            if f.dataType.typeName() == "long":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif f.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -24,35 +24,70 @@ from pyspark.sql import types as T
 
 from . import dsum, query, t
 
-# events.parquet stores TIMESTAMP(NANOS) → read as long under the session's
-# nanosAsLong conf, converted exactly like catalog.load_table.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The streaming file source needs a user-provided schema; the ts column's
+# stored type varies by how the dataset was generated — TIMESTAMP(NANOS)
+# (arrives as long under nanosAsLong) or TIMESTAMP(MICROS) NTZ/LTZ. Probe
+# the actual type with a batch footer read once per table dir and adapt,
+# mirroring catalog.load_table's convert-only-if-long behavior. Forcing a
+# LongType schema over a MICROS file would silently coerce micros into the
+# long column and the ns→µs division would corrupt every timestamp.
+_EVENTS_FIELDS = [
+    ("event_id", T.LongType()),
+    ("user_id", T.LongType()),
+    ("event_type", T.StringType()),
+    ("value", T.DoubleType()),
+    ("props", T.StringType()),
+]
+
+_TS_TYPE_CACHE: dict[str, T.DataType] = {}  # sf_dir → stored type of events.ts
 
 _SENTINEL_DIR: str | None = None  # process-wide cache, see _stream_events_sentinel
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
+    if sf_dir not in _TS_TYPE_CACHE:
+        probe = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        _TS_TYPE_CACHE[sf_dir] = probe["ts"].dataType
+    return _TS_TYPE_CACHE[sf_dir]
+
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    fields = [T.StructField("event_id", T.LongType()), T.StructField("ts", ts_type)]
+    fields += [T.StructField(n, t_) for n, t_ in _EVENTS_FIELDS[1:]]
+    return T.StructType(fields)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """ts → TIMESTAMP_LTZ (UTC session) regardless of stored type."""
+    kind = df.schema["ts"].dataType.typeName()
+    if kind == "long":  # TIMESTAMP(NANOS) under nanosAsLong: ns → µs exact
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":  # NTZ micros: reinterpret in UTC
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
+def _set_session_confs(spark: SparkSession) -> None:
     # Runtime-set so sessions the engine didn't build can read NANOS
     # timestamps and render/window them in UTC (see catalog.load_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _set_session_confs(spark)
     # The streaming file source takes a directory; events.parquet is a
     # single file, so scan the table dir with a filename glob.
     src = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_schema(_events_ts_type(spark, sf_dir)))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(src)
 
 
 def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,34 +101,38 @@ def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The two sentinel rows are constants, so the parquet dir is written once
     per process and reused (file streams re-list the dir per query start;
-    re-writing it each call just burned a job)."""
+    re-writing it each call just burned a job). The sentinel file is
+    written with ts as TIMESTAMP_LTZ micros and both legs are normalized
+    to that type before the union, so it composes with any stored ts type
+    in the real table (see _normalize_ts)."""
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_session_confs(spark)
 
     global _SENTINEL_DIR
-    far = 4102444800 * 1_000_000_000  # 2100-01-01 as TIMESTAMP(NANOS)
+    far_us = 4102444800 * 1_000_000  # 2100-01-01 as epoch µs
     if _SENTINEL_DIR is None:
         sentinel_dir = tempfile.mkdtemp(prefix="crane_sentinel_")
         spark.createDataFrame(
             [
-                (-1, far, -1, "error", 0.0, "{}"),
-                (-2, far - 86_400 * 2 * 1_000_000_000, -1, "purchase", 0.0, "{}"),
+                (-1, far_us, -1, "error", 0.0, "{}"),
+                (-2, far_us - 86_400 * 2 * 1_000_000, -1, "purchase", 0.0, "{}"),
             ],
-            _EVENTS_RAW,
-        ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+            _events_schema(T.LongType()),
+        ).withColumn("ts", F.timestamp_micros("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sentinel_dir)
         _SENTINEL_DIR = sentinel_dir
     sentinel_dir = _SENTINEL_DIR
-    real = (
-        spark.readStream.schema(_EVENTS_RAW)
+    real = _normalize_ts(
+        spark.readStream.schema(_events_schema(_events_ts_type(spark, sf_dir)))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    sent = spark.readStream.schema(_EVENTS_RAW).parquet(sentinel_dir)
-    return real.union(sent).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    sent = spark.readStream.schema(_events_schema(T.TimestampType())).parquet(
+        sentinel_dir
     )
+    return real.union(sent)
 
 
 @contextmanager
