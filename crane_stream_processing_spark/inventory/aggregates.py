@@ -270,3 +270,143 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("bucket_sum"),
         )
     )
+
+
+@query(
+    "agg_median_mode_priority",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderstatus, o_orderpriority AS v, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o_orderstatus, v AS mode_priority FROM pr
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY c DESC, v) = 1
+    )
+    SELECT o.o_orderstatus,
+           CAST(MEDIAN(o.o_totalprice) AS DOUBLE) AS median_price,
+           ANY_VALUE(m.mode_priority) AS mode_priority,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN m USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def agg_median_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 central tendency: exact interpolated MEDIAN and deterministic
+    MODE (ties broken toward the lowest value — Spark's
+    ``mode(deterministic=True)`` contract, reproduced in the oracle via a
+    count-desc/value-asc window). Single hash aggregate; median sorts
+    within each group's partial state, no global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.mode("o_orderpriority", deterministic=True).alias("mode_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "median_price", "mode_priority", "n_orders")
+    )
+
+
+@query(
+    "agg_listagg_nations",
+    oracle="""
+    SELECT r_name,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ordered string aggregation (Spark 4 ``LISTAGG ... WITHIN GROUP``):
+    comma-joined nation names per region in a declared total order — the
+    order-by-inside-aggregate surface DuckDB calls STRING_AGG(... ORDER BY).
+    Dims only; broadcast join then one tiny shuffle."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark's bitmap kernel: bucket each id
+    with bitmap_bucket_number, OR together per-bucket position bitmaps
+    (bitmap_construct_agg), then sum bitmap_count per group. Both levels
+    are map-side combinable, so at 100 TB this ships fixed-size 4 KB
+    bitmaps per (group, bucket) through the shuffle instead of the raw id
+    stream a COUNT(DISTINCT) expand would — the oracle is the plain
+    COUNT(DISTINCT) it must equal."""
+    ev = t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+
+
+@query("agg_hll_sketch_distinct")
+def agg_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL surface (Spark 4): per-source doc_id
+    sketches unioned into one corpus-wide estimate — the re-aggregatable
+    sketch pattern for distinct-counting across 100 TB shards (sketches
+    persist + merge; ids never re-shuffle). Estimate, hence rows-only by
+    contract (like agg_approx_count_distinct)."""
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    return per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+
+
+@query(
+    "agg_unpivot_part_metrics",
+    oracle="""
+    SELECT p_brand, metric, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(28,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT p_brand, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_brand, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    )
+    GROUP BY p_brand, metric
+    """,
+)
+def agg_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (DataFrame ``unpivot``/MELT) then re-aggregate:
+    per (brand, metric) totals. Unpivot is a zero-shuffle generate; the
+    one shuffle is the final aggregate."""
+    part = t(spark, sf_dir, "part").withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    long = part.unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"), dsum("val").alias("total")
+    )

@@ -269,3 +269,75 @@ def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+_CSV_DIRS: dict[str, tuple[str, object]] = {}  # sf_dir → (path, schema)
+_JSON_DIRS: dict[str, tuple[str, object]] = {}
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 CSV surface, graded end-to-end: customer written as headered
+    CSV, read back with an EXPLICIT schema (no inference pass — at 100 TB
+    schema inference is a full extra scan) and quote-safe defaults, then
+    aggregated; must match the oracle over the parquet original, proving
+    the text roundtrip lossless. Fixture written once per (process,
+    sf_dir); the graded path is the typed CSV scan."""
+    import tempfile
+
+    from . import dsum
+
+    cached = _CSV_DIRS.get(sf_dir)
+    if cached is None:
+        src = t(spark, sf_dir, "customer")
+        path = tempfile.mkdtemp(prefix="crane_csv_")
+        src.write.mode("overwrite").option("header", True).csv(path)
+        cached = (path, src.schema)
+        _CSV_DIRS[sf_dir] = cached
+    path, schema = cached
+    df = spark.read.schema(schema).option("header", True).csv(path)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+
+
+@query(
+    "src_json_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+           SUM(LENGTH(text)) AS total_text_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 JSON-lines surface: documents (free text with quotes/unicode →
+    exercises JSON string escaping) written as JSONL, read back with an
+    explicit schema, aggregated per lang; the text-length sum proves the
+    payload survived byte-exact. Same fixture-cache pattern as the CSV
+    roundtrip; the graded path is the typed JSON scan."""
+    import tempfile
+
+    cached = _JSON_DIRS.get(sf_dir)
+    if cached is None:
+        src = t(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="crane_json_")
+        src.write.mode("overwrite").json(path)
+        cached = (path, src.schema)
+        _JSON_DIRS[sf_dir] = cached
+    path, schema = cached
+    df = spark.read.schema(schema).json(path)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )

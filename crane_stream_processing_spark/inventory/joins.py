@@ -258,3 +258,43 @@ def join_asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> Da
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
         F.col("value_r").alias("purchase_value"),
     )
+
+
+@query(
+    "join_nullsafe_segment",
+    oracle="""
+    WITH c AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer
+    ),
+    dim AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNSEGMENTED') AS label
+      FROM customer
+    )
+    SELECT d.label, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_balance
+    FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label
+    """,
+)
+def join_nullsafe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match NULL dim rows instead of dropping out — the standard pattern for
+    joining on a nullable derived key without a COALESCE sentinel. The
+    null-safe condition stays a hash-join key (EqualNullSafe is
+    equi-joinable in Catalyst), and the dim side broadcasts."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"))
+        .distinct()
+        .withColumn("label", F.coalesce(F.col("seg"), F.lit("UNSEGMENTED")))
+    )
+    joined = cust.join(F.broadcast(dim), cust["seg"].eqNullSafe(dim["seg"]))
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )

@@ -719,3 +719,84 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.as_media_column(docs, "doc_id", "text", kind="image")
     return M.extract_features(media).select("media_id", "kind", "n_bytes", "payload_md5")
+
+
+@query(
+    "text_repetition_topbigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             [tk[i] || ' ' || tk[i+1] FOR i IN range(1, greatest(len(tk), 1))] AS g
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS b FROM bg)
+      GROUP BY doc_id, b
+    ),
+    top AS (
+      SELECT doc_id, b AS top_bigram, c AS top_count FROM cnt
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, b) = 1
+    )
+    SELECT bg.doc_id, len(bg.g) AS n_bigrams,
+           COALESCE(top.top_bigram, '') AS top_bigram,
+           COALESCE(top.top_count, 0) AS top_count,
+           ROUND(COALESCE(top.top_count, 0)::DOUBLE
+                 / greatest(len(bg.g), 1), 6) AS top_frac
+    FROM bg LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_topbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the fraction of a document's
+    bigrams taken by its single most frequent bigram (high → boilerplate /
+    looped generation; the standard pretraining-corpus repetition gate).
+    Computed with ZERO shuffle: bigrams are built and counted inside one
+    projection via sort + run-length fold over the token array (ties →
+    lexicographically smallest, matching the oracle's count-desc/value-asc
+    window), so at 100 TB it streams through the scan like any map. The
+    oracle recomputes it relationally (unnest → group → window)."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", tokens("text").alias("tk")
+    ).select(
+        "doc_id",
+        F.expr(
+            "IF(size(tk) < 2, array(),"
+            " transform(sequence(0, size(tk) - 2),"
+            "           i -> concat(tk[i], ' ', tk[i+1])))"
+        ).alias("g"),
+    )
+    folded = bg.select(
+        "doc_id",
+        F.size("g").alias("n_bigrams"),
+        F.expr(
+            """
+            aggregate(
+              array_sort(g),
+              struct(CAST('' AS STRING) AS prev, 0 AS run,
+                     0 AS best_cnt, CAST('' AS STRING) AS best),
+              (s, x) -> struct(
+                x AS prev,
+                IF(x = s.prev, s.run + 1, 1) AS run,
+                IF(IF(x = s.prev, s.run + 1, 1) > s.best_cnt,
+                   IF(x = s.prev, s.run + 1, 1), s.best_cnt) AS best_cnt,
+                IF(IF(x = s.prev, s.run + 1, 1) > s.best_cnt, x, s.best) AS best
+              )
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("st.best").alias("top_bigram"),
+        F.col("st.best_cnt").alias("top_count"),
+        F.round(
+            F.col("st.best_cnt").cast("double")
+            / F.greatest(F.col("n_bigrams"), F.lit(1)),
+            6,
+        ).alias("top_frac"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, t
+from . import dsum, query, t
 
 
 @query(
@@ -86,4 +86,40 @@ def setop_dropduplicates_user_type(spark: SparkSession, sf_dir: str) -> DataFram
         ev.dropDuplicates(["user_id", "event_type"])
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_distinct_types"))
+    )
+
+
+@query(
+    "setop_union_by_name_missing",
+    oracle="""
+    SELECT kind, COUNT(*) AS n, COUNT(acctbal) AS n_with_balance,
+           CAST(SUM(CAST(COALESCE(acctbal, 0) AS DECIMAL(28,4))) AS DOUBLE)
+             AS total_balance
+    FROM (
+      SELECT 'customer' AS kind, c_custkey AS key, c_acctbal AS acctbal
+      FROM customer
+      UNION ALL BY NAME
+      SELECT 'supplier' AS kind, s_suppkey AS key FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union — ``unionByName(allowMissingColumns=True)``
+    aligns by column name and NULL-fills columns one side lacks (suppliers
+    carry no acctbal here). The shape every multi-generation data-lake
+    ingest needs when shard schemas drift."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("key")
+    )
+    u = cust.unionByName(supp, allowMissingColumns=True)
+    return u.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("acctbal").alias("n_with_balance"),
+        dsum(F.coalesce(F.col("acctbal"), F.lit(0.0))).alias("total_balance"),
     )

@@ -41,10 +41,14 @@ def norm(rows, cols):
 
 
 def main() -> int:
+    # Optional argv: query-name prefixes — check only matching queries
+    # (entry() smoke skipped) for fast iteration on new registry entries.
+    prefixes = sys.argv[1:]
     spark = get_spark("driver_check")
-    df = contract.entry(spark)
-    n = len(df.collect())
-    print(f"entry(): rows={n} cols={df.columns}")
+    if not prefixes:
+        df = contract.entry(spark)
+        n = len(df.collect())
+        print(f"entry(): rows={n} cols={df.columns}")
 
     con = duckdb.connect()
     for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
@@ -52,6 +56,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    if prefixes:
+        qs = {n_: f for n_, f in qs.items() if any(n_.startswith(p) for p in prefixes)}
     failures = 0
     for name in sorted(qs):
         sdf = qs[name](spark, SF_DIR)
