@@ -800,3 +800,130 @@ def text_repetition_topbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_frac"),
     )
+
+
+@query(
+    "mm_audio_chunks",
+    oracle="""
+    WITH m AS (SELECT doc_id, strlen(text) AS L FROM documents),
+    idx AS (SELECT unnest(range(0, 64)) AS i)
+    SELECT doc_id AS media_id, i AS chunk_idx,
+           i * 64 AS start_byte,
+           least((i + 1) * 64, L) - i * 64 AS n_bytes
+    FROM m JOIN idx ON i * 64 < L OR (i = 0 AND L = 0)
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking plumbing: each blob split into fixed 64 B windows
+    (1 → ⌈L/64⌉ rows via mapInPandas — ~9 chunks per synthetic doc, so the
+    1→N fan-out is genuinely exercised; a production chunk size would be
+    KB-scale); the oracle re-derives every chunk's byte extent
+    arithmetically (range join capped at 64 chunks — oracle-side bound
+    only, test texts are ≤4 KB)."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.as_media_column(docs, "doc_id", "text", kind="audio")
+    chunks = M.chunk_audio(media, chunk_bytes=64)
+    return chunks.select("media_id", "chunk_idx", "start_byte", "n_bytes")
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           md5(array_to_string(
+             [text[(i * strlen(text)) // 64 + 1] FOR i IN range(0, 64)], ''
+           )) AS pixels_md5
+    FROM documents
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: nearest-neighbour sample of the payload
+    bytes onto an 8×8 grid via mapInPandas (operators.multimodal
+    resize_images; a real build swaps in PIL/cv2 under the identical
+    contract). The oracle rebuilds each grid by character indexing — valid
+    because the synthetic corpus is pure ASCII (byte i == char i+1); the
+    operator itself is byte-based and encoding-agnostic."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.as_media_column(docs, "doc_id", "text", kind="image")
+    resized = M.resize_images(media, width=8, height=8)
+    return resized.select(
+        "media_id", "width", "height", F.md5("pixels").alias("pixels_md5")
+    )
+
+
+@query(
+    "udf_grouped_rank_normalize",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS bal_rank,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_size
+    FROM customer
+    """,
+)
+def udf_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 grouped-map surface (the reference App's per-key ``join``
+    generalized): applyInPandas ranks each segment's customers by balance
+    in local pandas — one shuffle on the group key, each group a local
+    frame, never the driver. Integer outputs keep the oracle (window
+    ROW_NUMBER) float-free. The built-in window query
+    (window_ntile_quartiles) is the fast path; this grades the Python
+    extension point itself."""
+    import pandas as pd
+
+    from ..functions.udf import grouped_map
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = pdf.sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
+        out["bal_rank"] = range(1, len(out) + 1)
+        out["seg_size"] = len(out)
+        return out[["c_custkey", "c_mktsegment", "bal_rank", "seg_size"]]
+
+    cust = t(spark, sf_dir, "customer")
+    return grouped_map(
+        cust,
+        ["c_mktsegment"],
+        rank_group,
+        "c_custkey long, c_mktsegment string, bal_rank long, seg_size long",
+    )
+
+
+@query(
+    "udf_flatmap_token_rows",
+    oracle=f"""
+    SELECT doc_id, len({SQL_TOKS}) AS n_tokens,
+           len(list_distinct({SQL_TOKS})) AS n_unique
+    FROM documents
+    """,
+)
+def udf_flatmap_token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 table-valued transform surface: mapInPandas tokenizes each
+    document in Python (regex identical to the JVM tokens() helper) and
+    emits per-doc token stats — the reference ``transform``'s 1→N shape,
+    Arrow-batched, zero shuffle. Grades the Python flatMap extension
+    point; built-in explode(split()) remains the fast path."""
+    import re
+
+    import pandas as pd
+
+    from ..functions.udf import flat_map
+
+    ws = re.compile(r"\s+")
+
+    def tok_stats(batches):
+        for pdf in batches:
+            toks = pdf["text"].map(lambda s: [t for t in ws.split(s) if t])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": toks.map(len).astype("int64"),
+                    "n_unique": toks.map(lambda ts: len(set(ts))).astype("int64"),
+                }
+            )
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    return flat_map(
+        docs.select("doc_id", "text"),
+        tok_stats,
+        "doc_id long, n_tokens long, n_unique long",
+    )

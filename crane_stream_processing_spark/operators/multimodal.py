@@ -187,3 +187,44 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             rows = {k: [] for k in rows}
 
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_byte", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("chunk", T.BinaryType()),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
+    """Audio segmentation plumbing (1 row in → ⌈L/chunk_bytes⌉ rows out):
+    fixed-size contiguous byte windows — the shape a real build feeds to a
+    VAD/resampler per chunk (libav not installed; the fake keeps raw
+    bytes). Same 1→N mapInPandas contract as sample_frames; chunks of one
+    blob stay inside one task, so downstream per-chunk decode is
+    partition-parallel with no shuffle."""
+
+    def _chunks(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        rows = {"media_id": [], "chunk_idx": [], "start_byte": [], "n_bytes": [], "chunk": []}
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = max((len(b) + chunk_bytes - 1) // chunk_bytes, 1)
+                for i in range(n):
+                    lo = i * chunk_bytes
+                    hi = min(lo + chunk_bytes, len(b))
+                    rows["media_id"].append(mid)
+                    rows["chunk_idx"].append(i)
+                    rows["start_byte"].append(lo)
+                    rows["n_bytes"].append(hi - lo)
+                    rows["chunk"].append(b[lo:hi])
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return media.mapInPandas(_chunks, schema=CHUNK_SCHEMA)
