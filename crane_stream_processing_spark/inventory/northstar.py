@@ -927,3 +927,29 @@ def udf_flatmap_token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_stats,
         "doc_id long, n_tokens long, n_unique long",
     )
+
+
+@query(
+    "sim_random_projection",
+    oracle="""
+    SELECT vec_id,
+           [round(list_sum([embedding[d + 1]::DOUBLE *
+                    (CASE WHEN substr(md5(j::VARCHAR || '#' || d::VARCHAR), 1, 1) < '8'
+                          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+                    FOR d IN range(0, 64)]), 6)
+            FOR j IN range(0, 8)] AS proj
+    FROM embeddings
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection 64→8 (operators.
+    similarity.random_projection): the dimensionality-reduction stage a
+    large-corpus ANN pipeline runs before candidate scoring. The ±1
+    matrix is seeded from md5(j#d), so the oracle rebuilds it exactly;
+    both engines fold the dot product in identical d-order (sequential
+    left fold), keeping the doubles bit-equal before the 6-decimal
+    round."""
+    return S.random_projection(
+        t_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        out_dim=8, in_dim=64,
+    )

@@ -396,3 +396,31 @@ def cosine_near_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    in_dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seeded signed random projection (Achlioptas/JL sketch): out[j] =
+    Σ_d vec[d]·s(j,d) with s(j,d) ∈ {±1} derived from md5(j#d) — the one
+    hash both engines share bit-for-bit, so an oracle can rebuild the
+    exact matrix. Dimensionality reduction ahead of ANN: 64→8 dims cuts
+    candidate-scoring cost 8× while JL preserves pairwise distances in
+    expectation. Pure per-row projection — no shuffle, no UDF, streams
+    through the scan at any corpus size; the ±1 matrix is O(j·d) md5
+    calls folded inside codegen, never materialized."""
+    proj = F.expr(
+        f"""
+        transform(sequence(0, {out_dim - 1}), j ->
+          round(aggregate(sequence(0, {in_dim - 1}), cast(0.0 as double),
+            (acc, d) -> acc + {vec_col}[d] *
+              IF(substring(md5(concat(cast(j as string), '#', cast(d as string))), 1, 1) < '8',
+                 1.0D, -1.0D)), {round_to}))
+        """
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))

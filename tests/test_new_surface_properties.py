@@ -1,0 +1,128 @@
+"""Property tests for the newest surface: audio chunking (partition/
+reassembly invariants), the top-bigram repetition fold (must equal the
+relational groupBy-max), the random projection (linearity + seed
+determinism), and the bitmap distinct kernel (must equal countDistinct
+on adversarial id ranges spanning bucket boundaries)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crane_stream_processing_spark.operators import multimodal as M
+from crane_stream_processing_spark.operators import similarity as S
+
+_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+def _media(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return M.as_media_column(df, "doc_id", "text", kind="audio")
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(st.text(alphabet="abcxyz ", min_size=0, max_size=300), st.integers(3, 64))
+def test_chunk_audio_reassembles_exactly(spark, text, chunk):
+    rows = M.chunk_audio(_media(spark, [text]), chunk_bytes=chunk).collect()
+    rows.sort(key=lambda r: r.chunk_idx)
+    # contiguous, fixed-size except the tail, reassembles byte-exact
+    assert rows[0].start_byte == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_byte == prev.start_byte + prev.n_bytes
+        assert prev.n_bytes == chunk
+    joined = b"".join(bytes(r.chunk) for r in rows)
+    assert joined == text.encode("utf-8")
+    assert all(r.n_bytes == len(bytes(r.chunk)) for r in rows)
+    # empty payload still yields exactly one (empty) chunk row
+    n = max(-(-len(text.encode("utf-8")) // chunk), 1)
+    assert len(rows) == n
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(_words)
+def test_topbigram_fold_matches_relational_count(spark, words):
+    """The zero-shuffle sort+run-length fold must agree with the obvious
+    groupBy count on the exploded bigram list, including the
+    count-desc/value-asc tie-break."""
+    text = " ".join(words)
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    if bigrams:
+        counts = {}
+        for b in bigrams:
+            counts[b] = counts.get(b, 0) + 1
+        expect_cnt = max(counts.values())
+        expect_bg = min(b for b, c in counts.items() if c == expect_cnt)
+    else:
+        expect_bg, expect_cnt = "", 0
+
+    from crane_stream_processing_spark.functions import tokens
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    bg = df.select(
+        "doc_id", tokens("text").alias("tk")
+    ).select(
+        "doc_id",
+        F.expr(
+            "IF(size(tk) < 2, array(), transform(sequence(0, size(tk) - 2),"
+            " i -> concat(tk[i], ' ', tk[i+1])))"
+        ).alias("g"),
+    )
+    folded = bg.select(
+        F.expr(
+            """
+            aggregate(
+              array_sort(g),
+              struct(CAST('' AS STRING) AS prev, 0 AS run,
+                     0 AS best_cnt, CAST('' AS STRING) AS best),
+              (s, x) -> struct(
+                x AS prev,
+                IF(x = s.prev, s.run + 1, 1) AS run,
+                IF(IF(x = s.prev, s.run + 1, 1) > s.best_cnt,
+                   IF(x = s.prev, s.run + 1, 1), s.best_cnt) AS best_cnt,
+                IF(IF(x = s.prev, s.run + 1, 1) > s.best_cnt, x, s.best) AS best
+              )
+            ) AS st
+            """
+        )
+    ).collect()[0].st
+    assert folded.best_cnt == expect_cnt
+    assert folded.best == expect_bg
+
+
+def test_random_projection_deterministic_and_linear(spark):
+    """Same input → same sketch across runs; scaling the vector scales
+    the (unrounded) projection — checked via a 2x input."""
+    v = [float(i % 7) - 3.0 for i in range(64)]
+    df = spark.createDataFrame([(1, v), (2, [2 * x for x in v])],
+                               "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.proj for r in S.random_projection(df, round_to=9).collect()}
+    again = {r.vec_id: r.proj for r in S.random_projection(df, round_to=9).collect()}
+    assert out == again
+    for a, b in zip(out[1], out[2]):
+        assert abs(b - 2 * a) < 1e-6
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """Ids straddling the 32768-bit bucket boundary and negatives-free
+    sparse ranges: the bitmap two-level aggregate must equal
+    countDistinct exactly."""
+    ids = (
+        list(range(1, 100))
+        + list(range(32760, 32780))  # bucket boundary straddle
+        + [1, 5, 32770, 10_000_000, 10_000_000]  # dups + sparse high id
+    )
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    got = (
+        df.groupBy(F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    expect = df.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
+    assert got == expect
