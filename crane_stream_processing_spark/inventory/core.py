@@ -10,6 +10,8 @@ same answer independently.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -340,4 +342,67 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+_BUCKETED_SFS: set[str] = set()  # sf_dirs whose bucketed tables exist
+
+
+@query(
+    "io_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def io_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-bucketed co-located fact-fact join — THE shuffle-elimination
+    strategy for repeated big joins at 100 TB: lineitem and orders are
+    written once bucketed by order key (8 buckets here; thousands in
+    production), after which every join on that key reads bucket i
+    against bucket i with ZERO Exchange on either side (plan-asserted in
+    tests/test_plan_quality.py: exactly one Exchange total — the final
+    aggregate's). A MERGE hint pins sort-merge join because at test SF
+    the orders side fits a broadcast, which would mask the bucket
+    alignment this query grades; at production scale neither fact side
+    broadcasts and the bucketed sort-merge plan is the only
+    non-shuffling one. The fixture write happens once per (process,
+    sf_dir); the graded path is the bucketed scan + join."""
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if sf_dir not in _BUCKETED_SFS:
+        # A fresh session's in-memory catalog doesn't know about managed
+        # dirs a previous process left in the warehouse — clear both the
+        # catalog entry and the leftover location before (re)writing.
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for tbl in (lt, ot):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ).write.mode("overwrite").format("parquet").bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable(lt)
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ).write.mode("overwrite").format("parquet").bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(ot)
+        _BUCKETED_SFS.add(sf_dir)
+
+    from . import dsum
+
+    joined = spark.table(lt).hint("merge").join(
+        spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+        ).alias("revenue"),
     )

@@ -185,3 +185,18 @@ def test_partitioned_roundtrip_prunes_directories(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, "no PartitionFilters section in scan"
     assert "event_type" in m.group(1)
+
+
+def test_bucketed_join_eliminates_join_shuffle(spark, sf_dir):
+    """The co-located bucketed fact-fact join: after collect (AQE final
+    plan), both scans read bucketed tables and the ONLY Exchange in the
+    plan is the final aggregate's — the join itself moves zero bytes."""
+    df = REGISTRY["io_bucketed_colocated_join"].fn(spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" in final
+    assert final.count("Bucketed: true") == 2
+    assert final.count("Exchange") == 1  # aggregate only; join is aligned
