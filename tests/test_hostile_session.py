@@ -18,12 +18,16 @@ from .conftest import assert_query_matches_oracle
 
 # One query per self-set dependency: timestamp semantics (events table),
 # the generate-filter exclusion (shingle explode), money aggregates (UTC
-# date predicate), and a streaming reader with its own conf path.
+# date predicate), a streaming reader with its own conf path, the
+# saveAsTable/warehouse path (bucketed fixture on a catalog the engine
+# didn't prepare), and the Arrow Python-worker path.
 HOSTILE_CHECKED = [
     "evt_tumbling_daily_by_type",
     "curate_decontaminate",
     "q1_pricing_summary",
     "stream_tumbling_daily_by_type",
+    "io_bucketed_colocated_join",
+    "udf_flatmap_token_rows",
 ]
 
 
