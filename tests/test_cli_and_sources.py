@@ -143,3 +143,32 @@ def test_clf_datasource_typed_parse(spark, tmp_path):
         ("h2", "/api", 500, None),
         ("h3", "/idx", 200, 7),
     ]
+
+
+def test_file_source_throttle_batches_per_file(spark, tmp_path):
+    """S2 file-side throttle: maxFilesPerTrigger=1 makes the bounded
+    availableNow pass process one file per micro-batch — the declarative
+    replacement for the reference's per-tuple SendPeriod sleep
+    (server/Crane.go:84): rate is a source option, not pipeline code."""
+    from crane_stream_processing_spark.apps import wordcount
+    from crane_stream_processing_spark.streaming.sources import file_lines
+
+    d = tmp_path / "throttled"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.txt").write_text(f"w{i} w{i} shared\n")
+
+    batches: list[int] = []
+
+    def sink(df, batch_id):
+        batches.append(batch_id)
+
+    q = (
+        wordcount(file_lines(spark, str(d), max_files_per_trigger=1))
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) >= 3  # one micro-batch per file, throttle honored
