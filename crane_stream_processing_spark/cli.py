@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     ls = sub.add_parser("ls", help="list committed versions")
     ls.add_argument("name")
 
+    de = sub.add_parser("delete", help="delete every version of a name")
+    de.add_argument("name")
+
+    sub.add_parser("store", help="list names with committed versions")
+
     st = sub.add_parser("start", help="run a streaming app to completion of available data")
     st.add_argument("app")
     st.add_argument("source")
@@ -72,6 +77,20 @@ def main(argv: list[str] | None = None) -> int:
 
         for v in list_versions(a.store, a.name):
             print(v)
+        return 0
+
+    if a.cmd == "delete":
+        from .streaming.sinks import delete_name
+
+        victims = delete_name(a.store, a.name)
+        print(f"deleted {a.name}: {len(victims)} versions")
+        return 0
+
+    if a.cmd == "store":
+        from .streaming.sinks import store_names
+
+        for n in store_names(a.store):
+            print(n)
         return 0
 
     spark = _spark()

@@ -38,6 +38,8 @@ __all__ = [
     "read_versions",
     "expire_versions",
     "compact_latest",
+    "delete_name",
+    "store_names",
 ]
 
 
@@ -226,3 +228,30 @@ def read_versions(
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def delete_name(base_dir: str, name: str) -> list[int]:
+    """``delete``: remove EVERY committed version of ``name`` plus its
+    manifest — the reference's all-replica, all-version delete
+    (``DelReq``, ``server/sdfs.go:210-240``). Markers go first (readers
+    stop resolving before data vanishes), then the whole name dir.
+    Returns the deleted version ids."""
+    import shutil
+
+    victims = expire_versions(base_dir, name, keep=0)
+    shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
+    return victims
+
+
+def store_names(base_dir: str) -> list[str]:
+    """``store``: names with at least one committed version under the
+    store root — the reference's local file listing (``FileList``,
+    ``server/sdfs.go:415-419``), resolved from commit markers so
+    half-written or deleted names don't appear."""
+    if not os.path.isdir(base_dir):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(base_dir)
+        if os.path.isdir(os.path.join(base_dir, n)) and list_versions(base_dir, n)
+    )

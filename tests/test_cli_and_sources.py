@@ -172,3 +172,30 @@ def test_file_source_throttle_batches_per_file(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert len(batches) >= 3  # one micro-batch per file, throttle honored
+
+
+def test_cli_delete_and_store_roundtrip(spark, tmp_path):
+    """S8 parity: delete removes every version + manifest; store lists
+    only names with committed versions."""
+    from crane_stream_processing_spark.streaming.sinks import (
+        VersionedSink,
+        delete_name,
+        list_versions,
+        store_names,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for name in ("alpha", "beta"):
+        sink = VersionedSink(store, name)
+        sink.write_version(df, 0)
+        sink.write_version(df, 1)
+    assert store_names(store) == ["alpha", "beta"]
+    assert delete_name(store, "alpha") == [1, 0]
+    assert list_versions(store, "alpha") == []
+    assert store_names(store) == ["beta"]
+    import os
+
+    assert not os.path.exists(os.path.join(store, "alpha"))
+    # delete of a nonexistent name is a quiet no-op
+    assert delete_name(store, "ghost") == []
