@@ -53,13 +53,18 @@ def token_shingles(toks: Column, k: int = 3) -> Column:
     re-evaluates it once per array element inside the lambda — higher-order
     functions get no common-subexpression elimination."""
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
+    # Guard the degenerate cases explicitly: Spark's sequence(start, stop)
+    # runs DESCENDING when stop < start, so sequence(1, 0) is [1, 0] — a
+    # <k-token (or null) document would index past the array instead of
+    # yielding no shingles.
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    empty = F.expr("CAST(array() AS array<string>)")
+    return F.when(n >= F.lit(k), F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
-    )
+    )).otherwise(empty)
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
@@ -108,6 +113,11 @@ def lsh_candidate_pairs(
     staged = (
         df.select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
         .select("doc", token_shingles(F.col("toks")).alias("sh"))
+        # <k-token docs have no shingles and therefore no signature; drop
+        # them BEFORE banding — an empty signature would hash every short
+        # doc into the same md5('') bucket in every band (spurious n²
+        # candidates among short docs). Mirrors the oracle's len(tk) >= 3.
+        .filter(F.size("sh") > 0)
         .select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     )
     banded = staged.select(

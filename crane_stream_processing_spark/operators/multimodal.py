@@ -85,15 +85,18 @@ def media_fake_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFra
     import pandas as pd
 
     for pdf in batches:
+        # Null payloads (rows whose source column was NULL) decode as
+        # empty media rather than crashing the worker.
+        payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "payload_md5": pdf["payload"].map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                "n_bytes": payloads.map(len).astype("int64"),
+                "payload_md5": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()
                 ),
-                "first_byte": pdf["payload"].map(
+                "first_byte": payloads.map(
                     lambda b: int(b[0]) if len(b) else -1
                 ).astype("int32"),
             }
@@ -146,7 +149,9 @@ def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFram
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "pixels": pdf["payload"].map(lambda b: grid(bytes(b))),
+                    "pixels": pdf["payload"].map(
+                        lambda b: grid(bytes(b) if b is not None else b"")
+                    ),
                 }
             )
 
@@ -175,7 +180,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         rows = {"media_id": [], "frame_idx": [], "frame_len": [], "frame": []}
         for pdf in batches:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
+                b = bytes(payload) if payload is not None else b""
                 L = len(b)
                 for i in range(n_frames):
                     lo, hi = (i * L) // n_frames, ((i + 1) * L) // n_frames
@@ -214,7 +219,7 @@ def chunk_audio(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
         rows = {"media_id": [], "chunk_idx": [], "start_byte": [], "n_bytes": [], "chunk": []}
         for pdf in batches:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
+                b = bytes(payload) if payload is not None else b""
                 n = max((len(b) + chunk_bytes - 1) // chunk_bytes, 1)
                 for i in range(n):
                     lo = i * chunk_bytes

@@ -126,3 +126,37 @@ def test_bitmap_distinct_equals_count_distinct(spark):
     )
     expect = df.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
     assert got == expect
+
+
+def test_short_and_null_docs_survive_dedup_and_multimodal(spark):
+    """Regression: documents with < k tokens (or NULL text) must produce
+    zero shingles and zero LSH candidates — not an element_at crash
+    (sequence(1,0) is DESCENDING in Spark) nor a shared md5('') bucket
+    that cross-pairs every short doc. Null payloads decode as empty
+    media in every mapInPandas op."""
+    from crane_stream_processing_spark.operators import dedup as D
+    from crane_stream_processing_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two"),
+         (5, "a b a b a b"), (6, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             D.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert pairs == {(5, 6)}
+
+    from crane_stream_processing_spark.functions import tokens
+
+    sh = docs.select(
+        D.token_shingles(tokens("text")).alias("sh")
+    ).collect()
+    assert all(r.sh == [] for r in sh[:4])  # null/empty/short → no shingles
+
+    m = M.as_media_column(docs, "doc_id", "text")
+    assert M.extract_features(m).count() == 6
+    feats = {r.media_id: r for r in M.extract_features(m).collect()}
+    assert feats[1].n_bytes == 0 and feats[1].first_byte == -1
+    assert M.sample_frames(m, 4).count() == 24
+    assert M.resize_images(m).count() == 6
+    assert M.chunk_audio(m, 4).filter("media_id = 1").count() == 1  # one empty chunk
