@@ -80,13 +80,13 @@ def cosine_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             l2norm(vec_col).alias("qn"),
-        )
+        ).filter(F.col("qn") > 0)  # cosine undefined for zero vectors
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         l2norm(vec_col).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -118,13 +118,13 @@ def lsh_ann_topk(
         F.col(vec_col).alias("qvec"),
         l2norm(vec_col).alias("qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).filter(F.col("qn") > 0)  # cosine undefined for zero vectors
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         l2norm(vec_col).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).filter(F.col("cn") > 0)
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -174,7 +174,7 @@ def ivf_bucket_corpus(
         F.col(vec_col).alias("cvec"),
         l2norm(vec_col).alias("cn"),
         centroid_dots(F.col(vec_col), centroids).alias("__dots"),
-    ).select(
+    ).filter(F.col("cn") > 0).select(
         "cand_id", "cvec", "cn", ivf_centroid(F.col("__dots")).alias("cell")
     )
 
@@ -200,7 +200,7 @@ def ivf_ann_topk(
         F.col(vec_col).alias("qvec"),
         l2norm(vec_col).alias("qn"),
         centroid_dots(F.col(vec_col), centroids).alias("__dots"),
-    ).select(
+    ).filter(F.col("qn") > 0).select(
         "query_id", "qvec", "qn", ivf_centroid(F.col("__dots")).alias("cell")
     )
     c = bucketed if bucketed is not None else ivf_bucket_corpus(
@@ -247,6 +247,7 @@ def ivf_ann_topk_nprobe(
             l2norm(vec_col).alias("qn"),
             centroid_dots(F.col(vec_col), centroids).alias("__dots"),
         )
+        .filter(F.col("qn") > 0)
         .select(
             "query_id",
             "qvec",
@@ -371,7 +372,9 @@ def cosine_near_pairs(
     cols = [F.col(id_col), F.col(vec_col), l2norm(vec_col).alias("nrm")]
     if bucket_planes is not None:
         cols.append(lsh_bucket(F.col(vec_col), bucket_planes).alias("bucket"))
-    staged = df.select(*cols)
+    staged = df.select(*cols).filter(
+        F.col("nrm") > 0  # cosine undefined for zero vectors
+    )
     a = staged.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

@@ -160,3 +160,24 @@ def test_short_and_null_docs_survive_dedup_and_multimodal(spark):
     assert M.sample_frames(m, 4).count() == 24
     assert M.resize_images(m).count() == 6
     assert M.chunk_audio(m, 4).filter("media_id = 1").count() == 1  # one empty chunk
+
+
+def test_zero_norm_embeddings_excluded_from_similarity(spark):
+    """Regression: all-zero (or NULL) embeddings have no defined cosine —
+    they must be filtered at staging, not explode as DIVIDE_BY_ZERO under
+    ANSI mode, in every similarity entry point."""
+    from crane_stream_processing_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 64), (3, [1.0] * 64), (4, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b)
+             for r in S.cosine_near_pairs(emb, threshold=0.0).collect()}
+    assert pairs == {(3, 4)}
+    topk = S.cosine_topk(emb, emb).collect()
+    assert {r.query_id for r in topk} == {3, 4}
+    assert {r.cand_id for r in topk} == {3, 4}
+    cent = [[1.0] * 64, [-1.0] * 64]
+    assert S.ivf_bucket_corpus(emb, cent).filter("cand_id = 2").count() == 0
+    assert S.ivf_ann_topk(emb, emb, cent).filter("query_id = 2").count() == 0
