@@ -547,3 +547,40 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return read_latest(spark, base, "by_type")
+
+
+@query(
+    "stream_append_daily_by_type",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_append_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4/ST5 APPEND-mode windowed aggregate — the mode that scales:
+    each window row is emitted exactly once when the watermark passes its
+    end and its state is EVICTED (complete mode instead retains every
+    window forever). The far-future sentinel rows push the watermark past
+    all real windows so the bounded pass emits them; the sentinel's own
+    late window is filtered out (its far window never closes and the
+    far-2d one is post-aggregation-filtered — a filter on the window key
+    is append-legal). Oracle: the same per-day totals, batch-derived."""
+    ev = _stream_events_sentinel(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .filter(F.col("win_start") < "2099-01-01")
+    )
+    _run_to_memory(agg, "stream_append_daily_by_type", "append")
+    return spark.table("stream_append_daily_by_type")
