@@ -410,3 +410,29 @@ def agg_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("p_brand", "metric").agg(
         F.count(F.lit(1)).alias("n"), dsum("val").alias("total")
     )
+
+
+@query(
+    "agg_bool_count_if",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 50) AS n_high,
+           BOOL_AND(value >= 0) AS all_nonneg,
+           BOOL_OR(value > 99) AS any_extreme
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 boolean aggregates: count_if / every / any — conditional counts
+    without a pre-filter pass (one scan feeds all three), map-side
+    combinable like any hash aggregate."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_high"),
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 99).alias("any_extreme"),
+        )
+    )

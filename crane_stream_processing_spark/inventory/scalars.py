@@ -350,3 +350,30 @@ def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("toks", -1).alias("last_token"),
         F.array_join(F.array_sort(F.array_distinct("toks")), ",").alias("vocab_csv"),
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity, 0.0) AS unit_price,
+           CASE WHEN l_quantity BETWEEN -1e18 AND 1e18
+                THEN CAST(l_quantity AS BIGINT) ELSE NULL END AS qty_int,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: under ANSI mode (Spark 4 default) a
+    division by zero or bad cast THROWS mid-pipeline — try_divide /
+    try_cast return NULL instead, the contract batch pipelines over dirty
+    data need (one malformed row must not kill a 100 TB job)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_quantity").alias("unit_price"),
+        F.col("l_quantity").try_cast("bigint").alias("qty_int"),
+        F.col("l_returnflag").try_cast("double").alias("flag_as_num"),
+    )

@@ -219,3 +219,35 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_range_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame over event time: each order's
+    trailing-30-day customer spend. Unlike ROWS frames the peer set is
+    defined by the ORDER BY value, so ties share a frame — the rolling-
+    metric shape (trailing revenue, rate limits, anomaly windows). One
+    shuffle on the partition key; decimal-cast sum keeps the running
+    totals engine-exact. SQL form: the DataFrame rangeBetween API takes
+    long offsets only, so the interval frame is expressed in SQL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_30d
+        FROM orders
+        """
+    )
