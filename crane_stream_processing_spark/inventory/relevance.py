@@ -527,3 +527,80 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "text_bigram_lm_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    bc AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM toks, UNNEST(range(1, greatest(len(tk), 1))) AS t(i)
+      )
+      GROUP BY 1, 2, 3
+    ),
+    lm AS (SELECT w1, w2, SUM(tf) AS c2 FROM bc GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c2) AS c1 FROM lm GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM lm)
+    SELECT doc_id, n_bigrams,
+           round(lp_sum / n_bigrams, 4) AS avg_logprob
+    FROM (
+      SELECT bc.doc_id,
+             SUM(bc.tf) AS n_bigrams,
+             SUM(bc.tf * ln((lm.c2 + 0.5) / (ctx.c1 + 0.5 * vocab.v))) AS lp_sum
+      FROM bc
+      JOIN lm USING (w1, w2)
+      JOIN ctx USING (w1)
+      CROSS JOIN vocab
+      GROUP BY bc.doc_id
+    )
+    WHERE n_bigrams > 0
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter with add-k smoothing (k=0.5): train
+    p(w2|w1) = (C(w1,w2)+k)/(C(w1)+k·V) on the corpus itself, score each
+    document by average bigram log-prob — the conditional-probability
+    upgrade over text_unigram_logprob (catches shuffled-word salad that
+    unigram stats can't). Shuffles: one on (doc, w1, w2) counts, one on
+    the bigram LM — both keys Catalyst already groups by; context counts
+    and the vocab scalar broadcast back. At 100 TB the bigram LM outgrows
+    a broadcast and the LM join becomes a shuffle join on (w1, w2) — same
+    plan Catalyst picks once the size estimate crosses the threshold.
+    Log-bearing floats rounded (scale 4), rows selected by integer id,
+    per the cross-engine float discipline."""
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(tk) < 2, array(),"
+                " transform(sequence(0, size(tk) - 2),"
+                "           i -> struct(tk[i] AS w1, tk[i+1] AS w2)))"
+            )
+        ).alias("b"),
+    )
+    bc = bg.groupBy("doc_id", "b.w1", "b.w2").agg(F.count(F.lit(1)).alias("tf"))
+    lm = bc.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    ctx = lm.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = lm.agg(F.countDistinct("w2").alias("v"))
+    lp = F.col("tf") * F.log(
+        (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+    )
+    return (
+        bc.join(F.broadcast(lm), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum(lp).alias("lp_sum"))
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("lp_sum") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
