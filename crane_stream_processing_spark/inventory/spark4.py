@@ -146,3 +146,71 @@ def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment = 'FURNITURE'
         """
     )
+
+
+@query(
+    "sql_recursive_order_chain",
+    oracle="""
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next_key
+      FROM orders
+    ),
+    roots AS (
+      SELECT o_orderkey FROM (
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rk
+        FROM orders
+      ) WHERE rk = 1
+    ),
+    chain(root_key, o_orderkey, depth) AS (
+      SELECT o_orderkey, o_orderkey, 1 FROM roots
+      UNION ALL
+      SELECT c.root_key, n.next_key, c.depth + 1
+      FROM chain c JOIN nxt n ON n.o_orderkey = c.o_orderkey
+      WHERE n.next_key IS NOT NULL
+    )
+    SELECT root_key, o_orderkey, depth FROM chain
+    """,
+)
+def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE, UNION ALL): walk each
+    customer's order-succession DAG from their first order, labeling every
+    order with its chain root and 1-based depth — the iterate-until-fixed-
+    point surface (hierarchies, BOM explosions, path enumeration) that
+    pre-4.0 Spark needed driver-side loops for. The successor edges form
+    per-customer chains (a DAG), so UNION ALL recursion terminates — the
+    engine's recursive CTE does not yet support UNION-distinct, which
+    cyclic graphs would need (the distributed alternative for those:
+    operators.dedup.connected_components label propagation). Each
+    recursion step is one join of the frontier against the (broadcastable)
+    edge list."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE nxt AS (
+          SELECT o_orderkey,
+                 LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS next_key
+          FROM orders
+        ),
+        roots AS (
+          SELECT o_orderkey FROM (
+            SELECT o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rk
+            FROM orders
+          ) WHERE rk = 1
+        ),
+        chain(root_key, o_orderkey, depth) AS (
+          SELECT o_orderkey, o_orderkey, 1 FROM roots
+          UNION ALL
+          SELECT c.root_key, n.next_key, c.depth + 1
+          FROM chain c JOIN nxt n ON n.o_orderkey = c.o_orderkey
+          WHERE n.next_key IS NOT NULL
+        )
+        SELECT root_key, o_orderkey, depth FROM chain
+        """
+    )
