@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "let",
     "tokens",
     "md5_hex",
     "seeded_md5",
@@ -30,6 +31,26 @@ WHITESPACE = r"\s+"
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def let(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable and build ``body`` from it —
+    evaluate-once semantics that survive the optimizer.
+
+    Why this exists: staging an expensive expression as its own select()
+    column is NOT enough — CollapseProject merges adjacent projections and
+    re-inlines the expression into every reference site, and higher-order
+    function lambdas get no common-subexpression elimination, so a
+    composite like minhash(shingles(tokens(text))) silently re-tokenizes
+    per shingle per seed (measured 10.4 s → 1.3 s on the sf0.1 LSH shingle
+    stage). Wrapping the value in a 1-element array and applying ``body``
+    inside transform() forces one evaluation per row: the lambda variable
+    is a bound reference to the already-materialized element, however many
+    times the body reads it.
+
+    Purely a Spark physical-plan device — oracle SQL needs no twin (DuckDB
+    evaluates its CTE columns once)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def tokens(col: Column | str) -> Column:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import md5_hex, tokens
+from ..functions import let, md5_hex, tokens
 
 __all__ = [
     "exact_dedup",
@@ -44,27 +44,31 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def token_shingles(toks: Column, k: int = 3) -> Column:
-    """k-shingles over an (ideally materialized) token-array column: slide a
-    k-window via transform over an index sequence — no explode, stays
-    row-local. Empty array when the document has < k tokens.
+    """k-shingles over a token-array column: slide a k-window via transform
+    over an index sequence — no explode, stays row-local. Empty array when
+    the document has < k tokens.
 
-    Performance: pass a *materialized column reference* (select the token
-    array into its own column first). Inlining a computed expression here
-    re-evaluates it once per array element inside the lambda — higher-order
-    functions get no common-subexpression elimination."""
-    n = F.size(toks)
-    # Guard the degenerate cases explicitly: Spark's sequence(start, stop)
-    # runs DESCENDING when stop < start, so sequence(1, 0) is [1, 0] — a
-    # <k-token (or null) document would index past the array instead of
-    # yielding no shingles.
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    empty = F.expr("CAST(array() AS array<string>)")
-    return F.when(n >= F.lit(k), F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )).otherwise(empty)
+    The input is let-bound, so passing a computed expression (even one the
+    optimizer re-inlines through CollapseProject) still evaluates it exactly
+    once per row — the k element_at reads per shingle hit the materialized
+    binding, not the expression tree."""
+
+    def body(tk: Column) -> Column:
+        n = F.size(tk)
+        # Guard the degenerate cases explicitly: Spark's sequence(start,
+        # stop) runs DESCENDING when stop < start, so sequence(1, 0) is
+        # [1, 0] — a <k-token (or null) document would index past the
+        # array instead of yielding no shingles.
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        empty = F.expr("CAST(array() AS array<string>)")
+        return F.when(n >= F.lit(k), F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(k)]
+            ),
+        )).otherwise(empty)
+
+    return let(toks, body)
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
@@ -78,16 +82,22 @@ def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Colu
     (lexicographic min of a uniform hex hash is a valid min-hash, and md5 is
     identical in DuckDB). Returns array<string> of length num_hashes."""
 
-    def seed_min(seed: int) -> Column:
-        # Single-parameter lambda only: pyspark calls a 2-arg transform
-        # lambda as (element, index), which would silently rebind a seed
-        # default to the index column.
-        prefix = F.lit(f"{seed}#")
-        return F.array_min(
-            F.transform(shingle_col, lambda sh: F.md5(F.concat(prefix, sh)))
-        )
+    def body(shs: Column) -> Column:
+        def seed_min(seed: int) -> Column:
+            # Single-parameter lambda only: pyspark calls a 2-arg transform
+            # lambda as (element, index), which would silently rebind a seed
+            # default to the index column.
+            prefix = F.lit(f"{seed}#")
+            return F.array_min(
+                F.transform(shs, lambda sh: F.md5(F.concat(prefix, sh)))
+            )
 
-    return F.array(*[seed_min(s) for s in range(num_hashes)])
+        return F.array(*[seed_min(s) for s in range(num_hashes)])
+
+    # Let-bind: the shingle array is read num_hashes times below; without
+    # the binding, a collapsed projection would recompute the whole
+    # shingling (and its tokenization) once per seed.
+    return let(shingle_col, body)
 
 
 def lsh_candidate_pairs(
@@ -105,14 +115,31 @@ def lsh_candidate_pairs(
     so the shuffle is linear in corpus size; a hot bucket (many identical
     docs) is an AQE skew-join case, not a crossJoin blow-up.
 
-    Each pipeline stage (tokens → shingles → signature) is materialized as
-    its own column so it evaluates exactly once per row — inlining the
-    whole tree would re-run tokenization per shingle per seed (observed
-    ~50× slowdown)."""
+    Every pipeline stage (tokens → shingles → signature → band structs) is
+    let-bound, so each evaluates exactly once per row no matter how the
+    optimizer collapses the projections — an unprotected inline re-runs
+    tokenization per shingle per seed per band (observed ~8× slowdown on
+    the sf0.1 corpus even with staged select() columns, which
+    CollapseProject merges right back)."""
     n_bands = num_hashes // band_rows
+
+    def band_structs(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.element_at(sig, b * band_rows + r + 1) for r in range(band_rows)]
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
     staged = (
-        df.select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
-        .select("doc", token_shingles(F.col("toks")).alias("sh"))
+        df.select(F.col(id_col).alias("doc"), token_shingles(tokens(content_col)).alias("sh"))
         # <k-token docs have no shingles and therefore no signature; drop
         # them BEFORE banding — an empty signature would hash every short
         # doc into the same md5('') bucket in every band (spurious n²
@@ -122,21 +149,7 @@ def lsh_candidate_pairs(
     )
     banded = staged.select(
         "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.element_at(F.col("sig"), b * band_rows + r + 1) for r in range(band_rows)]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(let(F.col("sig"), band_structs)).alias("band"),
     ).select("doc", "band.band_idx", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")

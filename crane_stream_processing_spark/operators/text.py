@@ -9,7 +9,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions import md5_hex, tokens
+from ..functions import let, md5_hex, tokens
+
+
+def _argmax_label(scores: Column, labels: list[str]) -> Column:
+    """argmax over a let-bound score array → label, ties toward earlier
+    labels, 'und' when the best score is 0. The binding makes each score
+    expression evaluate once even though the cascade reads it twice
+    (condition + greatest)."""
+
+    def pick(arr: Column) -> Column:
+        best = F.greatest(*[F.get(arr, i) for i in range(len(labels))])
+        out = F.lit("und")
+        # Reverse order so earlier labels win ties (last when() wins in a
+        # chained otherwise cascade built back-to-front).
+        for i in reversed(range(len(labels))):
+            out = F.when(F.get(arr, i) == best, F.lit(labels[i])).otherwise(out)
+        return F.when(best == 0, F.lit("und")).otherwise(out)
+
+    return let(scores, pick)
 
 __all__ = [
     "LANG_MARKERS",
@@ -53,16 +71,17 @@ def langid_scores(col: Column | str) -> list[Column]:
 def langid(col: Column | str) -> Column:
     """Predicted language = argmax marker-hit count, ties broken by
     language code order, 'und' when nothing matches. DuckDB twin: same
-    CASE/greatest cascade over list_filter counts."""
-    toks = tokens(col)
-    scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # Reverse order so earlier languages win ties (last when() wins in a
-    # chained otherwise cascade built back-to-front).
-    for lang in reversed(list(LANG_MARKERS)):
-        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
-    return F.when(best == 0, F.lit("und")).otherwise(out)
+    CASE/greatest cascade over list_filter counts.
+
+    Tokenization is let-bound and the score array too: the naive cascade
+    reads each score twice and each score reads the token array, so an
+    inlined form re-tokenizes ~2·|langs| times per row."""
+    langs = list(LANG_MARKERS)
+    scores = let(
+        tokens(col),
+        lambda toks: F.array(*[_marker_hits(toks, LANG_MARKERS[l]) for l in langs]),
+    )
+    return _argmax_label(scores, langs)
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
@@ -156,17 +175,16 @@ def langid_ngram(col: Column | str) -> Column:
     profile order, 'und' when no gram matches. Complements the
     stopword-marker detector (:func:`langid`)."""
     c = F.col(col) if isinstance(col, str) else col
-    scores = {
-        lang: sum(
-            (ngram_count(c, g) for g in grams), F.lit(0).cast("long")
-        )
-        for lang, grams in NGRAM_PROFILES.items()
-    }
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    for lang in reversed(list(NGRAM_PROFILES)):
-        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
-    return F.when(best == 0, F.lit("und")).otherwise(out)
+    langs = list(NGRAM_PROFILES)
+    # Let-bound score array: each trigram's replace()-based count appears
+    # exactly once instead of twice (cascade condition + greatest).
+    scores = F.array(
+        *[
+            sum((ngram_count(c, g) for g in NGRAM_PROFILES[l]), F.lit(0).cast("long"))
+            for l in langs
+        ]
+    )
+    return _argmax_label(scores, langs)
 
 
 ROLLING_BASE = 1000003
