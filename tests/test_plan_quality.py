@@ -146,6 +146,7 @@ _NLJ_ALLOWED = {
     "sample_temperature_lang",
     "sim_cosine_topk",
     "sim_hard_negatives",
+    "text_bigram_lm_logprob",  # 1-row smoothing-denominator vocab scalar
     "text_bm25_search",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
