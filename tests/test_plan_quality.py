@@ -188,6 +188,44 @@ def test_partitioned_roundtrip_prunes_directories(spark, sf_dir):
     assert "event_type" in m.group(1)
 
 
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB shuffle-join path.
+    When a selective dimension predicate feeds a non-broadcast join,
+    Catalyst injects a bloom filter built from the dim keys into the fact
+    side BEFORE its shuffle (BloomFilterMightContain under an
+    ObjectHashAggregate/bloom build), so most fact rows never cross the
+    wire. The injection rule gates on size estimates (application-side
+    scan above 10 GB, creation side not broadcastable by size - both
+    correct in production, neither true at local SF), so this test scopes
+    both thresholds to the 100 TB regime to prove our plans accept the
+    filter; no session default is changed. A join-strategy hint is NOT
+    enough: the rule skips whenever the creation side could broadcast by
+    size, because a broadcast-hash join needs no bloom filter. Scoped
+    confs are safe here because the plan is compiled inside the scope
+    (plans resolve at action/compile time, not construction time)."""
+    from crane_stream_processing_spark.inventory import t as _t
+
+    scan_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev_scan, prev_bcast = spark.conf.get(scan_key), spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(scan_key, "1B")
+        spark.conf.set(bcast_key, "-1")
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        agg = j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(scan_key, prev_scan)
+        spark.conf.set(bcast_key, prev_bcast)
+    assert "might_contain" in plan.lower(), plan[:2000]
+
+
 def test_bucketed_join_eliminates_join_shuffle(spark, sf_dir):
     """The co-located bucketed fact-fact join: after collect (AQE final
     plan), both scans read bucketed tables and the ONLY Exchange in the
