@@ -759,16 +759,7 @@ def text_repetition_topbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), so at 100 TB it streams through the scan like any map. The
     oracle recomputes it relationally (unnest → group → window)."""
     docs = t_cpu(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id", tokens("text").alias("tk")
-    ).select(
-        "doc_id",
-        F.expr(
-            "IF(size(tk) < 2, array(),"
-            " transform(sequence(0, size(tk) - 2),"
-            "           i -> concat(tk[i], ' ', tk[i+1])))"
-        ).alias("g"),
-    )
+    bg = docs.select("doc_id", X.token_bigrams("text").alias("g"))
     folded = bg.select(
         "doc_id",
         F.size("g").alias("n_bigrams"),

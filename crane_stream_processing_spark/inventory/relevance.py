@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens
 from ..operators.dedup import token_shingles
+from ..operators.text import token_bigrams
 from . import query, t, t_cpu
 from .northstar import SQL_TOKS
 
@@ -573,15 +574,8 @@ def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Log-bearing floats rounded (scale 4), rows selected by integer id,
     per the cross-engine float discipline."""
     docs = t(spark, sf_dir, "documents")
-    bg = docs.select("doc_id", tokens("text").alias("tk")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "IF(size(tk) < 2, array(),"
-                " transform(sequence(0, size(tk) - 2),"
-                "           i -> struct(tk[i] AS w1, tk[i+1] AS w2)))"
-            )
-        ).alias("b"),
+    bg = docs.select(
+        "doc_id", F.explode(token_bigrams("text", as_struct=True)).alias("b")
     )
     bc = bg.groupBy("doc_id", "b.w1", "b.w2").agg(F.count(F.lit(1)).alias("tf"))
     lm = bc.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))

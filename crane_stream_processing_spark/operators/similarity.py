@@ -415,15 +415,28 @@ def random_projection(
     exact matrix. Dimensionality reduction ahead of ANN: 64→8 dims cuts
     candidate-scoring cost 8× while JL preserves pairwise distances in
     expectation. Pure per-row projection — no shuffle, no UDF, streams
-    through the scan at any corpus size; the ±1 matrix is O(j·d) md5
-    calls folded inside codegen, never materialized."""
-    proj = F.expr(
-        f"""
-        transform(sequence(0, {out_dim - 1}), j ->
-          round(aggregate(sequence(0, {in_dim - 1}), cast(0.0 as double),
-            (acc, d) -> acc + {vec_col}[d] *
-              IF(substring(md5(concat(cast(j as string), '#', cast(d as string))), 1, 1) < '8',
-                 1.0D, -1.0D)), {round_to}))
-        """
-    )
+    through the scan at any corpus size.
+
+    The sign matrix is row-independent, so it is computed ONCE driver-side
+    (hashlib md5 == Spark md5 == DuckDB md5 on the same string) and
+    inlined as ±1.0 literals — the previous in-expression form re-derived
+    all out_dim·in_dim md5s per data row. Each output dim is then a plain
+    :func:`functions.dot` against its literal sign row, the same ascending
+    left fold as the oracle's list_sum comprehension (bit-equal before the
+    round)."""
+    sign_rows = [
+        F.array(
+            *[
+                F.lit(
+                    1.0
+                    if hashlib.md5(f"{j}#{d}".encode()).hexdigest()[0] < "8"
+                    else -1.0
+                )
+                for d in range(in_dim)
+            ]
+        )
+        for j in range(out_dim)
+    ]
+    v = F.col(vec_col)
+    proj = F.array(*[F.round(dot(v, row), round_to) for row in sign_rows])
     return df.select(F.col(id_col), proj.alias("proj"))
