@@ -74,8 +74,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # Semi-filter the bridge on the selective part predicate BEFORE the
+    # distinct: the broadcast semi join is row-local, so the distinct's
+    # shuffle carries only the ~2% of (partkey, suppkey) pairs that can
+    # contribute — at 100 TB the unfiltered form shuffles the whole
+    # lineitem projection.
     bridge = (
-        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
     )
     cand = (
         F.broadcast(part)
@@ -500,10 +512,14 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     family, and suppliers with complaints (negative acctbal proxy). The
     NOT IN subquery is a broadcast ANTI join on the tiny excluded-supplier
     set; COUNT(DISTINCT) expands to a two-phase aggregate with no extra
-    shuffle beyond the group keys."""
-    bridge = (
-        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
+    shuffle beyond the group keys.
+
+    No pre-distinct on the bridge: COUNT(DISTINCT l_suppkey) subsumes it
+    (duplicate (partkey, suppkey) rows cannot change a distinct count, and
+    the anti join is row-local), so the only corpus-sized shuffle is the
+    aggregate's own — the oracle keeps the textbook DISTINCT bridge and
+    the results are identical."""
+    bridge = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
