@@ -181,3 +181,52 @@ def test_zero_norm_embeddings_excluded_from_similarity(spark):
     cent = [[1.0] * 64, [-1.0] * 64]
     assert S.ivf_bucket_corpus(emb, cent).filter("cand_id = 2").count() == 0
     assert S.ivf_ann_topk(emb, emb, cent).filter("query_id = 2").count() == 0
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_let_binding_survives_collapse_project(spark):
+    """The evaluate-once contract of functions.let(): however the optimizer
+    collapses the staged projections, the bound expression's tokenizer
+    appears ONCE in the optimized plan — not once per reference site.
+    (Without the binding, CollapseProject re-inlines the token array into
+    every element_at inside the shingle lambda and into each of the 12
+    minhash seed folds; this is the 8x LSH regression of DESIGN.md.)"""
+    from crane_stream_processing_spark.functions import tokens
+    from crane_stream_processing_spark.operators.dedup import (
+        minhash_signature,
+        token_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], "doc_id long, text string"
+    )
+    staged = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", token_shingles(F.col("toks")).alias("sh")
+    ).select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    plan = _optimized_plan(staged)
+    # one tokenization for the shingle binding — not 3 (element_at sites)
+    # or 36 (x12 seeds); the collapsed projection keeps exactly one split
+    assert plan.count("split(") == 1, plan[:3000]
+
+
+def test_token_bigrams_edges_and_plan_shape(spark):
+    """token_bigrams: empty/1-token/NULL docs yield [], n-token docs yield
+    n-1 ordered pairs; the let-bound build tokenizes once in the plan."""
+    from crane_stream_processing_spark.operators.text import token_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, ""), (4, None), (5, "p  q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.g for r in docs.select(
+        "doc_id", token_bigrams("text").alias("g")
+    ).collect()}
+    assert out[1] == ["a b", "b c"]
+    assert out[2] == [] and out[3] == []
+    assert out[5] == ["p q"]  # empty tokens filtered before pairing
+    assert out[4] == []
+    plan = _optimized_plan(docs.select(token_bigrams("text").alias("g")))
+    assert plan.count("split(") == 1
