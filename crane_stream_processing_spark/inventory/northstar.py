@@ -131,8 +131,11 @@ def dedup_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-hash minhash signature → 4-band LSH self-join for candidates →
     exact shingle-set Jaccard only on candidates. Everything up to the
     band join is row-local array expressions; the join shuffles ~n·bands
-    rows (linear in corpus size)."""
-    docs = t_cpu(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 3)
+    rows (linear in corpus size). No separate short-doc pre-filter: the
+    staged size(sh) > 0 filter inside lsh_candidate_pairs already drops
+    <3-token docs (k-shingling of <k tokens is empty), and pairs can only
+    reference ids that survived it — one less tokenization per row."""
+    docs = t_cpu(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
     return D.jaccard_pairs(docs, pairs, "doc_id", "text")
 
@@ -533,19 +536,9 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite quality score, order-insensitive content fingerprint. One
     projection per document — no shuffle, no UDF."""
     docs = t_cpu(spark, sf_dir, "documents")
-    qf = X.quality_features("text")
-    ts = X.token_stats("text")
-    return docs.select(
-        "doc_id",
-        X.langid("text").alias("lang"),
-        ts["ws_tokens"].alias("ws_tokens"),
-        ts["bpe_ish_tokens"].alias("bpe_ish_tokens"),
-        qf["punct_ratio"].alias("punct_ratio"),
-        qf["upper_ratio"].alias("upper_ratio"),
-        qf["stopword_ratio"].alias("stopword_ratio"),
-        X.quality_score("text").alias("quality"),
-        X.fingerprint("text").alias("fingerprint"),
-    )
+    # inline(array(struct)): the Generate evaluates the full signal struct
+    # once per row — independent select() columns would each re-tokenize.
+    return docs.select("doc_id", F.inline(F.array(X.doc_stats_struct("text"))))
 
 
 @query(
@@ -592,13 +585,8 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t_cpu(spark, sf_dir, "documents")
-    qf = X.quality_features("text")
     staged = docs.select(
-        "doc_id",
-        "source",
-        X.quality_score("text").alias("q"),
-        qf["n_tokens"].alias("ws_tokens"),
-        X.fingerprint("text").alias("fingerprint"),
+        "doc_id", "source", F.inline(F.array(X.curation_struct("text")))
     ).filter(F.col("q") >= 0.5)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     kept = staged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -70,11 +70,20 @@ def hex_threshold_col(fraction: Column) -> Column:
     floor, hex) is IEEE/integer-deterministic, so any engine computing the
     same fraction double produces the same threshold string. fraction >= 1
     maps to 'g' (sorts above all hex — keep everything); lpad would
-    otherwise TRUNCATE the 9-digit 16^8 to a near-zero threshold."""
-    scaled = F.floor(fraction * F.lit(float(16**_HEX_DIGITS))).cast("bigint")
-    return F.when(fraction >= 1.0, F.lit("g")).otherwise(
-        F.lpad(F.lower(F.hex(scaled)), _HEX_DIGITS, "0")
-    )
+    otherwise TRUNCATE the 9-digit 16^8 to a near-zero threshold.
+
+    The fraction is let-bound — it is read twice (guard + scale), and
+    callers pass computed weights (e.g. size(tokens(text))/100) that must
+    not be re-evaluated per reference site."""
+    from ..functions import let
+
+    def body(f: Column) -> Column:
+        scaled = F.floor(f * F.lit(float(16**_HEX_DIGITS))).cast("bigint")
+        return F.when(f >= 1.0, F.lit("g")).otherwise(
+            F.lpad(F.lower(F.hex(scaled)), _HEX_DIGITS, "0")
+        )
+
+    return let(fraction.cast("double"), body)
 
 
 def weighted_sample(df: DataFrame, weight: Column, id_col: str) -> DataFrame:

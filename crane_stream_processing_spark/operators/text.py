@@ -37,6 +37,8 @@ __all__ = [
     "quality_score",
     "token_stats",
     "token_bigrams",
+    "doc_stats_struct",
+    "curation_struct",
     "fingerprint",
     "rolling_hash",
     "NGRAM_PROFILES",
@@ -85,29 +87,47 @@ def langid(col: Column | str) -> Column:
     return _argmax_label(scores, langs)
 
 
+_ALL_MARKERS = tuple(sorted({m for ms in LANG_MARKERS.values() for m in ms}))
+
+
+def _mean_token_len(c: Column, toks: Column) -> Column:
+    n_chars, n_tokens = F.length(c), F.size(toks)
+    return F.round(
+        (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+    )
+
+
+def _punct_ratio(c: Column) -> Column:
+    n_chars = F.length(c)
+    return F.round(
+        (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
+        / F.greatest(n_chars, F.lit(1)),
+        6,
+    )
+
+
+def _stopword_ratio(toks: Column) -> Column:
+    return F.round(
+        _marker_hits(toks, _ALL_MARKERS).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Document quality signals: length, token count, mean token length,
-    punctuation ratio, stopword ratio, uppercase ratio."""
+    punctuation ratio, stopword ratio, uppercase ratio. Each token-derived
+    entry let-binds its own token array (entries are independent output
+    columns, so one binding cannot span them — but within an entry the
+    tokenizer must not replicate per reference)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
     n_chars = F.length(c)
-    n_tokens = F.size(toks)
-    all_markers = tuple(sorted({m for ms in LANG_MARKERS.values() for m in ms}))
     return {
         "n_chars": n_chars.cast("bigint"),
-        "n_tokens": n_tokens.cast("bigint"),
-        "mean_token_len": F.round(
-            (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
-        ),
-        "punct_ratio": F.round(
-            (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
-            / F.greatest(n_chars, F.lit(1)),
-            6,
-        ),
-        "stopword_ratio": F.round(
-            _marker_hits(toks, all_markers).cast("double") / F.greatest(n_tokens, F.lit(1)),
-            6,
-        ),
+        "n_tokens": F.size(tokens(c)).cast("bigint"),
+        "mean_token_len": let(tokens(c), lambda toks: _mean_token_len(c, toks)),
+        "punct_ratio": _punct_ratio(c),
+        "stopword_ratio": let(tokens(c), _stopword_ratio),
         "upper_ratio": F.round(
             (n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))).cast("double")
             / F.greatest(n_chars, F.lit(1)),
@@ -119,12 +139,77 @@ def quality_features(col: Column | str) -> dict[str, Column]:
 def quality_score(col: Column | str) -> Column:
     """Composite quality score in [0,1]: rewards stopword presence and
     moderate length, penalizes punctuation soup — the standard shape of a
-    heuristic quality filter."""
-    f = quality_features(col)
-    len_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 0.4).otherwise(0.0)
-    stop_ok = F.least(f["stopword_ratio"] * 4, F.lit(0.4))
-    punct_pen = F.greatest(F.lit(0.2) - f["punct_ratio"], F.lit(0.0))
+    heuristic quality filter. One let-bound token pass for the whole
+    formula (the naive feature-dict form tokenized up to 6× per row once
+    CollapseProject merged the projection)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return let(tokens(c), lambda toks: _quality_from(c, toks))
+
+
+def _quality_from(c: Column, toks: Column) -> Column:
+    """quality_score's formula over an already-bound token array — shared
+    so the struct builders below stay bit-identical to quality_score."""
+    n_tok = F.size(toks).cast("bigint")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 0.4).otherwise(0.0)
+    stop_ok = F.least(_stopword_ratio(toks) * 4, F.lit(0.4))
+    punct_pen = F.greatest(F.lit(0.2) - _punct_ratio(c), F.lit(0.0))
     return F.round(len_ok + stop_ok + punct_pen, 6)
+
+
+def doc_stats_struct(col: Column | str) -> Column:
+    """Every per-document text-analysis signal in ONE let-bound struct —
+    language, token counts, ratios, quality, fingerprint. Consume it via
+    ``df.select(id, F.inline(F.array(doc_stats_struct("text"))))``: the
+    Generate evaluates the struct once per row and emits the fields as
+    real attributes, so a multi-signal projection tokenizes ONCE instead
+    of once per output column (independent select() entries cannot share
+    a let binding; a Generate is the barrier that can)."""
+    c = F.col(col) if isinstance(col, str) else col
+    langs = list(LANG_MARKERS)
+    n_chars = F.length(c)
+
+    def body(toks: Column) -> Column:
+        return F.struct(
+            _argmax_label(
+                F.array(*[_marker_hits(toks, LANG_MARKERS[l]) for l in langs]),
+                langs,
+            ).alias("lang"),
+            F.size(toks).cast("bigint").alias("ws_tokens"),
+            F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+            .cast("bigint")
+            .alias("bpe_ish_tokens"),
+            _punct_ratio(c).alias("punct_ratio"),
+            F.round(
+                (n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))).cast("double")
+                / F.greatest(n_chars, F.lit(1)),
+                6,
+            ).alias("upper_ratio"),
+            _stopword_ratio(toks).alias("stopword_ratio"),
+            _quality_from(c, toks).alias("quality"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+                "fingerprint"
+            ),
+        )
+
+    return let(tokens(c), body)
+
+
+def curation_struct(col: Column | str) -> Column:
+    """The curation pipeline's per-doc signals (quality, token count,
+    fingerprint) as one let-bound struct for F.inline — see
+    doc_stats_struct for the evaluate-once rationale."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(toks: Column) -> Column:
+        return F.struct(
+            _quality_from(c, toks).alias("q"),
+            F.size(toks).cast("bigint").alias("ws_tokens"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+                "fingerprint"
+            ),
+        )
+
+    return let(tokens(c), body)
 
 
 def token_stats(col: Column | str) -> dict[str, Column]:
