@@ -175,6 +175,26 @@ def test_registry_wide_no_accidental_quadratic_joins(spark, sf_dir):
     assert not offenders, f"quadratic join shapes crept in: {offenders}"
 
 
+def test_registry_wide_single_tokenization_per_plan_node(spark, sf_dir):
+    """Sweep every batch query's optimized plan: no plan node may contain
+    more than one split() (the tokenizer) — a second occurrence in one
+    node means CollapseProject re-inlined a staged token pipeline into
+    multiple reference sites and it now re-executes per row per site
+    (the 8× LSH / 6× text-stats regressions; see functions.let and
+    DESIGN.md). Occurrences across DIFFERENT nodes are fine — separate
+    operators legitimately re-tokenize their own inputs."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        if name.startswith("stream_"):
+            continue
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for ln in plan.splitlines():
+            if ln.count("split(") > 1:
+                offenders.setdefault(name, []).append(ln.strip()[:160])
+    assert not offenders, f"re-inlined tokenizations: {offenders}"
+
+
 def test_partitioned_roundtrip_prunes_directories(spark, sf_dir):
     """The event_type predicate must resolve at directory level
     (PartitionFilters on the hive-partitioned scan), not as a post-scan
