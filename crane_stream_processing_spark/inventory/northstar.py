@@ -868,6 +868,47 @@ def udf_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_grouped_agg_price_range",
+    oracle="""
+    SELECT o_orderpriority,
+           round(max(o_totalprice) - min(o_totalprice), 4) AS price_range,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udf_grouped_agg_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 keyed-aggregate surface via pandas GROUPED_AGG (the third
+    extension-point shape next to grouped-map and mapInPandas — the
+    reference App's ``join`` + ``mergeCache`` fold, reference
+    server/wordCount.go:45-74/33-43, as a vectorized Python aggregate):
+    per-priority price range (max − min), an aggregate whose Arrow-batched
+    Python evaluation is IEEE-exact so the oracle hash-matches (unlike a
+    Python mean, whose pandas pairwise summation order differs from SQL's
+    sequential fold). Plan: partial aggregation is NOT available to Python
+    UDAFs — the groups shuffle raw — which is exactly why the built-in
+    agg suite is the fast path and this grades only the extension point."""
+    import pandas as pd  # noqa: F401 — signature type for the UDF closure
+
+    from ..functions.udf import grouped_agg_pandas_udf
+
+    # Both outputs must be pandas aggregates: Spark refuses to mix a
+    # GROUPED_AGG pandas UDF with built-in aggregate functions in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT).
+    rng = grouped_agg_pandas_udf(
+        lambda s: float(s.max() - s.min()), "double"
+    )
+    cnt = grouped_agg_pandas_udf(lambda s: len(s), "long")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(rng("o_totalprice"), 4).alias("price_range"),
+            cnt("o_totalprice").alias("n_orders"),
+        )
+    )
+
+
+@query(
     "udf_flatmap_token_rows",
     oracle=f"""
     SELECT doc_id, len({SQL_TOKS}) AS n_tokens,
