@@ -218,3 +218,36 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT root_key, o_orderkey, depth FROM chain
         """
     )
+
+
+@query(
+    "sql_pipe_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> — SPARK-49555): the linear FROM |>
+    WHERE |> AGGREGATE |> ORDER BY form of a filter-aggregate, parsed to
+    the exact same logical plan as the nested SELECT (the oracle is the
+    classic form — identical results prove the equivalence). Surface
+    coverage next to WITH RECURSIVE / LATERAL / VARIANT in this module;
+    the decimal-cast SUM keeps the double exact per the engine's float
+    discipline."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                     COUNT(*) AS n_orders
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
