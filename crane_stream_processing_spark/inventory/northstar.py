@@ -909,6 +909,54 @@ def udf_grouped_agg_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_cogroup_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           COUNT(o_custkey) AS n_orders,
+           MAX(o_totalprice) AS max_price
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_acctbal
+    """,
+)
+def udf_cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CO-GROUPED map surface (cogroup().applyInPandas): both
+    relations shuffle on the key and arrive as two local pandas frames per
+    key — the truest Python analog of the reference sink's two-stream
+    keyed merge (reference server/wordCount.go:45-74: per-key cache fold
+    across tuple streams). Per-customer order count + max price computed
+    frame-side; count and max are exact, so the DuckDB LEFT JOIN oracle
+    hash-matches. The built-in join+agg is the fast path (no Python, one
+    shuffle side can broadcast); this grades the extension point."""
+    import pandas as pd
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(key, cdf: "pd.DataFrame", odf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cdf) == 0:  # orders whose customer is absent: LEFT JOIN drops them
+            return pd.DataFrame(
+                {"c_custkey": [], "c_acctbal": [], "n_orders": [], "max_price": []}
+            )
+        n = len(odf)
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "c_acctbal": [float(cdf["c_acctbal"].iloc[0])],
+                "n_orders": [n],
+                "max_price": [float(odf["o_totalprice"].max()) if n else None],
+            }
+        )
+
+    return (
+        cust.groupby("c_custkey")
+        .cogroup(orders.groupby("o_custkey"))
+        .applyInPandas(
+            merge, "c_custkey long, c_acctbal double, n_orders long, max_price double"
+        )
+    )
+
+
+@query(
     "udf_flatmap_token_rows",
     oracle=f"""
     SELECT doc_id, len({SQL_TOKS}) AS n_tokens,
