@@ -436,3 +436,79 @@ def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.some(F.col("value") > 99).alias("any_extreme"),
         )
     )
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    oracle="""
+    WITH seeds AS (SELECT * FROM (VALUES (0), (1), (2)) s(seed)),
+    sk AS (
+      SELECT seed,
+             substr(md5(CAST(seed AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+             COUNT(*) AS c
+      FROM events, seeds GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1
+      ORDER BY true_count DESC, user_id LIMIT 10
+    ),
+    cb AS (
+      SELECT user_id, true_count, seed,
+             substr(md5(CAST(seed AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket
+      FROM cand, seeds
+    )
+    SELECT cb.user_id, cb.true_count, MIN(sk.c) AS cms_estimate
+    FROM cb JOIN sk ON cb.seed = sk.seed AND cb.bucket = sk.bucket
+    GROUP BY 1, 2
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a pure DataFrame composition (depth 3 × width
+    256; buckets are the first 2 hex chars of a seeded md5, so Spark and
+    DuckDB materialize the identical sketch): one scan builds the
+    (seed, bucket) count grid — fixed 768 cells however many rows feed it,
+    fully map-side combinable, the mergeable-sketch shape that lets 100 TB
+    shards build sketches independently and OR them cell-wise later. The
+    query then point-reads the sketch for the true top-10 users and
+    reports estimate vs truth (CMS guarantees estimate >= truth). The
+    reference's only sketch-adjacent op is its keyed count
+    (server/wordCount.go:45-74); this is declared north-star surface."""
+    ev = t(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(s) for s in (0, 1, 2)])
+
+    def bucket(seed_col, key_col):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    seed_col.cast("string"), F.lit("#"), key_col.cast("string")
+                )
+            ),
+            1,
+            2,
+        )
+
+    sk = (
+        ev.select("user_id", F.explode(seeds).alias("seed"))
+        .select("seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "user_id")
+        .limit(10)
+    )
+    cb = cand.select(
+        "user_id", "true_count", F.explode(seeds).alias("seed")
+    ).select(
+        "user_id",
+        "true_count",
+        "seed",
+        bucket(F.col("seed"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        cb.join(F.broadcast(sk), ["seed", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

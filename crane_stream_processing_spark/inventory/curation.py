@@ -322,3 +322,157 @@ def curate_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "curate_quality_gate",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, tk,
+             len(tk) AS n_words,
+             list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS sum_len,
+             len(list_filter(tk, x -> x IN ('a', 'the'))) AS n_stop,
+             len(list_distinct(tk)) AS n_distinct
+      FROM (SELECT lang, {SQL_TOKS} AS tk FROM documents)
+      WHERE len(tk) > 0
+    ), g AS (
+      SELECT lang, n_words,
+             CAST(sum_len AS DOUBLE) / n_words AS mwl,
+             CAST(n_stop AS DOUBLE) / n_words AS sf,
+             CAST(n_distinct AS DOUBLE) / n_words AS df
+      FROM s
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (n_words BETWEEN 25 AND 80
+                            AND mwl >= 3.0 AND mwl <= 7.0
+                            AND sf <= 0.35 AND df >= 0.55) AS n_pass,
+           COUNT(*) FILTER (n_words NOT BETWEEN 25 AND 80) AS fail_len,
+           COUNT(*) FILTER (mwl < 3.0 OR mwl > 7.0) AS fail_wordlen,
+           COUNT(*) FILTER (sf > 0.35) AS fail_stop,
+           COUNT(*) FILTER (df < 0.55) AS fail_rep,
+           SUM(n_words) FILTER (n_words BETWEEN 25 AND 80
+                                AND mwl >= 3.0 AND mwl <= 7.0
+                                AND sf <= 0.35 AND df >= 0.55) AS kept_tokens
+    FROM g GROUP BY lang
+    """,
+)
+def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 rule
+    shapes, thresholds calibrated to the synthetic corpus): word-count
+    bounds, mean-word-length band, stopword-fraction ceiling, and a
+    distinct-token floor (repetition guard), with a per-rule failure audit
+    per language — the report a corpus-filtering run ships. All four
+    signals derive from ONE tokenization per row (let-bound: higher-order
+    lambdas get no CSE, see DESIGN.md) and reduce in one map-side-
+    combinable aggregate; at 100 TB this is a single scan with no
+    shuffle beyond the #langs-row rollup."""
+    from ..functions import let
+
+    docs = t(spark, sf_dir, "documents")
+    sig = let(
+        tokens("text"),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_words"),
+            F.aggregate(
+                tk, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).alias("sum_len"),
+            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias("n_stop"),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+        ),
+    )
+    nw = F.col("s.n_words")
+    mwl = F.col("s.sum_len").cast("double") / nw
+    sf = F.col("s.n_stop").cast("double") / nw
+    df_ = F.col("s.n_distinct").cast("double") / nw
+    ok_len = nw.between(25, 80)
+    ok_mwl = (mwl >= 3.0) & (mwl <= 7.0)
+    ok_stop = sf <= 0.35
+    ok_rep = df_ >= 0.55
+    ok = ok_len & ok_mwl & ok_stop & ok_rep
+    return (
+        docs.select("lang", sig.alias("s"))
+        .filter(nw > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(ok).alias("n_pass"),
+            F.count_if(~ok_len).alias("fail_len"),
+            F.count_if(~ok_mwl).alias("fail_wordlen"),
+            F.count_if(~ok_stop).alias("fail_stop"),
+            F.count_if(~ok_rep).alias("fail_rep"),
+            F.sum(F.when(ok, nw)).alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "curate_mixture_weights",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, SUM(len(tk)) AS lang_tokens
+      FROM (SELECT lang, {SQL_TOKS} AS tk FROM documents) GROUP BY lang
+    ), tot AS (
+      SELECT SUM(lang_tokens) AS total_tokens,
+             COUNT(*) FILTER (lang NOT IN ('en', 'es')) AS n_other
+      FROM lt
+    ), w AS (
+      SELECT lang, lang_tokens, total_tokens,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                       ELSE CAST(0.3 AS DOUBLE) / n_other END AS target_share
+      FROM lt, tot
+    )
+    SELECT lang, lang_tokens,
+           CAST(lang_tokens AS DOUBLE) / total_tokens AS corpus_share,
+           target_share,
+           LEAST(CAST(3.0 AS DOUBLE),
+                 target_share * total_tokens / lang_tokens) AS sample_weight,
+           LEAST(CAST(3.0 AS DOUBLE),
+                 target_share * total_tokens / lang_tokens) * lang_tokens
+             AS expected_tokens
+    FROM w
+    """,
+)
+def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: given a target language mixture (en 50%,
+    es 20%, remainder split evenly), derive the per-language sampling
+    weight (oversampling capped at 3 epochs — the standard repeat-budget
+    guard) and the expected token yield. This is the planning step before
+    a weighted corpus draw (sample_temperature_lang is the executing
+    step). One scan → #langs-row aggregate; the totals join is a
+    broadcast of a single row, so the plan stays one shuffle however big
+    the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    lt = (
+        docs.select("lang", F.size(tokens("text")).alias("ntok"))
+        .groupBy("lang")
+        .agg(F.sum("ntok").alias("lang_tokens"))
+    )
+    tot = lt.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count_if(~F.col("lang").isin("en", "es")).alias("n_other"),
+    )
+    w = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        "total_tokens",
+        F.when(F.col("lang") == "en", F.lit(0.5).cast("double"))
+        .when(F.col("lang") == "es", F.lit(0.2).cast("double"))
+        .otherwise(F.lit(0.3).cast("double") / F.col("n_other"))
+        .alias("target_share"),
+    )
+    weight = F.least(
+        F.lit(3.0).cast("double"),
+        F.col("target_share") * F.col("total_tokens") / F.col("lang_tokens"),
+    )
+    return w.select(
+        "lang",
+        "lang_tokens",
+        (F.col("lang_tokens").cast("double") / F.col("total_tokens")).alias(
+            "corpus_share"
+        ),
+        "target_share",
+        weight.alias("sample_weight"),
+        (weight * F.col("lang_tokens")).alias("expected_tokens"),
+    )
