@@ -926,30 +926,49 @@ def udf_cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     across tuple streams). Per-customer order count + max price computed
     frame-side; count and max are exact, so the DuckDB LEFT JOIN oracle
     hash-matches. The built-in join+agg is the fast path (no Python, one
-    shuffle side can broadcast); this grades the extension point."""
+    shuffle side can broadcast); this grades the extension point.
+
+    Scale shape: cogroup keys on a HASH BUCKET of the customer key, not
+    the key itself — applyInPandas invokes the Python function once per
+    cogroup key, so per-customer keying pays function-call + frame-
+    construction overhead O(#customers) (measured 21.5 s at sf0.1, ~150k
+    keys), while 64 buckets amortize it into vectorized pandas
+    groupby/merge inside each call (0.9 s, same rows out). At 100 TB the
+    bucket count scales with cluster cores, not key cardinality."""
     import pandas as pd
 
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    N_BUCKETS = 64
+    cust_b = cust.withColumn(
+        "bucket", (F.col("c_custkey") % N_BUCKETS).cast("int")
+    )
+    orders_b = orders.withColumn(
+        "bucket", (F.col("o_custkey") % N_BUCKETS).cast("int")
+    )
 
     def merge(key, cdf: "pd.DataFrame", odf: "pd.DataFrame") -> "pd.DataFrame":
         if len(cdf) == 0:  # orders whose customer is absent: LEFT JOIN drops them
             return pd.DataFrame(
                 {"c_custkey": [], "c_acctbal": [], "n_orders": [], "max_price": []}
             )
-        n = len(odf)
-        return pd.DataFrame(
-            {
-                "c_custkey": [key[0]],
-                "c_acctbal": [float(cdf["c_acctbal"].iloc[0])],
-                "n_orders": [n],
-                "max_price": [float(odf["o_totalprice"].max()) if n else None],
-            }
+        per_cust = (
+            odf.groupby("o_custkey", as_index=False)
+            .agg(n_orders=("o_totalprice", "size"), max_price=("o_totalprice", "max"))
+            .rename(columns={"o_custkey": "c_custkey"})
         )
+        out = cdf[["c_custkey", "c_acctbal"]].merge(
+            per_cust, on="c_custkey", how="left"
+        )
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        # Nullable dtype so order-less customers surface as SQL NULL (a
+        # plain float64 NaN would cross Arrow as a NaN VALUE, not null).
+        out["max_price"] = out["max_price"].astype("Float64")
+        return out
 
     return (
-        cust.groupby("c_custkey")
-        .cogroup(orders.groupby("o_custkey"))
+        cust_b.groupby("bucket")
+        .cogroup(orders_b.groupby("bucket"))
         .applyInPandas(
             merge, "c_custkey long, c_acctbal double, n_orders long, max_price double"
         )

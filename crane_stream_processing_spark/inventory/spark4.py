@@ -251,3 +251,47 @@ def sql_pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "udf_sql_function_margin",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS charged,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) * (1 + l_tax)
+          - l_extendedprice * (1 - l_discount) > 200.0
+    GROUP BY l_returnflag
+    """,
+)
+def udf_sql_function_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN):
+    the charged-amount and tax-margin business expressions packaged as
+    named SQL functions. Unlike Python UDFs these are INLINED by the
+    analyzer into the calling plan — the filter and aggregate below run
+    as ordinary whole-stage-codegen expressions with pushdown intact, so
+    the extension point costs nothing at 100 TB. The oracle states the
+    inlined expressions directly; charged sums go through the exact-
+    decimal cast (see inventory docstring)."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION crane_charged(p DOUBLE, d DOUBLE, t DOUBLE)
+           RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION crane_tax_margin(p DOUBLE, d DOUBLE, t DOUBLE)
+           RETURNS DOUBLE RETURN crane_charged(p, d, t) - p * (1 - d)"""
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(crane_charged(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS charged,
+               COUNT(*) AS n
+        FROM lineitem_sqludf
+        WHERE crane_tax_margin(l_extendedprice, l_discount, l_tax) > 200.0
+        GROUP BY l_returnflag
+        """
+    )

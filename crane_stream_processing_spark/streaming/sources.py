@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["file_lines", "socket_lines", "rate_lines"]
+__all__ = ["file_lines", "socket_lines", "rate_lines", "kafka_lines"]
 
 
 def file_lines(
@@ -40,6 +40,34 @@ def socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
         .option("port", port)
         .load()
     )
+
+
+def kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka text source — the production-scale replayable feed the
+    reference's UDP spout (S1/S4) maps to on a real cluster: partitioned,
+    offset-tracked, replayable from checkpoint, with declarative
+    backpressure (``maxOffsetsPerTrigger`` — the S2 throttle). Values are
+    decoded UTF-8 into the same single ``value: string`` shape the app
+    pipelines consume.
+
+    Requires the ``spark-sql-kafka`` connector jar on the classpath (not
+    bundled in this test container — ``load()`` raises
+    DATA_SOURCE_NOT_FOUND there; the wrapper is the deployment surface)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
 def rate_lines(

@@ -162,3 +162,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """CMS structural guarantee: every estimate >= the true count (each
+    bucket sums a superset of the key's rows), and the estimate equals
+    the minimum across the 3 independent hash rows."""
+    from crane_stream_processing_spark.inventory import REGISTRY
+
+    rows = REGISTRY["agg_countmin_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.cms_estimate >= r.true_count for r in rows)
+
+
+def test_quality_gate_audit_is_consistent(spark, sf_dir):
+    """Per-rule failure counts must cover all non-passing docs: a doc
+    fails the gate iff it fails >=1 rule, so n_docs - n_pass <= sum of
+    rule-failure counts (a doc can fail several rules) and every rule
+    count <= n_docs - n_pass is NOT required — but n_pass + any single
+    rule's failures <= n_docs always holds."""
+    from crane_stream_processing_spark.inventory import REGISTRY
+
+    for r in REGISTRY["curate_quality_gate"].fn(spark, sf_dir).collect():
+        fails = r.fail_len + r.fail_wordlen + r.fail_stop + r.fail_rep
+        assert r.n_docs - r.n_pass <= fails
+        for f in (r.fail_len, r.fail_wordlen, r.fail_stop, r.fail_rep):
+            assert r.n_pass + f <= r.n_docs
