@@ -345,6 +345,47 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_DIRS: dict[str, tuple[str, object]] = {}
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS first_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 ORC surface — the other built-in columnar format (predicate
+    pushdown + column pruning work the same as parquet): orders written
+    as ORC, read back with the explicit schema, aggregated; timestamp
+    min proves type fidelity through the format. Fixture cached per
+    (process, sf_dir); the graded path is the typed ORC scan."""
+    import tempfile
+
+    from . import dsum
+
+    cached = _ORC_DIRS.get(sf_dir)
+    if cached is None:
+        src = t(spark, sf_dir, "orders")
+        path = tempfile.mkdtemp(prefix="crane_orc_")
+        src.write.mode("overwrite").orc(path)
+        cached = (path, src.schema)
+        _ORC_DIRS[sf_dir] = cached
+    path, schema = cached
+    df = spark.read.schema(schema).orc(path)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_order"
+        ),
+    )
+
+
 _BUCKETED_SFS: set[str] = set()  # sf_dirs whose bucketed tables exist
 
 

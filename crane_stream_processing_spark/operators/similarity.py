@@ -138,6 +138,65 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_ann_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query searches its own bucket PLUS every
+    bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    recall knob for LSH (Lv et al., VLDB'07): a true neighbor lands in a
+    different bucket exactly when some hyperplane separates the pair, and
+    single-bit probes recover the (by far) most likely such misses without
+    re-hashing or extra tables. Cost: 1 + |planes| probe rows per query —
+    the probe fan-out is on the (small) query side only; the corpus is
+    still hashed once and the join stays a bucket equi-join. A candidate
+    lives in exactly one bucket, so probes can't duplicate pairs."""
+    n = len(planes)
+    bucket = lsh_bucket(F.col(vec_col), planes)
+    probe_list = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << p) for p in range(n)]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2norm(vec_col).alias("qn"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("qn") > 0)
+        .select(
+            "query_id", "qvec", "qn", F.explode(probe_list).alias("bucket")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).filter(F.col("cn") > 0)
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
     """Per-centroid dot products as an array column. Materialize this into
     its own column before argmax-ing — `ivf_centroid` references it twice

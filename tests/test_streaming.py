@@ -298,3 +298,67 @@ def test_streaming_hot_resources_app(spark, tdir):
 def test_unknown_app_rejected(spark, tdir):
     with pytest.raises(KeyError):
         start_app(spark, "nosuch", tdir, tdir)
+
+
+def test_watermark_drops_late_data_across_batches(spark, tdir):
+    """ST5 end-to-end: an event arriving BEHIND the watermark is dropped
+    from an append-mode windowed aggregate. Batch 1 (file A) advances the
+    watermark past the old window; batch 2 (file B) replays an event in
+    that old window plus a fresh one — the late event must not resurrect
+    or re-emit the closed window. The reference cannot express this at
+    all (processing-time only, ST5); duplicates there are silently
+    re-counted (ST2)."""
+    import json
+
+    src = os.path.join(tdir, "wm_src")
+    ckpt = os.path.join(tdir, "wm_ckpt")
+    _write_lines(
+        src,
+        "a.json",
+        [json.dumps({"ts": "2026-01-01 00:00:30", "k": "old"}),
+         json.dumps({"ts": "2026-01-01 06:00:00", "k": "new"})],
+    )
+
+    from pyspark.sql import functions as F
+
+    emitted: list[tuple] = []
+
+    def run_once():
+        lines = (
+            spark.readStream.schema("ts timestamp, k string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        agg = (
+            lines.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _: emitted.extend(
+                    (r.ws, r.k, r.n) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1: watermark advances to 06:00 - 10 min
+    _write_lines(
+        src,
+        "b.json",
+        [json.dumps({"ts": "2026-01-01 00:00:40", "k": "old"}),   # LATE: behind watermark
+         json.dumps({"ts": "2026-01-01 07:00:00", "k": "newer"})],
+    )
+    run_once()  # batch 2 processes b.json; late row must be discarded
+
+    # the 00:00 window closed with ONLY the batch-1 event; the late replay
+    # neither re-opened it nor produced a second emission
+    assert ("2026-01-01 00:00:00", "old", 1) in emitted
+    old_rows = [r for r in emitted if r[1] == "old"]
+    assert old_rows == [("2026-01-01 00:00:00", "old", 1)]
