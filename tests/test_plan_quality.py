@@ -141,6 +141,7 @@ def test_tfidf_vocab_sides_broadcast(spark, sf_dir):
 _NLJ_ALLOWED = {
     "dedup_embedding_near_pairs",
     "dedup_ngram_jaccard_pairs",
+    "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "join_cross_region_pairs",
     "join_theta_price_bands",
     "sample_temperature_lang",
