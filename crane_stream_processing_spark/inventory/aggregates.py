@@ -512,3 +512,87 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def _hll_sql(strpos: str, shl, cast_str: str, table: str) -> str:
+    """One HLL-from-md5 SQL body instantiated for both dialects (Spark:
+    instr/shiftleft/STRING; DuckDB: strpos/<< /VARCHAR) so the estimate is
+    bit-identical cross-engine. m=256 buckets from the first 2 hex chars;
+    rho = 1-based position of the first 1-bit of the next 48 bits, derived
+    from the leading-zero run ('^0*' regexp) plus a nibble bit-length
+    case; registers combine as EXACT bigints (sum of 2^(48-M_j) — fits in
+    2^57), so partial-merge order cannot perturb the result; the only
+    float ops are the final constant multiply/divide and the standard
+    linear-counting correction for the small range (<= 2.5m with empty
+    buckets)."""
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0  # alpha_256 * m^2
+    two48 = "CAST(281474976710656 AS BIGINT)"
+    raw = (
+        f"CAST({alpha_m2!r} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)"
+        f" / CAST(s_present + (256 - nb) * {two48} AS DOUBLE)"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS {cast_str})) AS hh FROM {table}
+    ), parts AS (
+      SELECT event_type,
+             ({strpos}('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+               + ({strpos}('0123456789abcdef', substr(hh, 2, 1)) - 1) AS bucket,
+             length(regexp_extract(substr(hh, 3, 12), '^0*', 0)) AS lz,
+             {strpos}('123456789abcdef',
+                      substr(substr(hh, 3, 12),
+                             length(regexp_extract(substr(hh, 3, 12), '^0*', 0)) + 1,
+                             1)) AS v
+      FROM h
+    ), rho AS (
+      SELECT event_type, bucket,
+             LEAST(CASE WHEN v = 0 THEN 49
+                        ELSE 4 * lz + 5 - (CASE WHEN v >= 8 THEN 4
+                                                WHEN v >= 4 THEN 3
+                                                WHEN v >= 2 THEN 2
+                                                ELSE 1 END) END,
+                   48) AS r
+      FROM parts
+    ), bm AS (
+      SELECT event_type, bucket, MAX(r) AS m FROM rho GROUP BY event_type, bucket
+    ), reg AS (
+      SELECT event_type,
+             CAST(SUM({shl("CAST(1 AS BIGINT)", "48 - m")}) AS BIGINT) AS s_present,
+             COUNT(*) AS nb
+      FROM bm GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM {table}
+      GROUP BY event_type
+    )
+    SELECT reg.event_type,
+           CASE WHEN {raw} <= 640.0 AND nb < 256
+                THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / (256 - nb))
+                ELSE {raw} END AS hll_estimate,
+           nb AS n_buckets,
+           n_exact
+    FROM reg JOIN ex ON reg.event_type = ex.event_type
+    """
+
+
+@query(
+    "agg_hll_deterministic_distinct",
+    oracle=_hll_sql(
+        "strpos", lambda a, b: f"({a} << ({b}))", "VARCHAR", "events"
+    ),
+)
+def agg_hll_deterministic_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles on md5 (m=256, 48-bit rho
+    domain, linear-counting small-range correction) — unlike the opaque
+    hll_sketch_agg (rows-only by contract), this sketch is DETERMINISTIC
+    and cross-engine exact, so the full estimate is oracle-checked. The
+    register table is 256 bigint cells per group built by one map-side-
+    combinable MAX aggregate — the mergeable shape that distinct-counts
+    100 TB shards without re-shuffling ids; the exact COUNT(DISTINCT) is
+    computed alongside as the accuracy report (at this cardinality the
+    corrected estimate lands within ~5%)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_hll")
+    return spark.sql(
+        _hll_sql(
+            "instr", lambda a, b: f"shiftleft({a}, {b})", "STRING", "events_hll"
+        )
+    )

@@ -251,3 +251,44 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), anch AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM anch GROUP BY user_id, anchor
+    )
+    SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak detection (the OTHER sessionization idiom,
+    complementing session_window's gap semantics): consecutive active
+    DAYS collapse to one anchor date (day minus its per-user row_number),
+    so each maximal run is one group — per-user streak count and longest
+    run. One distinct, one window, two map-side-combinable aggregates,
+    all partitioned by user: no global ordering anywhere, so the plan is
+    the same three hash shuffles at any corpus size."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anch = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = anch.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak_days"),
+    )

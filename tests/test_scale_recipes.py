@@ -188,3 +188,17 @@ def test_quality_gate_audit_is_consistent(spark, sf_dir):
         assert r.n_docs - r.n_pass <= fails
         for f in (r.fail_len, r.fail_wordlen, r.fail_stop, r.fail_rep):
             assert r.n_pass + f <= r.n_docs
+
+
+def test_deterministic_hll_accuracy(spark, sf_dir):
+    """The md5-HLL estimate must land within the sketch's theoretical
+    error envelope (~1.04/sqrt(256) ≈ 6.5% per-group; allow 3 sigma) of
+    the exact distinct count it reports alongside."""
+    from crane_stream_processing_spark.inventory import REGISTRY
+
+    rows = REGISTRY["agg_hll_deterministic_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_estimate - r.n_exact) / r.n_exact <= 0.20, (
+            r.event_type, r.hll_estimate, r.n_exact
+        )
