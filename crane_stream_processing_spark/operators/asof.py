@@ -42,13 +42,21 @@ def asof_join(
     value_cols = list(value_cols)
 
     lhs = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    # The matched right row travels as ONE struct: last(ignorenulls) must
+    # pick the whole most-recent right ROW, not carry each value column
+    # independently — per-column carry would skip a NULL in the newest
+    # right row back to a STALE older row's value (and could stitch
+    # together columns from different right rows). The struct itself is
+    # non-null for every right row (even when all its fields are NULL),
+    # so NULL values inside the matched row are preserved as NULLs.
     rhs = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__r"),
     )
-    # unionByName with missing-column fill keeps left payload columns.
+    # unionByName with missing-column fill keeps left payload columns and
+    # leaves __r NULL on left rows (so ignorenulls skips them).
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # Right rows (side=0) sort before left rows at the same timestamp, so a
@@ -59,13 +67,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in value_cols
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rlast")
     )
     out_cols: list[Column] = [F.col(c) for c in left.columns] + [
-        F.col(f"{v}{suffix}") for v in value_cols
+        F.col(f"__rlast.{v}").alias(f"{v}{suffix}") for v in value_cols
     ]
     return carried.filter(F.col("__side") == 1).select(*out_cols)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import let, md5_hex, tokens
+from ..functions import let, md5_hex, seeded_md5, tokens
 
 __all__ = [
     "exact_dedup",
@@ -86,10 +86,11 @@ def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Colu
         def seed_min(seed: int) -> Column:
             # Single-parameter lambda only: pyspark calls a 2-arg transform
             # lambda as (element, index), which would silently rebind a seed
-            # default to the index column.
-            prefix = F.lit(f"{seed}#")
+            # default to the index column. Hashing delegates to
+            # functions.seeded_md5 so the seed scheme (and its DuckDB
+            # twin) lives in exactly one place.
             return F.array_min(
-                F.transform(shs, lambda sh: F.md5(F.concat(prefix, sh)))
+                F.transform(shs, lambda sh: seeded_md5(sh, seed))
             )
 
         return F.array(*[seed_min(s) for s in range(num_hashes)])
@@ -288,7 +289,18 @@ def connected_components(
             .select(F.col("u").alias("node"), F.col("u").alias("label"))
             .localCheckpoint(eager=True)
         )
-        prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        def signature(lb: DataFrame):
+            # Type-agnostic convergence probe: an exact decimal sum of
+            # per-row (node, label) hashes — changes whenever ANY label
+            # changes (mod astronomically unlikely collisions), works for
+            # string ids (a numeric cast of the label would throw under
+            # ANSI or go NULL and falsely report convergence after one
+            # round), and is merge-order-independent (decimal addition).
+            return lb.agg(
+                F.sum(F.xxhash64("node", "label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+
+        prev_sum = signature(labels)
         for _ in range(max_iters):
             nbr = (
                 edges.join(labels, edges.v == labels.node)
@@ -300,7 +312,7 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            cur_sum = signature(labels)
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum

@@ -37,6 +37,8 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames",
+    "CHUNK_SCHEMA",
+    "chunk_audio",
 ]
 
 # The typed envelope for an opaque media blob: payload + metadata columns a

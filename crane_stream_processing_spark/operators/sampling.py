@@ -79,8 +79,15 @@ def hex_threshold_col(fraction: Column) -> Column:
 
     def body(f: Column) -> Column:
         scaled = F.floor(f * F.lit(float(16**_HEX_DIGITS))).cast("bigint")
-        return F.when(f >= 1.0, F.lit("g")).otherwise(
-            F.lpad(F.lower(F.hex(scaled)), _HEX_DIGITS, "0")
+        # NULL or <= 0 must mean keep-NOTHING ('0'*8 sorts below every md5
+        # prefix). Unclamped, a negative weight's two's-complement hex
+        # would lpad-truncate to 'ffffffff' — keep-probability ~1, the
+        # exact inversion of the caller's intent (e.g. a model score
+        # dipping below zero).
+        return (
+            F.when(~(f > 0.0) | f.isNull(), F.lit("0" * _HEX_DIGITS))
+            .when(f >= 1.0, F.lit("g"))
+            .otherwise(F.lpad(F.lower(F.hex(scaled)), _HEX_DIGITS, "0"))
         )
 
     return let(fraction.cast("double"), body)

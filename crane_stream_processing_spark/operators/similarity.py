@@ -25,11 +25,14 @@ __all__ = [
     "cosine_topk",
     "cosine_near_pairs",
     "lsh_ann_topk",
+    "lsh_ann_topk_multiprobe",
     "centroid_dots",
     "ivf_centroid",
+    "ivf_bucket_corpus",
     "ivf_ann_topk",
     "ivf_ann_topk_nprobe",
     "kmeans_fit",
+    "random_projection",
 ]
 
 
@@ -61,6 +64,31 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _cosine_topk_within(
+    q: DataFrame, c: DataFrame, k: int, on: str | None = None
+) -> DataFrame:
+    """Shared tail of every top-k variant: score each (query, candidate)
+    pair sharing ``on`` (crossJoin when None — the exact baseline), exact
+    cosine from the precomputed norms, deterministic per-query top-k
+    (score desc, candidate id tiebreak). One definition so the contract —
+    self-pair filter, 6-decimal rounding, tiebreak — cannot drift between
+    the exact, LSH, multi-probe, and IVF variants."""
+    joined = q.crossJoin(c) if on is None else q.join(c, on)
+    scored = joined.filter(F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "cand_id",
+        F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -87,17 +115,7 @@ def cosine_topk(
         F.col(vec_col).alias("cvec"),
         l2norm(vec_col).alias("cn"),
     ).filter(F.col("cn") > 0)
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_within(q, c, k)
 
 
 def lsh_ann_topk(
@@ -125,17 +143,7 @@ def lsh_ann_topk(
         l2norm(vec_col).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).filter(F.col("cn") > 0)
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_within(q, c, k, on="bucket")
 
 
 def lsh_ann_topk_multiprobe(
@@ -178,23 +186,7 @@ def lsh_ann_topk_multiprobe(
         l2norm(vec_col).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).filter(F.col("cn") > 0)
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _cosine_topk_within(q, c, k, on="bucket")
 
 
 def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
@@ -265,17 +257,7 @@ def ivf_ann_topk(
     c = bucketed if bucketed is not None else ivf_bucket_corpus(
         corpus, centroids, id_col, vec_col
     )
-    scored = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_within(q, c, k, on="cell")
 
 
 def ivf_ann_topk_nprobe(
@@ -318,10 +300,18 @@ def ivf_ann_topk_nprobe(
             "query_id",
             "qvec",
             "qn",
+            # array_distinct: tied centroid dots both map (via
+            # array_position first-occurrence) to the SAME cell — without
+            # the dedup a tie probes one cell twice, duplicating every
+            # candidate pair in it and crowding real rows out of the top-k.
             F.explode(
-                F.transform(
-                    "__top",
-                    lambda d: (F.array_position(F.col("__dots"), d) - 1).cast("int"),
+                F.array_distinct(
+                    F.transform(
+                        "__top",
+                        lambda d: (
+                            F.array_position(F.col("__dots"), d) - 1
+                        ).cast("int"),
+                    )
                 )
             ).alias("cell"),
         )
@@ -329,17 +319,7 @@ def ivf_ann_topk_nprobe(
     c = bucketed if bucketed is not None else ivf_bucket_corpus(
         corpus, centroids, id_col, vec_col
     )
-    scored = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_within(q, c, k, on="cell")
 
 
 def kmeans_fit(

@@ -62,7 +62,20 @@ def salted_join(
     join runs on (key, salt) — the hot key's rows spread over n tasks.
 
     Use when the small side is too big to broadcast but the key histogram
-    is pathological; cost = n× replication of the small side."""
+    is pathological; cost = n× replication of the small side.
+
+    ``how`` must not preserve unmatched SMALL-side rows: the small side is
+    physically replicated per salt, so right/full outer would emit each
+    unmatched small row ``salt_buckets`` times (and pad matched keys with
+    one null-extended row per salt the fact rows missed). Salt the other
+    side instead for those shapes."""
+    if how in ("right", "rightouter", "right_outer", "full", "outer",
+               "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched small-side "
+            "rows once per salt bucket; swap the sides (salt the small "
+            "side's counterpart) for right/full outer semantics"
+        )
     salted_fact = skewed.withColumn("__salt", _salt(salt_buckets))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -16,7 +16,7 @@ at-least-once-with-duplicates (SURVEY.md §2.9 ST1-ST3).
   progress listener (the acker's books without its replay duty)
 """
 
-from .sources import file_lines, socket_lines, rate_lines
+from .sources import file_lines, kafka_lines, rate_lines, socket_lines
 from .sinks import MergeSink, VersionedSink, read_latest, read_versions, list_versions
 from .engine import start_app, stop_app
 from .monitor import ProgressRecorder, with_observed_metrics
@@ -25,6 +25,7 @@ __all__ = [
     "file_lines",
     "socket_lines",
     "rate_lines",
+    "kafka_lines",
     "VersionedSink",
     "MergeSink",
     "read_latest",

@@ -95,10 +95,17 @@ class MergeSink(VersionedSink):
     inserted, and the merged snapshot commits as a NEW version — readers
     time-travel across merge states exactly like SDFS versions.
 
-    Exactly-once: the version id is the foreachBatch ``batch_id``; a retry
-    of an already-committed batch is a no-op (the marker is the ledger),
-    so sink-side duplicates are impossible — the property the reference's
-    at-least-once acker could not give (SURVEY.md §2.9 ST1).
+    Exactly-once: committed foreachBatch ``batch_id``s are recorded in a
+    ``_batches/`` ledger SEPARATE from the version-id sequence; a retry of
+    an already-committed batch is a no-op, so sink-side duplicates are
+    impossible — the property the reference's at-least-once acker could
+    not give (SURVEY.md §2.9 ST1). The version id is allocated as
+    max(existing)+1, NOT the batch id: versions and batch ids share no
+    number line, so an interleaved :func:`compact_latest` (which also
+    allocates max+1) can never collide with a future batch and shadow its
+    merge. If a crash lands between the version commit and the batch
+    marker, the retry re-merges the same batch — content-idempotent, since
+    the anti-join replaces the batch's keys with identical rows.
 
     Scale: each merge rewrites the snapshot (read latest + anti-join +
     union) — O(|snapshot|) per batch, fine while snapshots are aggregate-
@@ -115,21 +122,34 @@ class MergeSink(VersionedSink):
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         self.merge_version(df, batch_id)
 
-    def merge_version(self, batch_df: DataFrame, version: int) -> None:
-        if version in list_versions(self.base_dir, self.name):
+    def _batch_ledger_dir(self) -> str:
+        return os.path.join(self.base_dir, self.name, "_batches")
+
+    def _batch_marker(self, batch_id: int) -> str:
+        return os.path.join(self._batch_ledger_dir(), f"{batch_id:020d}.json")
+
+    def merge_version(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._batch_marker(batch_id)):
             return  # retried batch: already committed, idempotent no-op
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(self.keys)
-        try:
-            current = read_latest(spark, self.base_dir, self.name)
-        except FileNotFoundError:
+        versions = list_versions(self.base_dir, self.name)
+        version = (versions[0] + 1) if versions else 0
+        if not versions:
             merged = batch
         else:
+            current = read_latest(spark, self.base_dir, self.name)
             kept = current.join(
                 batch.select(*self.keys), on=self.keys, how="left_anti"
             )
             merged = kept.unionByName(batch)
         self.write_version(merged, version)
+        os.makedirs(self._batch_ledger_dir(), exist_ok=True)
+        marker = self._batch_marker(batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "version": version}, f)
+        os.replace(tmp, marker)
 
 
 def list_versions(base_dir: str, name: str) -> list[int]:
@@ -185,7 +205,15 @@ def compact_latest(
     metadata-transactional rewrite — readers either resolve the old version
     or, after the marker lands, the compacted one; nothing is mutated in
     place (old versions remain for time travel until expire_versions).
-    Returns the new version id."""
+    Returns the new version id.
+
+    Interleaving with live sinks: MergeSink allocates its version ids from
+    the same max+1 sequence but its exactly-once ledger tracks BATCH ids
+    separately, so a compaction between micro-batches is safe. A plain
+    VersionedSink in complete mode uses batch_id as the version — a
+    compaction there may be overwritten by the next snapshot (harmless:
+    complete snapshots carry the full state) — compact those after the
+    query stops or on the read path."""
     versions = list_versions(base_dir, name)
     if not versions:
         raise FileNotFoundError(f"no committed versions for {name!r} in {base_dir}")

@@ -1,0 +1,111 @@
+"""Regression tests for defects found in operator review: each test is
+the minimal scenario that failed before the fix and must keep failing
+loudly if the behavior regresses."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_asof_null_value_in_latest_right_row_is_preserved(spark):
+    """The matched right row must be carried as a UNIT: when the most
+    recent right row has a NULL value column, the as-of result is that
+    NULL — not a stale value resurrected from an older right row."""
+    from crane_stream_processing_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 100.0, "a"), ("k", 5, None, "b")],
+        "k string, ts long, val double, tag string",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["val", "tag"],
+    ).collect()[0]
+    assert row.val_r is None  # ts=5 row's NULL, not ts=1's 100.0
+    assert row.tag_r == "b"   # and no cross-row stitching
+
+
+def test_connected_components_string_ids_diameter_two(spark):
+    """String node ids must propagate to convergence: a numeric cast in
+    the convergence probe either threw (ANSI) or nulled out and stopped
+    after ONE round, leaving chains of diameter >= 2 mislabeled."""
+    from crane_stream_processing_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_weighted_sample_negative_and_null_weights_keep_nothing(spark):
+    """A weight <= 0 (or NULL) is keep-probability zero; before the clamp
+    a negative weight's two's-complement hex truncated to 'ffffffff' and
+    kept ~every row."""
+    from crane_stream_processing_spark.operators.sampling import weighted_sample
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert weighted_sample(df, F.lit(-0.5), "doc_id").count() == 0
+    assert weighted_sample(df, F.lit(None).cast("double"), "doc_id").count() == 0
+    assert weighted_sample(df, F.lit(1.5), "doc_id").count() == 100
+
+
+def test_ivf_nprobe_tied_centroids_no_duplicate_pairs(spark):
+    """Tied centroid dots map to the same cell via array_position; the
+    probe list must dedupe or the tie probes one cell twice and emits
+    duplicate (query, candidate) pairs inside the top-k."""
+    from crane_stream_processing_spark.operators.similarity import (
+        ivf_ann_topk_nprobe,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    dup_centroids = [[1.0, 0.5], [1.0, 0.5]]  # every query ties both cells
+    out = ivf_ann_topk_nprobe(
+        emb, emb.filter("vec_id < 3"), dup_centroids, k=3, nprobe=2
+    )
+    rows = [(r.query_id, r.cand_id) for r in out.collect()]
+    assert len(rows) == len(set(rows)), rows
+
+
+def test_salted_join_rejects_small_side_preserving_outer(spark):
+    """right/full outer over the salt-replicated small side would emit
+    each unmatched small row once per salt bucket — refuse loudly."""
+    from crane_stream_processing_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("a", "A"), ("c", "C")], "k string, d string")
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(fact, small, "k", salt_buckets=4, how="right")
+    # inner/left remain supported and correct
+    got = {(r.k, r.v, r.d) for r in
+           salted_join(fact, small, "k", salt_buckets=4, how="left").collect()}
+    assert got == {("a", 1, "A")}
+
+
+def test_merge_sink_survives_interleaved_compaction(spark, tmp_path):
+    """Version ids and batch ids are separate sequences: a compaction
+    between micro-batches previously allocated the NEXT batch's id as its
+    version, so that batch's merge was skipped as a 'retry' and its rows
+    were silently lost."""
+    from crane_stream_processing_spark.streaming.sinks import (
+        MergeSink,
+        compact_latest,
+        read_latest,
+    )
+
+    base = str(tmp_path)
+    sink = MergeSink(base, "state", keys=["k"])
+    sink(spark.createDataFrame([("a", 1)], "k string, n int"), 0)
+    sink(spark.createDataFrame([("b", 2)], "k string, n int"), 1)
+    compact_latest(spark, base, "state")
+    sink(spark.createDataFrame([("c", 3)], "k string, n int"), 2)  # must merge
+    sink(spark.createDataFrame([("c", 99)], "k string, n int"), 2)  # retry: no-op
+    got = {(r.k, r.n) for r in read_latest(spark, base, "state").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
