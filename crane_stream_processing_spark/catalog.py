@@ -19,7 +19,14 @@ from pyspark.sql import types as T
 
 from .session import exclude_generate_filter_rule
 
-__all__ = ["TABLES", "SCHEMAS", "default_sf_dir", "load_table", "load_tables"]
+__all__ = [
+    "TABLES",
+    "SCHEMAS",
+    "default_sf_dir",
+    "load_table",
+    "load_tables",
+    "normalize_events_ts",
+]
 
 TABLES = (
     "region",
@@ -155,16 +162,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # for MICROS files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Normalize events.ts to TIMESTAMP_LTZ whatever the stored type:
-    # TIMESTAMP(NANOS) arrives as long under nanosAsLong → integer-divide
-    # ns → µs (no double-precision loss; DuckDB truncates identically);
-    # TIMESTAMP(MICROS) NTZ → reinterpret in the UTC session.
-    for f in df.schema.fields:
-        if name == "events" and f.name == "ts":
-            if f.dataType.typeName() == "long":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            elif f.dataType.typeName() == "timestamp_ntz":
-                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if name == "events" and "ts" in df.columns:
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts → TIMESTAMP_LTZ (UTC session) whatever the stored type:
+    TIMESTAMP(NANOS) arrives as long under nanosAsLong → integer-divide
+    ns → µs (no double-precision loss; DuckDB truncates identically);
+    TIMESTAMP(MICROS) NTZ → reinterpret in the UTC session. The single
+    definition of the timestamp contract — batch (load_table) and
+    streaming (streaming_queries) both call it, so the two paths cannot
+    disagree on the same column."""
+    kind = df.schema["ts"].dataType.typeName()
+    if kind == "long":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -93,22 +93,52 @@ def main(argv: list[str] | None = None) -> int:
             print(n)
         return 0
 
+    # Stop the session on exit ONLY if this invocation created it: main()
+    # is also called programmatically (tests, notebooks), where killing
+    # the caller's active session would break everything after us.
+    owns_session = SparkSession.getActiveSession() is None
     spark = _spark()
     try:
         if a.cmd == "grep":
             from .apps import grep, grep_counts
 
+            from collections import Counter
+
             matches = grep(spark, a.path, a.pattern)
-            for r in matches.collect():
+            # One distributed scan: per-file counts are tallied driver-
+            # side from the already-collected matches (grep_counts(df)
+            # remains the distributed form for counts-only callers —
+            # collecting here anyway, a second scan would double the work).
+            rows = matches.collect()
+            counts = Counter()
+            for r in rows:
                 print(f"{r.vm}:{r.line_no}: {r.value}")
-            for r in grep_counts(matches).collect():
-                print(f"# {r.vm}: {r.cnt} matches", file=sys.stderr)
+                counts[r.vm] += 1
+            for vm in sorted(counts):
+                print(f"# {vm}: {counts[vm]} matches", file=sys.stderr)
         elif a.cmd == "put":
             from .streaming.sinks import VersionedSink, list_versions
 
+            # Parquet is detected by CONTENT, not filename: a Spark
+            # parquet output is a directory of part-*.parquet with no
+            # suffix on the directory itself — suffix sniffing sent those
+            # through the CSV reader, which happily parses the binary
+            # footers into mojibake rows and commits a corrupt version.
+            def _is_parquet(path: str) -> bool:
+                import os
+
+                if path.endswith(".parquet"):
+                    return True
+                if os.path.isdir(path):
+                    return any(
+                        f.endswith(".parquet") or f == "_SUCCESS"
+                        for f in os.listdir(path)
+                    )
+                return False
+
             df = (
                 spark.read.parquet(a.local)
-                if a.local.endswith(".parquet")
+                if _is_parquet(a.local)
                 else spark.read.option("header", "true").csv(a.local)
             )
             versions = list_versions(a.store, a.name)
@@ -137,7 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{a.app}: processed available data; results under "
                   f"{a.store}/{a.app.lower()}_result")
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -56,9 +56,10 @@ class _ClfReader(DataSourceReader):
     def partitions(self):
         if os.path.isdir(self.path):
             files = sorted(
-                os.path.join(self.path, f)
+                p
                 for f in os.listdir(self.path)
                 if not f.startswith((".", "_"))
+                and os.path.isfile(p := os.path.join(self.path, f))
             )
         else:
             files = [self.path]
@@ -98,10 +99,20 @@ class _ClfReader(DataSourceReader):
                 if not m:  # malformed-record guard: drop, don't fail (P5)
                     continue
                 g = m.groups()
+                # nbytes is (\S+) — a non-numeric token other than '-'
+                # (e.g. '12ab') must hit the malformed-record guard too,
+                # not raise and kill the scan (status is (\d{3}): safe).
+                if g[8] == "-":
+                    nbytes = None
+                else:
+                    try:
+                        nbytes = int(g[8])
+                    except ValueError:
+                        continue
                 for i in range(7):
                     cols[i].append(g[i])
                 cols[7].append(int(g[7]))
-                cols[8].append(None if g[8] == "-" else int(g[8]))
+                cols[8].append(nbytes)
                 if len(cols[0]) >= self._BATCH_ROWS:
                     yield flush()
         if cols[0]:

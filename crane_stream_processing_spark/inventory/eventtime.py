@@ -82,6 +82,11 @@ def evt_sliding_12h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_session_windows_30m",
     oracle="""
     WITH flagged AS (
+      -- > (strict), matching Spark exactly: session_window MERGES an
+      -- event at exactly gap distance (verified empirically — events at
+      -- 00:00 and 00:30 with a 30-minute gap land in ONE session;
+      -- touching windows merge), so the oracle splits only on gap
+      -- STRICTLY greater than 30 minutes.
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'

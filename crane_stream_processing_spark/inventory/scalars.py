@@ -338,7 +338,11 @@ def scalar_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over tokenized text: size, contains, element_at
     (first/last), distinct+sort+join. Complex types stay columnar — no
-    explode needed for per-array stats."""
+    explode needed for per-array stats. try_element_at, not element_at:
+    an empty/whitespace-only document tokenizes to [], where ANSI-mode
+    element_at (Spark 4 default, on in session.py) throws
+    INVALID_ARRAY_INDEX — the DuckDB twin's toks[1]/toks[-1] return NULL,
+    and try_element_at matches that out-of-bounds→NULL contract."""
     from ..functions import tokens
 
     docs = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
@@ -346,8 +350,8 @@ def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.array_contains("toks", "spark").alias("has_spark"),
-        F.element_at("toks", 1).alias("first_token"),
-        F.element_at("toks", -1).alias("last_token"),
+        F.try_element_at("toks", F.lit(1)).alias("first_token"),
+        F.try_element_at("toks", F.lit(-1)).alias("last_token"),
         F.array_join(F.array_sort(F.array_distinct("toks")), ",").alias("vocab_csv"),
     )
 

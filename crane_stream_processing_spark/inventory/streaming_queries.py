@@ -62,13 +62,11 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    """ts → TIMESTAMP_LTZ (UTC session) regardless of stored type."""
-    kind = df.schema["ts"].dataType.typeName()
-    if kind == "long":  # TIMESTAMP(NANOS) under nanosAsLong: ns → µs exact
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if kind == "timestamp_ntz":  # NTZ micros: reinterpret in UTC
-        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return df
+    """ts → TIMESTAMP_LTZ — delegates to the catalog's single definition
+    of the events timestamp contract (batch and streaming must agree)."""
+    from ..catalog import normalize_events_ts
+
+    return normalize_events_ts(df)
 
 
 def _set_session_confs(spark: SparkSession) -> None:
@@ -335,6 +333,8 @@ def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows_30m",
     oracle="""
     WITH flagged AS (
+      -- > (strict): session_window merges exact-gap events — see the
+      -- boundary note on evt_session_windows_30m.
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'

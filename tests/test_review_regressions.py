@@ -109,3 +109,55 @@ def test_merge_sink_survives_interleaved_compaction(spark, tmp_path):
     sink(spark.createDataFrame([("c", 99)], "k string, n int"), 2)  # retry: no-op
     got = {(r.k, r.n) for r in read_latest(spark, base, "state").collect()}
     assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_session_window_merges_exact_gap_event(spark):
+    """Pins the oracle's boundary semantics: Spark session_window MERGES
+    an event at exactly gap distance (touching windows coalesce), so the
+    DuckDB twin must split only on gap STRICTLY greater than 30 minutes."""
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:30:00")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    out = df.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).count()
+    assert out.count() == 1  # one merged session, not two
+
+
+def test_clf_datasource_drops_nonnumeric_bytes_line(spark, tmp_path):
+    """A CLF line whose bytes field is non-numeric (not '-') must hit the
+    malformed-record guard, not raise inside the reader and kill the
+    scan."""
+    from crane_stream_processing_spark.datasource import register as register_clf_source
+
+    p = tmp_path / "access.log"
+    p.write_text(
+        'h1 - - [01/Jan/2024:00:00:00 +0000] "GET /a HTTP/1.0" 200 123\n'
+        'h2 - - [01/Jan/2024:00:00:01 +0000] "GET /b HTTP/1.0" 200 12ab\n'
+        'h3 - - [01/Jan/2024:00:00:02 +0000] "GET /c HTTP/1.0" 200 -\n'
+    )
+    (tmp_path / "nested_dir").mkdir()  # must be skipped, not opened
+    register_clf_source(spark)
+    rows = (
+        spark.read.format("crane_clf")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    )
+    got = {(r.host, r.nbytes) for r in rows}
+    assert got == {("h1", 123), ("h3", None)}  # h2 dropped, dir skipped
+
+
+def test_cli_put_detects_parquet_directory(spark, tmp_path, capsys):
+    """put on a suffix-less parquet DIRECTORY (normal Spark output) must
+    take the parquet reader, not parse the binary files as CSV."""
+    from crane_stream_processing_spark.cli import main
+    from crane_stream_processing_spark.streaming.sinks import read_latest
+
+    src = str(tmp_path / "exported_table")
+    spark.range(5).selectExpr("id", "id * 2 AS dbl").write.parquet(src)
+    store = str(tmp_path / "store")
+    assert main(["--store", store, "put", src, "mytbl"]) == 0
+    got = {(r.id, r.dbl) for r in read_latest(spark, store, "mytbl").collect()}
+    assert got == {(i, 2 * i) for i in range(5)}
