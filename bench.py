@@ -80,17 +80,20 @@ def app_throughput(spark, sf_dir: str) -> dict:
         row = lines_df.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.length("value")).alias("chars")
         ).collect()[0]
-        copies = max(1, int(target_mb * 1024 * 1024 / max(row.chars, 1)))
+        chars = row.chars or 0  # SUM over zero rows collects as None
+        if chars == 0:
+            out[name] = {"error": "empty source table — suite skipped"}
+            continue
+        copies = max(1, int(target_mb * 1024 * 1024 / chars))
         fixture = tempfile.mkdtemp(prefix="crane_apps_bench_")
-        big = lines_df.crossJoin(
-            spark.range(copies).select(F.col("id").alias("__copy"))
-        ).select("value")
         n_lines = row.n * copies
-        big.repartition(8).write.mode("overwrite").text(fixture)
-
         spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
         t0 = time.perf_counter()
         try:
+            big = lines_df.crossJoin(
+                spark.range(copies).select(F.col("id").alias("__copy"))
+            ).select("value")
+            big.repartition(8).write.mode("overwrite").text(fixture)
             q = (
                 pipeline(spark.readStream.text(fixture))
                 .writeStream.outputMode("complete")
@@ -102,9 +105,9 @@ def app_throughput(spark, sf_dir: str) -> dict:
             q.awaitTermination()
         finally:
             spark.conf.set(key, prev)
+            shutil.rmtree(fixture, ignore_errors=True)
         sec = time.perf_counter() - t0
-        mb = row.chars * copies / 1024 / 1024
-        shutil.rmtree(fixture, ignore_errors=True)
+        mb = chars * copies / 1024 / 1024
         out[name] = {
             "mb": round(mb, 1),
             "lines": n_lines,
@@ -160,6 +163,13 @@ def main() -> None:
         timings[name] = min(timings[name], round(time.perf_counter() - t0, 4))
 
     total = round(sum(timings.values()), 4)
+    # One bad streaming suite must not void the whole run's JSON line
+    # (same contract as the per-query loop above).
+    try:
+        apps = app_throughput(spark, sf_dir)
+    except Exception as e:
+        print(f"bench: apps_throughput FAILED: {e}", file=sys.stderr)
+        apps = {"error": str(e)[:500]}
     print(
         json.dumps(
             {
@@ -169,7 +179,7 @@ def main() -> None:
                 "queries": timings,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "apps_throughput": app_throughput(spark, sf_dir),
+                "apps_throughput": apps,
             }
         )
     )

@@ -47,10 +47,18 @@ def scalar_pandas_udf(fn: Callable[..., pd.Series], return_type: DataType | str)
 def grouped_agg_pandas_udf(fn: Callable[..., Any], return_type: DataType | str):
     """Wrap a pandas Series→scalar function as a grouped-aggregate UDF —
     the keyed-merge ``join`` (``server/wordCount.go:45-74``) without the
-    per-messageId staging cache (micro-batch transactionality is Spark's)."""
-    from pyspark.sql.functions import PandasUDFType
+    per-messageId staging cache (micro-batch transactionality is Spark's).
 
-    return pandas_udf(fn, returnType=return_type, functionType=PandasUDFType.GROUPED_AGG)
+    Uses the type-hint dispatch (Series → scalar annotation), not the
+    deprecated ``PandasUDFType.GROUPED_AGG`` enum — the enum path warns on
+    every call under Spark 4 and is slated for removal. The output type is
+    governed by ``return_type``; the ``float`` hint only selects the
+    aggregate (Series-to-scalar) evaluation mode."""
+
+    def agg(v: pd.Series) -> float:
+        return fn(v)
+
+    return pandas_udf(agg, returnType=return_type)
 
 
 def grouped_map(

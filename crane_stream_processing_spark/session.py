@@ -70,13 +70,21 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        master = f"local[{cpus}]"
+        # Under spark-submit/cluster managers the master arrives via
+        # PYSPARK_SUBMIT_ARGS; forcing .master() here would silently
+        # override it and run the whole job local on the driver. Default
+        # to local[N] only when no submit-time master exists.
+        submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        if "--master" not in submit_args:
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -54,16 +54,13 @@ def start_app(
     # The pipeline ends in orderBy+limit; complete-mode recomputes the
     # aggregate each trigger, and the sink snapshots it — exactly the
     # reference ticker's "write current top-5 as a new version".
-    sink = VersionedSink(out_dir, result_name)
-
-    def write_batch(batch_df, batch_id: int) -> None:
-        sink.write_version(batch_df, batch_id)
+    sink = VersionedSink(out_dir, result_name)  # foreachBatch-callable
 
     return (
         pipeline(lines)
         .writeStream.outputMode("complete")
         .trigger(processingTime=period)
-        .foreachBatch(write_batch)
+        .foreachBatch(sink)
         .option("checkpointLocation", os.path.join(out_dir, result_name, "_checkpoint"))
         .queryName(f"crane_{app_name}")
         .start()

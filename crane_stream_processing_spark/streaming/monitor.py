@@ -59,6 +59,17 @@ class ProgressRecorder(StreamingQueryListener):
                 "query": p.name,
                 "batch_id": p.batchId,
                 "num_input_rows": p.numInputRows,
+                "processed_rows_per_sec": p.processedRowsPerSecond,
+                # per stateful operator: rows held and bytes used — the
+                # state-growth ledger the class doc promises
+                "state": [
+                    {
+                        "rows_total": s.numRowsTotal,
+                        "rows_updated": s.numRowsUpdated,
+                        "memory_bytes": s.memoryUsedBytes,
+                    }
+                    for s in (p.stateOperators or [])
+                ],
                 "observed": dict(p.observedMetrics or {}),
             }
         )

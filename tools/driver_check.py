@@ -58,6 +58,9 @@ def main() -> int:
     qs, oracles = contract.queries(), contract.oracle_sql()
     if prefixes:
         qs = {n_: f for n_, f in qs.items() if any(n_.startswith(p) for p in prefixes)}
+        if not qs:  # a typo'd prefix must not report PASS: 0/0, exit 0
+            print(f"ERROR: no registry query matches prefixes {prefixes}")
+            return 1
     failures = 0
     for name in sorted(qs):
         sdf = qs[name](spark, SF_DIR)
@@ -73,9 +76,11 @@ def main() -> int:
             failures += 1
             if sc != dc:
                 print(f"  cols spark={sc}\n  cols duck ={dc}")
-            for a, b in list(zip(sr, dr))[:3]:
-                if a != b:
-                    print(f"  spark={a}\n  duck ={b}")
+            from itertools import zip_longest
+
+            diffs = [p for p in zip_longest(sr, dr) if p[0] != p[1]]
+            for a, b in diffs[:3]:
+                print(f"  spark={a}\n  duck ={b}")
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(qs) - failures}/{len(qs)}")
     return 1 if failures else 0
 
