@@ -273,6 +273,63 @@ def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "io_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('purchase', 'conversion'), ('signup', 'conversion'),
+                            ('view', 'traffic'), ('click', 'traffic'),
+                            ('error', 'ops')) v(event_type, category)
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.category = 'conversion'
+    GROUP BY e.event_type
+    """,
+)
+def io_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, graded end-to-end: the fact side is the
+    hive-partitioned events fixture with NO static predicate — the
+    partitions to read are only knowable from the dimension's filter
+    (category = 'conversion'), and Catalyst injects a runtime
+    dynamicpruning subquery into the scan's PartitionFilters (reusing
+    the dimension broadcast), so only 2 of the 5 event_type directories
+    are ever opened. At 100 TB this is the mechanism that turns a
+    date-dimension filter into a fact-partition skip without the query
+    author restating the predicate. Plan-asserted in
+    tests/test_plan_quality.py; the aggregate matches the oracle
+    computed from the unpartitioned source."""
+    import tempfile
+
+    from .. import catalog
+    from . import dsum
+
+    part_dir = _PART_DIRS.get(sf_dir)
+    if part_dir is None:
+        ev = catalog.load_table(spark, sf_dir, "events")
+        part_dir = tempfile.mkdtemp(prefix="crane_part_")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(part_dir)
+        _PART_DIRS[sf_dir] = part_dir
+
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("view", "traffic"),
+            ("click", "traffic"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        fact.join(dim.filter(F.col("category") == "conversion"), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+
+
 _CSV_DIRS: dict[str, tuple[str, object]] = {}  # sf_dir → (path, schema)
 _JSON_DIRS: dict[str, tuple[str, object]] = {}
 

@@ -279,3 +279,12 @@ def test_cogroup_buckets_bound_python_calls(spark, sf_dir):
     plan = _plan(spark, "udf_cogroup_customer_orders", sf_dir)
     assert "FlatMapCoGroupsInPandas" in plan
     assert plan.count("hashpartitioning(bucket") >= 2
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The DPP query's fact scan must carry a runtime dynamicpruning
+    expression in its PartitionFilters — the dimension filter, not a
+    static predicate, decides which event_type directories are read."""
+    plan = _plan(spark, "io_dynamic_partition_pruning", sf_dir)
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
