@@ -516,3 +516,85 @@ def io_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
         ).alias("revenue"),
     )
+
+
+_ZORDER_DIRS: dict[str, str] = {}  # per-process z-ordered write fixture cache
+
+
+@query(
+    "io_zorder_layout",
+    oracle="""
+    WITH filt AS (
+      SELECT o_custkey & 65535 AS a, o_totalprice,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               & 65535 AS b
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 500
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ), s1 AS (
+      SELECT o_totalprice,
+             (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b
+      FROM filt
+    ), s2 AS (
+      SELECT o_totalprice,
+             (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b
+      FROM s1
+    ), s3 AS (
+      SELECT o_totalprice,
+             (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b
+      FROM s2
+    ), s4 AS (
+      SELECT o_totalprice,
+             (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b
+      FROM s3
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS total_price,
+           SUM(a | (b << 1)) AS z_sum
+    FROM s4
+    """,
+)
+def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout, graded end-to-end: orders are
+    written once range-partitioned + sorted on the interleaved bits of
+    (o_custkey, days(o_orderdate)) — operators/layout.py — then read
+    back with a range box on BOTH raw dimensions. Because every file
+    covers a small rectangle of the key space, parquet min/max stats
+    prune files on either predicate (file-level clustering is asserted
+    quantitatively in tests/test_layout.py); hive partitioning can only
+    do this for one low-cardinality dim. The aggregate (count + exact
+    decimal price sum + bigint sum of the Morton codes recomputed at
+    read time) matches the oracle's shift/mask ladder on the original
+    table, proving the layout write is lossless AND the bit math is
+    engine-independent. At 100 TB: one range shuffle at write time buys
+    two-dimensional file skipping on every scan thereafter."""
+    import tempfile
+
+    from ..operators.layout import morton_interleave, write_zordered
+
+    zdir = _ZORDER_DIRS.get(sf_dir)
+    if zdir is None:
+        orders = t(spark, sf_dir, "orders").withColumn(
+            "o_orderday",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        zdir = tempfile.mkdtemp(prefix="crane_zorder_")
+        write_zordered(orders, zdir, "o_custkey", "o_orderday", num_files=8)
+        _ZORDER_DIRS[sf_dir] = zdir
+
+    df = spark.read.parquet(zdir).filter(
+        (F.col("o_custkey").between(100, 500))
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+        F.sum(
+            morton_interleave(F.col("o_custkey"), F.col("o_orderday"))
+        ).alias("z_sum"),
+    )
