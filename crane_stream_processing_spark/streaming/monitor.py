@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
-__all__ = ["with_observed_metrics", "ProgressRecorder"]
+__all__ = [
+    "with_observed_metrics",
+    "ProgressRecorder",
+    "state_metadata",
+    "read_state",
+]
 
 
 def with_observed_metrics(
@@ -96,3 +101,35 @@ class ProgressRecorder(StreamingQueryListener):
             if row is not None:
                 out.append(row[metric])
         return out
+
+
+def state_metadata(spark, checkpoint: str) -> DataFrame:
+    """Operator-level map of a query's checkpointed state (Spark 4
+    ``state-metadata`` source): one row per stateful operator/store with
+    its partition count and the min/max batch ids still reconstructible.
+    The reference exposes nothing like this — its joiner state is an
+    opaque in-process map lost on failure (server/wordCount.go:28-31);
+    here the checkpoint is a first-class queryable dataset."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def read_state(
+    spark,
+    checkpoint: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+    store_name: str | None = None,
+) -> DataFrame:
+    """Read a stateful operator's live state out of its checkpoint
+    (Spark 4 ``statestore`` source) as (key, value, partition_id) rows —
+    debugging/repair/migration surface for long-running pipelines: audit
+    what a 100 TB streaming aggregation is actually holding, join state
+    against reference data to find leaks, or bootstrap a replacement
+    query. Reads are partition-parallel from the checkpoint files; no
+    running query or driver materialization involved."""
+    r = spark.read.format("statestore").option("operatorId", operator_id)
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    if store_name is not None:
+        r = r.option("storeName", store_name)
+    return r.load(checkpoint)

@@ -362,3 +362,36 @@ def test_watermark_drops_late_data_across_batches(spark, tdir):
     assert ("2026-01-01 00:00:00", "old", 1) in emitted
     old_rows = [r for r in emitted if r[1] == "old"]
     assert old_rows == [("2026-01-01 00:00:00", "old", 1)]
+
+
+def test_state_store_introspection(spark, tdir):
+    """The checkpoint's state is a queryable dataset (Spark 4 statestore /
+    state-metadata sources): after the wordCount app runs, the complete-
+    mode aggregate's live state must contain exactly the stream's word
+    counts, and the metadata must describe the aggregate operator. The
+    reference's equivalent state is an opaque in-process map that dies
+    with the joiner (server/wordCount.go:28-31); here it is auditable,
+    partition-parallel, offline."""
+    from crane_stream_processing_spark.streaming.monitor import (
+        read_state,
+        state_metadata,
+    )
+
+    src = os.path.join(tdir, "src")
+    out = os.path.join(tdir, "out")
+    _write_lines(src, "f1.txt", ["a b a", "c a b"])
+
+    q = start_app(spark, "wordCount", src, out, period="1 seconds")
+    try:
+        q.processAllAvailable()
+    finally:
+        stop_app(q)
+
+    ckpt = os.path.join(out, "wordcount_result", "_checkpoint")
+    meta = state_metadata(spark, ckpt)
+    ops = {r.operatorName for r in meta.collect()}
+    assert "stateStoreSave" in ops
+
+    st = read_state(spark, ckpt)
+    got = {(r.key[0], r.value[0]) for r in st.collect()}
+    assert got == {("a", 3), ("b", 2), ("c", 1)}
