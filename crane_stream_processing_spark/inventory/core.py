@@ -598,3 +598,56 @@ def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             morton_interleave(F.col("o_custkey"), F.col("o_orderday"))
         ).alias("z_sum"),
     )
+
+
+_EVOLVE_DIRS: dict[str, str] = {}  # per-process schema-evolution fixture
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_evolved,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value,
+           COUNT(CASE WHEN event_id % 2 = 1 THEN event_type END) AS n_etype
+    FROM events
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read, graded end-to-end: the fixture writes the
+    events table as two generations of files — an old one without and a
+    new one with an added ``etype`` column (the normal drift of a
+    long-lived 100 TB ingest: producers add fields over time, history is
+    never rewritten). The scan unifies them with ``mergeSchema`` (footer
+    union at planning time, one-time cost per listing; old files surface
+    the new column as NULL — no data rewrite, no backfill job), and the
+    aggregate proves no rows/values are lost and the NULL accounting is
+    exact against the oracle on the unsplit source."""
+    import tempfile
+
+    from .. import catalog
+    from . import dsum
+
+    evdir = _EVOLVE_DIRS.get(sf_dir)
+    if evdir is None:
+        ev = catalog.load_table(spark, sf_dir, "events")
+        evdir = tempfile.mkdtemp(prefix="crane_evolve_")
+        old = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        )
+        new = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value", F.col("event_type").alias("etype")
+        )
+        old.write.mode("overwrite").parquet(os.path.join(evdir, "gen=0"))
+        new.write.mode("overwrite").parquet(os.path.join(evdir, "gen=1"))
+        _EVOLVE_DIRS[sf_dir] = evdir
+
+    df = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(evdir)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("etype").alias("n_evolved"),
+        dsum("value").alias("total_value"),
+        F.count("etype").alias("n_etype"),
+    )

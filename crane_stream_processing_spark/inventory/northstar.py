@@ -1078,3 +1078,54 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         out_dim=8, in_dim=64,
     )
+
+
+@query(
+    "udf_arrow_native_score",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(round(p_retailprice * (1.0 + p_size / 100.0), 4)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS scored_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def udf_arrow_native_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Arrow-native batch transform: mapInArrow hands the Python
+    kernel raw pyarrow RecordBatches — no pandas conversion at all, the
+    cheapest possible Python extension point (the step below mapInPandas
+    on the overhead ladder: JVM ⇆ Arrow buffers only). The kernel scores
+    each part with vectorized pyarrow.compute calls; a normal JVM-side
+    aggregate then reduces the batches, so Python cost is one pass over
+    column buffers and the shuffle moves only (brand, partials). The
+    reference's transform is a per-tuple Go call (server/wordCount.go:
+    75-84); this is the same hook shape at columnar-batch granularity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import dsum
+
+    def score(batches):
+        for b in batches:
+            price = b.column(b.schema.get_field_index("p_retailprice"))
+            size = b.column(b.schema.get_field_index("p_size"))
+            factor = pc.add(
+                pc.divide(pc.cast(size, pa.float64()), pa.scalar(100.0)),
+                pa.scalar(1.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("p_brand")),
+                    pc.round(pc.multiply(price, factor), ndigits=4),
+                ],
+                ["p_brand", "scored"],
+            )
+
+    parts = t_cpu(spark, sf_dir, "part").select(
+        "p_brand", "p_retailprice", "p_size"
+    )
+    scored = parts.mapInArrow(score, "p_brand string, scored double")
+    return scored.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("scored", scale=6).alias("scored_price"),
+    )
