@@ -623,3 +623,32 @@ def stream_append_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_append_daily_by_type", "append")
     return spark.table("stream_append_daily_by_type")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    evicts a key's dedup state once the watermark passes its event time +
+    delay — the ONLY dedup that survives an infinite stream. Plain
+    dropDuplicates keeps one state row per key forever (fine for
+    (user, day) keys whose state the day-valued watermark also bounds;
+    fatal for unbounded key spaces like message ids at 100 TB/day).
+    The contract trade: duplicates are only guaranteed dropped if they
+    arrive within the delay of the first sighting. Over this bounded
+    single-pass run the watermark only advances at the end, so no state
+    evicts mid-query and the key set equals DISTINCT — which the oracle
+    pins exactly; the eviction behavior itself is the documented scale
+    property."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    _run_to_memory(deduped, "stream_dedup_within_watermark", "append")
+    return spark.table("stream_dedup_within_watermark")
