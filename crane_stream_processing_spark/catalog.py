@@ -143,19 +143,28 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Self-set the confs the engine's semantics depend on, runtime-safe
+    on sessions the engine didn't build (the driver's own session):
+
+    - UTC timestamp semantics — oracle-comparable, cluster-independent
+      rendering/windowing/literal-casting of TIMESTAMP values;
+    - the InferFiltersFromGenerate exclusion (see session.py).
+
+    ``load_table`` calls this on every read; queries that serve from a
+    memoized fixture directory (and so may never touch ``load_table`` on
+    a fresh session) must call it directly before building
+    timestamp-sensitive expressions."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    exclude_generate_filter_rule(spark)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Parquet carries its own schema; the catalog
     schema in SCHEMAS is the declared contract (asserted in tests)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    # The engine declares UTC timestamp semantics (oracle-comparable,
-    # cluster-independent). Set at runtime so results are identical on
-    # sessions the engine didn't build (e.g. the driver's own session in a
-    # non-UTC default): rendering/windowing of TIMESTAMP_LTZ values (the
-    # events ts) follows the session timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Keep explode pipelines cheap on any host session (see session.py).
-    exclude_generate_filter_rule(spark)
+    ensure_engine_confs(spark)
     if name == "events":
         # events.ts may be stored as TIMESTAMP(NANOS) (generation-dependent);
         # without this conf such a scan throws PARQUET_TYPE_ILLEGAL. Harmless

@@ -174,6 +174,9 @@ def src_clf_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic function of the events table, so it's written once per
     (process, sf_dir) and reused — the query under test is the SCAN, not
     the fixture write."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from .. import datasource
@@ -250,6 +253,9 @@ def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the write→read cycle is lossless. The fixture is a deterministic
     function of the events table, written once per (process, sf_dir) —
     the query under test is the partitioned SCAN."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from .. import catalog
@@ -300,6 +306,9 @@ def io_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     author restating the predicate. Plan-asserted in
     tests/test_plan_quality.py; the aggregate matches the oracle
     computed from the unpartitioned source."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from .. import catalog
@@ -350,6 +359,9 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated; must match the oracle over the parquet original, proving
     the text roundtrip lossless. Fixture written once per (process,
     sf_dir); the graded path is the typed CSV scan."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from . import dsum
@@ -388,6 +400,9 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema, aggregated per lang; the text-length sum proves the
     payload survived byte-exact. Same fixture-cache pattern as the CSV
     roundtrip; the graded path is the typed JSON scan."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     cached = _JSON_DIRS.get(sf_dir)
@@ -427,6 +442,9 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ORC, read back with the explicit schema, aggregated; timestamp
     min proves type fidelity through the format. Fixture cached per
     (process, sf_dir); the graded path is the typed ORC scan."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from . import dsum
@@ -475,6 +493,9 @@ def io_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts and the bucketed sort-merge plan is the only
     non-shuffling one. The fixture write happens once per (process,
     sf_dir); the graded path is the bucketed scan + join."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     # The existence probe must consult the SESSION's catalog, not only the
@@ -570,6 +591,9 @@ def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, proving the layout write is lossless AND the bit math is
     engine-independent. At 100 TB: one range shuffle at write time buys
     two-dimensional file skipping on every scan thereafter."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from ..operators.layout import morton_interleave, write_zordered
@@ -623,6 +647,9 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new column as NULL — no data rewrite, no backfill job), and the
     aggregate proves no rows/values are lost and the NULL accounting is
     exact against the oracle on the unsplit source."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
     from .. import catalog

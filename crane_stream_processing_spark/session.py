@@ -19,6 +19,7 @@ Scale rationale (100 TB design):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -98,6 +99,17 @@ def get_spark(
         .config("spark.sql.optimizer.excludedRules", _GENERATE_FILTER_RULE)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Per-process warehouse: the default ./spark-warehouse is shared by
+        # every process launched from the repo root, so concurrent test /
+        # bench runs clobber each other's managed tables (the bucketed-join
+        # fixture drops + rewrites its tables on miss). Static conf — takes
+        # effect only when this factory creates the first session; the
+        # bucketed fixture reads the conf dynamically, so sessions the
+        # engine didn't build still work on their own warehouse.
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="crane_warehouse_"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -46,3 +46,21 @@ def hostile(spark):
 def test_query_matches_oracle_on_hostile_session(hostile, duck, sf_dir, name):
     q = REGISTRY[name]
     assert_query_matches_oracle(hostile, duck, q.fn, q.oracle, sf_dir)
+
+
+# Fixture-memoized queries can skip load_table entirely on a session that
+# didn't create the fixture — the conf self-set must then come from the
+# query body (catalog.ensure_engine_confs). Prime the memo on the normal
+# session FIRST so the hostile session truly hits the memoized path; both
+# picked queries compare/format timestamps, the conf-sensitive operation.
+MEMOIZED_TS_SENSITIVE = ["src_orc_roundtrip", "io_zorder_layout"]
+
+
+@pytest.mark.parametrize("name", MEMOIZED_TS_SENSITIVE)
+def test_memoized_fixture_query_on_hostile_session(
+    spark, hostile, duck, sf_dir, name
+):
+    q = REGISTRY[name]
+    q.fn(spark, sf_dir).collect()  # populate the per-process fixture memo
+    hostile.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    assert_query_matches_oracle(hostile, duck, q.fn, q.oracle, sf_dir)

@@ -38,8 +38,13 @@ def _interleave_py(a: int, b: int) -> int:
 
 
 def test_morton_matches_bitwise_reference(spark):
+    import random
+
+    rng = random.Random(0xC1A9E)
     cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
              (70000, 3)]  # 70000 exercises the 16-bit mask
+    cases += [(rng.randrange(1 << 20), rng.randrange(1 << 20))
+              for _ in range(200)]  # seeded sweep, one Spark job
     df = spark.createDataFrame(cases, "a long, b long").select(
         "a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")
     )
