@@ -9,6 +9,7 @@ runs today, re-expressed over the Spark engine.
     ls <name>                           — committed versions
     start <app> <source-dir> [...]      — run a streaming app
     apps                                — list registered apps
+    sql <statement> [--sf-dir D]        — ad-hoc Spark SQL over catalog + store views
 
 Usage: ``python -m crane_stream_processing_spark.cli <cmd> ...``
 (store root defaults to ``./crane_store``, override with --store).
@@ -63,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--period", default="10 seconds")
 
     sub.add_parser("apps", help="list registered apps")
+
+    sq = sub.add_parser(
+        "sql", help="run Spark SQL over the catalog tables (and store names)"
+    )
+    sq.add_argument("statement")
+    sq.add_argument(
+        "--sf-dir", default=None,
+        help="table directory (default $SPARK_GRAFT_SF_DIR or sf0.1)",
+    )
+    sq.add_argument("--limit", type=int, default=50)
 
     a = p.parse_args(argv)
 
@@ -158,6 +169,20 @@ def main(argv: list[str] | None = None) -> int:
             from .streaming.sinks import read_versions
 
             read_versions(spark, a.store, a.name, a.n).show(50, truncate=False)
+        elif a.cmd == "sql":
+            # The interactive query surface the reference never had: every
+            # catalog table (plus each versioned-store name, as its latest
+            # committed version) becomes a temp view; the statement runs
+            # through the full Catalyst/AQE path like any engine query.
+            from .catalog import TABLES, default_sf_dir, load_table
+            from .streaming.sinks import read_latest, store_names
+
+            sf_dir = a.sf_dir or default_sf_dir()
+            for name in TABLES:
+                load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            for name in store_names(a.store):
+                read_latest(spark, a.store, name).createOrReplaceTempView(name)
+            spark.sql(a.statement).show(a.limit, truncate=False)
         elif a.cmd == "start":
             from .streaming.engine import start_app
 

@@ -219,3 +219,28 @@ def test_kafka_source_wrapper_surface(spark):
     # Connector present (real deployment): contract shape holds.
     assert df.columns == ["value"]
     assert df.isStreaming
+
+
+def test_cli_sql_over_catalog_and_store(spark, capsys, tmp_path, sf_dir):
+    """The ad-hoc SQL surface: catalog tables and committed store names
+    are both queryable as views; joins across the two work."""
+    from crane_stream_processing_spark.catalog import load_table
+    from crane_stream_processing_spark.streaming.sinks import VersionedSink
+
+    nations = load_table(spark, sf_dir, "nation").limit(5)
+    VersionedSink(str(tmp_path), "picked_nations").write_version(nations, 0)
+
+    assert main([
+        "--store", str(tmp_path), "sql",
+        "SELECT COUNT(*) AS n FROM region",
+        "--sf-dir", sf_dir,
+    ]) == 0
+    assert "5" in capsys.readouterr().out
+
+    assert main([
+        "--store", str(tmp_path), "sql",
+        "SELECT COUNT(*) AS n FROM picked_nations p "
+        "JOIN nation n ON p.n_nationkey = n.n_nationkey",
+        "--sf-dir", sf_dir,
+    ]) == 0
+    assert "5" in capsys.readouterr().out
