@@ -95,7 +95,11 @@ def write_zordered(
     )
 
     def scaled(col: str, lo: Column, hi: Column) -> Column:
-        span = F.greatest(hi - lo, F.lit(1)).cast("double")
+        # Guard only the constant-column case; flooring the span at 1
+        # would collapse all codes for float keys with range < 1 (score
+        # columns in [0, 1]).
+        raw = (hi - lo).cast("double")
+        span = F.when(raw <= 0, F.lit(1.0)).otherwise(raw)
         return ((F.col(col) - lo).cast("double") / span * 65535).cast("long")
 
     z = "__crane_zorder__"

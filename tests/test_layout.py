@@ -136,3 +136,19 @@ def test_zorder_roundtrip_lossless(spark, orders_with_day):
         F.sum(F.crc32(F.col("o_orderstatus"))).alias("s"),
     ).collect()[0]
     assert (a.k, a.s) == (b.k, b.s)
+
+
+def test_zorder_handles_subunit_float_ranges(spark):
+    """Score-like float keys in [0, 1): min-max scaling must use the real
+    span (flooring it at 1 collapses every code to ~0 and the layout
+    degenerates to arrival order on both dims)."""
+    df = spark.range(20000).select(
+        (F.col("id") % 141 / 141.0).alias("a"),
+        (F.hash("id") % 997 / 2000.0 + 0.5).alias("b"),
+    )
+    zdir = tempfile.mkdtemp(prefix="crane_zflt_")
+    write_zordered(df, zdir, "a", "b", num_files=8)
+    fracs = _file_span_fracs(zdir, "a", "b")
+    mean_a = sum(f[0] for f in fracs) / len(fracs)
+    mean_b = sum(f[1] for f in fracs) / len(fracs)
+    assert mean_a < 0.8 and mean_b < 0.85, fracs
