@@ -177,10 +177,22 @@ def main(argv: list[str] | None = None) -> int:
             from .catalog import TABLES, default_sf_dir, load_table
             from .streaming.sinks import read_latest, store_names
 
+            import re
+
             sf_dir = a.sf_dir or default_sf_dir()
             for name in TABLES:
                 load_table(spark, sf_dir, name).createOrReplaceTempView(name)
             for name in store_names(a.store):
+                # Store names are arbitrary user strings; only valid SQL
+                # identifiers can become views. Skip (don't crash) the
+                # rest so one oddly-named store can't brick the whole
+                # sql surface.
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                    print(
+                        f"# skipping store {name!r}: not a SQL identifier",
+                        file=sys.stderr,
+                    )
+                    continue
                 read_latest(spark, a.store, name).createOrReplaceTempView(name)
             spark.sql(a.statement).show(a.limit, truncate=False)
         elif a.cmd == "start":

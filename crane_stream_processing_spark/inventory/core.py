@@ -669,12 +669,17 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.write.mode("overwrite").parquet(os.path.join(evdir, "gen=1"))
         _EVOLVE_DIRS[sf_dir] = evdir
 
-    df = spark.read.option("mergeSchema", "true").option(
-        "recursiveFileLookup", "true"
-    ).parquet(evdir)
+    # Hive-style discovery keeps `gen` as a partition column, so the
+    # generation count is independent of the evolved column's NULLs —
+    # counting non-NULL etype here would be vacuously equal to n_etype
+    # and diverge from the oracle if a new-generation row ever carried a
+    # NULL event_type.
+    df = spark.read.option("mergeSchema", "true").parquet(evdir)
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count("etype").alias("n_evolved"),
+        F.sum(F.when(F.col("gen") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_evolved"),
         dsum("value").alias("total_value"),
         F.count("etype").alias("n_etype"),
     )

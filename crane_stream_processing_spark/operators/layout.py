@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_interleave", "zorder_value", "write_zordered"]
+__all__ = ["morton_interleave", "write_zordered"]
 
 # (mask, shift) steps spreading a 16-bit int so its bits occupy even
 # positions of a 32-bit int: 0xFFFF -> 0x55555555 pattern.
@@ -52,11 +52,6 @@ def morton_interleave(a: Column, b: Column) -> Column:
     keys, not identities — collisions only cost locality, never
     correctness)."""
     return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
-
-
-def zorder_value(df: DataFrame, col_a: str, col_b: str) -> Column:
-    """Morton code column for two numeric columns of ``df``."""
-    return morton_interleave(F.col(col_a), F.col(col_b))
 
 
 def write_zordered(

@@ -57,6 +57,23 @@ def exclude_generate_filter_rule(spark: SparkSession) -> None:
         )
 
 
+_WAREHOUSE_DIR: str | None = None
+
+
+def _process_warehouse() -> str:
+    """One tempdir per process, created lazily and removed at interpreter
+    exit — repeated get_spark() calls must not each mint (and orphan) a
+    directory the already-created session will never use."""
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        import atexit
+        import shutil
+
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="crane_warehouse_")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR
+
+
 def get_spark(
     app_name: str = "crane_stream_processing_spark",
     master: str | None = None,
@@ -106,10 +123,7 @@ def get_spark(
         # effect only when this factory creates the first session; the
         # bucketed fixture reads the conf dynamically, so sessions the
         # engine didn't build still work on their own warehouse.
-        .config(
-            "spark.sql.warehouse.dir",
-            tempfile.mkdtemp(prefix="crane_warehouse_"),
-        )
+        .config("spark.sql.warehouse.dir", _process_warehouse())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
