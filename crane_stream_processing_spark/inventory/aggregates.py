@@ -596,3 +596,53 @@ def agg_hll_deterministic_distinct(spark: SparkSession, sf_dir: str) -> DataFram
             "instr", lambda a, b: f"shiftleft({a}, {b})", "STRING", "events_hll"
         )
     )
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+               FROM events WHERE event_type = 'error'),
+         p AS (SELECT DISTINCT user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+               FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM e) AS n_error,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           (SELECT COUNT(*) FROM (SELECT k FROM e UNION SELECT k FROM p)) AS n_union,
+           (SELECT COUNT(*) FROM (SELECT k FROM e INTERSECT SELECT k FROM p))
+             AS n_both,
+           (SELECT COUNT(*) FROM (SELECT k FROM e EXCEPT SELECT k FROM p))
+             AS n_error_only
+    """,
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA via DataSketches theta sketches — the sketch
+    family whose union/intersection/difference compose (HLL only unions):
+    one scan builds a sketch of (user, day) activity per event type, then
+    audience overlap questions (how many user-days saw BOTH an error and
+    a purchase? error but never purchase?) are sketch-side arithmetic, no
+    re-scan, no exact-distinct shuffle of raw keys. At 100 TB the
+    sketches are KBs, persist, and re-merge across shards/engines.
+    Below ~4k distinct entries a theta sketch is in exact mode (theta=1,
+    every hash retained), so at the sf0.01 gate the estimates ARE the
+    exact counts and the oracle checks them as equalities; at production
+    scale the same query degrades gracefully to ±2% estimates."""
+    ev = t(spark, sf_dir, "events")
+    key = F.concat_ws("#", F.col("user_id"), F.to_date("ts").cast("string"))
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "error", key)
+        ).alias("sk_e"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", key)
+        ).alias("sk_p"),
+    )
+    est = F.theta_sketch_estimate
+    return sk.select(
+        est("sk_e").cast("long").alias("n_error"),
+        est("sk_p").cast("long").alias("n_purchase"),
+        est(F.theta_union("sk_e", "sk_p")).cast("long").alias("n_union"),
+        est(F.theta_intersection("sk_e", "sk_p")).cast("long").alias("n_both"),
+        est(F.theta_difference("sk_e", "sk_p")).cast("long").alias(
+            "n_error_only"
+        ),
+    )
