@@ -295,3 +295,37 @@ def udf_sql_function_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_named_params_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice > 1000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_named_params_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(query, args=...)): named :placeholders
+    bind as typed literals at parse time — the injection-safe templating
+    surface for programmatic query generation (a curation pipeline
+    stamping out per-domain variants of one audited statement). The
+    literals reach Catalyst as constants, so pushdown/partition pruning
+    see them exactly like hand-written SQL; the oracle is the same
+    statement with the bindings inlined."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_params")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM orders_params
+        WHERE o_orderdate >= :since AND o_totalprice > :min_price
+        GROUP BY o_orderstatus
+        """,
+        args={"since": "1996-01-01", "min_price": 1000.0},
+    )
