@@ -146,3 +146,47 @@ def test_quantize_int8_bounds_and_signs(spark, sf_dir):
     # positive component can never quantize below 0; negative never above -1
     assert joined.filter((F.col("val") > 0) & (F.col("q8") < 0)).count() == 0
     assert joined.filter((F.col("val") < 0) & (F.col("q8") >= 0)).count() == 0
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Randomized cross-check: distributed hash-min label propagation must
+    agree with a driver-side union-find on a seeded random graph (mixed
+    component sizes, self-loops, duplicate and reversed edges)."""
+    import random
+
+    rng = random.Random(0xCC-1)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges += [(e[1], e[0]) for e in edges[:40]]  # reversed duplicates
+    edges += [(i, i) for i in range(0, n, 17)]   # self-loops
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in range(n):
+        expected.setdefault(find(v), set()).add(v)
+    # min-id label per member, only for nodes that appear in the edge list
+    seen = {v for e in edges for v in e}
+    want = {
+        v: min(members)
+        for members in expected.values()
+        for v in members
+        if v in seen
+    }
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.label
+        for r in D.connected_components(pairs, num_partitions=4).collect()
+    }
+    assert got == {v: lbl for v, lbl in want.items()}
