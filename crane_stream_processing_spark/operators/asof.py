@@ -8,6 +8,13 @@ the most recent right-side values forward onto left rows. Cost is a single
 hash shuffle on the key plus a per-partition sort — linear, skew-tolerant,
 and radically cheaper at 100 TB than the naive conditional-join +
 row_number() which materializes O(|L|·|R|/keys) intermediate rows.
+
+Equi-join NULL semantics are enforced explicitly: right rows with a NULL
+join key or NULL timestamp are dropped before the union (a NULL key never
+equals anything; ``NULL <= ts`` is unknown) — without the filter, Spark's
+window ``partitionBy`` groups NULL keys into one partition (phantom
+NULL=NULL matches) and NULLs-first ordering would let a NULL-ts right row
+be carried onto every left row that has no real earlier match.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join"]
+
+_RESERVED = ("__t", "__side", "__r", "__rlast", "__tb")
 
 
 def asof_join(
@@ -33,13 +42,26 @@ def asof_join(
 
     For each ``left`` row, the ``value_cols`` of the ``right`` row with the
     greatest ``right_ts`` satisfying ``right_ts <= left_ts`` and equal join
-    keys; NULLs when no prior right row exists. Ties on the timestamp are
+    keys; NULLs when no prior right row exists (including every left row
+    with a NULL join key — equi-join semantics). Ties on the timestamp are
     broken toward the right row (right sorts before left at equal ts), i.e.
     a right row at exactly ``left_ts`` matches — same as DuckDB ``ASOF JOIN
-    ... ON l.ts >= r.ts``.
+    ... ON l.ts >= r.ts``. Multiple right rows at the same (key, ts) are
+    resolved deterministically: the lexicographically greatest
+    ``value_cols`` struct wins, so results are stable across runs and
+    partitionings.
     """
     on = list(on)
     value_cols = list(value_cols)
+
+    for c in left.columns:
+        if c in _RESERVED:
+            raise ValueError(f"left column {c!r} collides with a reserved name")
+        if any(c == f"{v}{suffix}" for v in value_cols):
+            raise ValueError(
+                f"left column {c!r} collides with output alias; pick a "
+                f"different suffix"
+            )
 
     lhs = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     # The matched right row travels as ONE struct: last(ignorenulls) must
@@ -49,7 +71,10 @@ def asof_join(
     # together columns from different right rows). The struct itself is
     # non-null for every right row (even when all its fields are NULL),
     # so NULL values inside the matched row are preserved as NULLs.
-    rhs = right.select(
+    null_key = F.lit(False)
+    for k in on:
+        null_key = null_key | F.col(k).isNull()
+    rhs = right.filter(~null_key & F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
@@ -60,10 +85,13 @@ def asof_join(
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # Right rows (side=0) sort before left rows at the same timestamp, so a
-    # same-instant right row is visible to the left row.
+    # same-instant right row is visible to the left row; among equal-ts
+    # right rows the greatest __r struct sorts last and wins (NULL on left
+    # rows — Spark sorts NULL structs first, which keeps left rows after
+    # any tied right rows irrelevant since __side already orders them).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

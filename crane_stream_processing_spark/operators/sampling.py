@@ -46,8 +46,18 @@ def hash_uniform_hex(key: Column | str) -> Column:
     """First 8 hex chars of md5(key) — a uniform draw in [0, 16^8)
     represented as a STRING, compared lexicographically (hex strings of
     equal length order identically to their numeric values). Stays a
-    string so DuckDB reproduces it with substr(md5(..)) verbatim."""
-    return F.substring(F.md5(F.col(key).cast("string") if isinstance(key, str) else key.cast("string")), 1, _HEX_DIGITS)
+    string so DuckDB reproduces it with substr(md5(..)) verbatim.
+
+    NULL ids draw from a NUL-byte sentinel instead of propagating NULL:
+    md5(NULL) is NULL, every ``NULL < threshold`` comparison is unknown,
+    and a bare filter would silently delete malformed-id rows from every
+    sample even at keep-probability 1.0. With the sentinel, NULL-id rows
+    participate deterministically like any other value (oracle twin:
+    ``md5(COALESCE(CAST(id AS VARCHAR), CHR(0)))``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.coalesce(c.cast("string"), F.lit("\x00"))), 1, _HEX_DIGITS
+    )
 
 
 def hex_threshold(fraction: float) -> str:
@@ -115,9 +125,17 @@ def stratified_sample(
     ``fractions`` get ``default_fraction``. Pure filter — no shuffle, no
     state, same rows every run on any cluster."""
     u = hash_uniform_hex(id_col)
-    thresh: Column = F.lit(hex_threshold(default_fraction))
+    # Flat chained CASE, not per-stratum nesting: hundreds of strata as
+    # nested when(...).otherwise(when(...)) builds an expression tree
+    # hundreds of levels deep (slow analysis; eventually codegen stack
+    # limits), while a chained when stays constant-depth.
+    thresh: Column | None = None
     for value, frac in sorted(fractions.items()):
-        thresh = F.when(F.col(strata_col) == value, F.lit(hex_threshold(frac))).otherwise(thresh)
+        cond = F.col(strata_col) == value
+        lit = F.lit(hex_threshold(frac))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    default = F.lit(hex_threshold(default_fraction))
+    thresh = default if thresh is None else thresh.otherwise(default)
     return df.filter(u < thresh)
 
 

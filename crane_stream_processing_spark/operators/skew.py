@@ -17,10 +17,19 @@ from pyspark.sql import functions as F
 __all__ = ["salted_count", "salted_agg_sum", "salted_join"]
 
 
-def _salt(n: int) -> Column:
-    # Uniform spread; the salt never reaches output columns, so its exact
-    # values are irrelevant to results.
-    return F.floor(F.rand(42) * n).cast("int")
+def _salt(df: DataFrame, n: int) -> Column:
+    # DETERMINISTIC spread: hash of the full row content, mod n. F.rand
+    # would be wrong here, not just untidy — rand is seeded per partition
+    # index and row order, so a partial stage retry after a fetch failure
+    # can re-salt rows onto different reduce partitions than the surviving
+    # shuffle output, duplicating or losing rows. A content hash assigns
+    # every recomputation of a row the same salt. Identical rows share a
+    # salt (their partials collapse into one bucket), which slightly
+    # weakens spreading for mass-duplicated rows but never correctness —
+    # and the salt never reaches output columns.
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n)).cast(
+        "int"
+    )
 
 
 def salted_count(df: DataFrame, keys: Sequence[str], salt_buckets: int = 16) -> DataFrame:
@@ -29,7 +38,7 @@ def salted_count(df: DataFrame, keys: Sequence[str], salt_buckets: int = 16) -> 
     of one straggler task."""
     keys = list(keys)
     partial = (
-        df.withColumn("__salt", _salt(salt_buckets))
+        df.withColumn("__salt", _salt(df, salt_buckets))
         .groupBy(*keys, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
@@ -43,7 +52,7 @@ def salted_agg_sum(
     casts if cross-engine exactness is needed)."""
     keys = list(keys)
     partial = (
-        df.withColumn("__salt", _salt(salt_buckets))
+        df.withColumn("__salt", _salt(df, salt_buckets))
         .groupBy(*keys, "__salt")
         .agg(F.sum(value).alias("__partial"))
     )
@@ -76,7 +85,7 @@ def salted_join(
             "rows once per salt bucket; swap the sides (salt the small "
             "side's counterpart) for right/full outer semantics"
         )
-    salted_fact = skewed.withColumn("__salt", _salt(salt_buckets))
+    salted_fact = skewed.withColumn("__salt", _salt(skewed, salt_buckets))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

@@ -15,6 +15,19 @@ The marker is written only after the parquet commit succeeds, so readers
 never see a half-written version (the reference got the same property from
 waiting on all 4 replica acks, ``server/sdfs.go:32-52``). Replication is
 the storage layer's job (HDFS/S3), exactly as SURVEY.md §3.2 prescribes.
+Re-WRITES of an existing version (a foreachBatch retry after a crash
+between parquet commit and checkpoint offset) retract the marker first,
+so readers resolve the previous version for the duration of the rewrite
+— the marker-after-data invariant holds on every attempt, not only the
+first.
+
+Manifest/ledger I/O is filesystem-portable: local paths use plain
+``os``/``open``; any URI-scheme path (``hdfs://``, ``s3a://`` …) routes
+through the JVM Hadoop ``FileSystem`` of the active SparkSession — the
+same connector the parquet writes use — so the store works unchanged on
+shared storage (marker rename is atomic on HDFS; on S3A the destination
+object appears only once fully copied, which preserves the
+reader-visible invariant for these single-writer markers).
 
 Scale: each version is a normal partitioned parquet write — the sink
 inherits Spark's parallel write path; readers prune to the selected
@@ -28,6 +41,103 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _is_remote(path: str) -> bool:
+    # Any URI scheme (hdfs://, s3a://, and file:// alike) goes through the
+    # Hadoop FileSystem — file:// exercises the exact same JVM code path
+    # locally, which is how the shim is tested. Plain paths use os.
+    return "://" in path
+
+
+class _HadoopFS:
+    """Minimal manifest-file operations over the JVM Hadoop FileSystem —
+    the portability shim for URI-scheme store roots. Local stores never
+    construct this (plain os calls, no session needed)."""
+
+    def __init__(self, base: str):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"store root {base!r} is a filesystem URI; an active "
+                "SparkSession is required to reach its Hadoop connector"
+            )
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(base).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._path(p))
+
+    def listdir(self, d: str) -> list[str]:
+        p = self._path(d)
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def is_dir(self, d: str) -> bool:
+        p = self._path(d)
+        return self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory()
+
+    def write_atomic(self, p: str, text: str) -> None:
+        tmp = self._path(p + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dest = self._path(p)
+        if self._fs.exists(dest):
+            self._fs.delete(dest, False)
+        self._fs.rename(tmp, dest)
+
+    def remove(self, p: str) -> None:
+        self._fs.delete(self._path(p), False)
+
+    def rmtree(self, d: str) -> None:
+        self._fs.delete(self._path(d), True)
+
+
+class _LocalFS:
+    """Same operations over the driver-local filesystem."""
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def listdir(self, d: str) -> list[str]:
+        return os.listdir(d) if os.path.isdir(d) else []
+
+    def is_dir(self, d: str) -> bool:
+        return os.path.isdir(d)
+
+    def write_atomic(self, p: str, text: str) -> None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+
+    def remove(self, p: str) -> None:
+        if os.path.exists(p):
+            os.remove(p)
+
+    def rmtree(self, d: str) -> None:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _fs(base_dir: str):
+    return _HadoopFS(base_dir) if _is_remote(base_dir) else _LocalFS()
+
+
+def _join(base: str, *parts: str) -> str:
+    # URI-safe join: os.path.join would mangle scheme slashes on Windows
+    # and is semantically wrong for object-store keys.
+    return "/".join([base.rstrip("/"), *parts])
 
 __all__ = [
     "VersionedSink",
@@ -44,11 +154,11 @@ __all__ = [
 
 
 def _vdir(base_dir: str, name: str, version: int) -> str:
-    return os.path.join(base_dir, name, f"v={version:020d}")
+    return _join(base_dir, name, f"v={version:020d}")
 
 
 def _manifest_dir(base_dir: str, name: str) -> str:
-    return os.path.join(base_dir, name, "_manifest")
+    return _join(base_dir, name, "_manifest")
 
 
 class VersionedSink:
@@ -66,22 +176,26 @@ class VersionedSink:
         self.write_version(df, batch_id)
 
     def write_version(self, df: DataFrame, version: int) -> None:
+        fs = _fs(self.base_dir)
         path = _vdir(self.base_dir, self.name, version)
+        mpath = _join(
+            _manifest_dir(self.base_dir, self.name), f"{version:020d}.json"
+        )
+        # Rewriting an already-committed version (foreachBatch retry after
+        # a crash between parquet commit and checkpoint offset): retract
+        # the marker FIRST so readers resolve the previous version while
+        # the directory is being overwritten — otherwise a concurrent
+        # read_latest can open the version mid-rewrite.
+        if fs.exists(mpath):
+            fs.remove(mpath)
         df.write.mode("overwrite").parquet(path)
-        os.makedirs(_manifest_dir(self.base_dir, self.name), exist_ok=True)
         marker = {
             "version": version,
             "path": path,
             "committed_at": time.time(),
             "n_columns": len(df.columns),
         }
-        mpath = os.path.join(
-            _manifest_dir(self.base_dir, self.name), f"{version:020d}.json"
-        )
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, mpath)  # atomic commit marker
+        fs.write_atomic(mpath, json.dumps(marker))  # atomic commit marker
 
 
 class MergeSink(VersionedSink):
@@ -123,16 +237,33 @@ class MergeSink(VersionedSink):
         self.merge_version(df, batch_id)
 
     def _batch_ledger_dir(self) -> str:
-        return os.path.join(self.base_dir, self.name, "_batches")
+        return _join(self.base_dir, self.name, "_batches")
 
     def _batch_marker(self, batch_id: int) -> str:
-        return os.path.join(self._batch_ledger_dir(), f"{batch_id:020d}.json")
+        return _join(self._batch_ledger_dir(), f"{batch_id:020d}.json")
 
     def merge_version(self, batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(self._batch_marker(batch_id)):
+        from pyspark.sql import functions as F
+
+        fs = _fs(self.base_dir)
+        if fs.exists(self._batch_marker(batch_id)):
             return  # retried batch: already committed, idempotent no-op
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(self.keys)
+        # Deterministic winner per key — NOT dropDuplicates, which keeps
+        # an arbitrary row: a crash-retry of the same batch would then
+        # commit different content and the ledger's content-idempotency
+        # claim would be false. max(struct(values)) picks the
+        # lexicographically greatest value tuple on every attempt.
+        value_cols = [c for c in batch_df.columns if c not in self.keys]
+        if value_cols:
+            batch = (
+                batch_df.groupBy(*self.keys)
+                .agg(F.max(F.struct(*value_cols)).alias("__w"))
+                .select(*self.keys, "__w.*")
+                .select(*batch_df.columns)  # restore the input column order
+            )
+        else:
+            batch = batch_df.dropDuplicates(self.keys)  # keys-only rows
         versions = list_versions(self.base_dir, self.name)
         version = (versions[0] + 1) if versions else 0
         if not versions:
@@ -144,23 +275,18 @@ class MergeSink(VersionedSink):
             )
             merged = kept.unionByName(batch)
         self.write_version(merged, version)
-        os.makedirs(self._batch_ledger_dir(), exist_ok=True)
-        marker = self._batch_marker(batch_id)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "version": version}, f)
-        os.replace(tmp, marker)
+        fs.write_atomic(
+            self._batch_marker(batch_id),
+            json.dumps({"batch_id": batch_id, "version": version}),
+        )
 
 
 def list_versions(base_dir: str, name: str) -> list[int]:
     """Committed versions, newest first (reference ``lsVersions`` order,
     ``server/sdfs.go:296-329``)."""
-    mdir = _manifest_dir(base_dir, name)
-    if not os.path.isdir(mdir):
-        return []
     out = [
         int(fn[: -len(".json")])
-        for fn in os.listdir(mdir)
+        for fn in _fs(base_dir).listdir(_manifest_dir(base_dir, name))
         if fn.endswith(".json")
     ]
     return sorted(out, reverse=True)
@@ -180,14 +306,13 @@ def expire_versions(base_dir: str, name: str, keep: int) -> list[int]:
     a real deployment needs a GC). The marker is removed FIRST so readers
     stop resolving the version before its data disappears — the reverse of
     the commit order. Returns the expired version ids."""
-    import shutil
-
+    fs = _fs(base_dir)
     victims = list_versions(base_dir, name)[keep:]
     for v in victims:
-        marker = os.path.join(_manifest_dir(base_dir, name), f"{v:020d}.json")
-        if os.path.exists(marker):
-            os.remove(marker)
-        shutil.rmtree(_vdir(base_dir, name, v), ignore_errors=True)
+        marker = _join(_manifest_dir(base_dir, name), f"{v:020d}.json")
+        if fs.exists(marker):
+            fs.remove(marker)
+        fs.rmtree(_vdir(base_dir, name, v))
     return victims
 
 
@@ -264,10 +389,8 @@ def delete_name(base_dir: str, name: str) -> list[int]:
     (``DelReq``, ``server/sdfs.go:210-240``). Markers go first (readers
     stop resolving before data vanishes), then the whole name dir.
     Returns the deleted version ids."""
-    import shutil
-
     victims = expire_versions(base_dir, name, keep=0)
-    shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
+    _fs(base_dir).rmtree(_join(base_dir, name))
     return victims
 
 
@@ -276,10 +399,9 @@ def store_names(base_dir: str) -> list[str]:
     store root — the reference's local file listing (``FileList``,
     ``server/sdfs.go:415-419``), resolved from commit markers so
     half-written or deleted names don't appear."""
-    if not os.path.isdir(base_dir):
-        return []
+    fs = _fs(base_dir)
     return sorted(
         n
-        for n in os.listdir(base_dir)
-        if os.path.isdir(os.path.join(base_dir, n)) and list_versions(base_dir, n)
+        for n in fs.listdir(base_dir)
+        if fs.is_dir(_join(base_dir, n)) and list_versions(base_dir, n)
     )

@@ -79,3 +79,71 @@ def test_asof_multiple_value_columns(spark):
         left, right, on=["k"], left_ts="t", right_ts="t", value_cols=["v", "s"]
     ).collect()[0]
     assert (r.v_r, r.s_r) == (1.5, "x")
+
+
+def test_asof_null_key_and_null_ts_never_match(spark):
+    """Equi-join NULL semantics: a right row with NULL key or NULL ts can
+    never be a match, and a NULL-key left row matches nothing — without
+    the explicit right-side filter, window partitionBy would group NULL
+    keys together and NULLS-FIRST ordering would carry a NULL-ts right
+    row onto every otherwise-unmatched left row."""
+    left = _df(
+        spark,
+        [
+            (None, ts("2024-01-01 10:00:00"), "L-null-key"),
+            (1, ts("2024-01-01 10:00:00"), "L-no-prior"),
+        ],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark,
+        [
+            (None, ts("2024-01-01 09:00:00"), 7.0),   # NULL key
+            (1, None, 9.0),                            # NULL ts
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = {
+        r.tag: r.v_r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {"L-null-key": None, "L-no-prior": None}
+
+
+def test_asof_equal_ts_right_rows_resolve_deterministically(spark):
+    """Two right rows at the identical (key, ts): the greatest value
+    struct wins, every run."""
+    left = _df(
+        spark, [(1, ts("2024-01-01 12:00:00"), "L")],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark,
+        [(1, ts("2024-01-01 11:00:00"), 1.0),
+         (1, ts("2024-01-01 11:00:00"), 2.0)],
+        "k int, t timestamp, v double",
+    )
+    for _ in range(3):
+        r = asof_join(
+            left, right.repartition(4), on=["k"], left_ts="t",
+            right_ts="t", value_cols=["v"],
+        ).collect()[0]
+        assert r.v_r == 2.0
+
+
+def test_asof_rejects_colliding_columns(spark):
+    left = _df(
+        spark, [(1, ts("2024-01-01 12:00:00"), 5.0)],
+        "k int, t timestamp, v_r double",
+    )
+    right = _df(
+        spark, [(1, ts("2024-01-01 11:00:00"), 1.0)],
+        "k int, t timestamp, v double",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  value_cols=["v"])

@@ -114,3 +114,33 @@ def test_weighted_sample_per_row_weights(spark):
     assert 350 <= by_grp["2"] + by_grp["3"] <= 650
     again = {r.pid for r in SA.weighted_sample(df, F.col("w"), "pid").collect()}
     assert again == {r.pid for r in got.collect()}
+
+
+def test_null_id_rows_participate_in_samples(spark):
+    """md5(NULL) is NULL and NULL < t is unknown — without the sentinel
+    draw, malformed-id rows silently vanish from every sample even at
+    keep-probability 1.0."""
+    df = spark.createDataFrame(
+        [(None, "broken"), (1, "a"), (2, "b")], "doc_id int, tag string"
+    )
+    kept = SA.weighted_sample(df, F.lit(1.0), "doc_id").collect()
+    assert len(kept) == 3  # keep-everything keeps the NULL-id row too
+
+    frac = SA.stratified_sample(
+        df, "tag", {"broken": 1.0, "a": 1.0, "b": 1.0}, "doc_id"
+    ).count()
+    assert frac == 3
+
+
+def test_stratified_many_strata_stays_flat(spark):
+    """300 strata must analyze/execute fine (flat chained CASE, not
+    300-deep nesting)."""
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 300).cast("string").alias("s"),
+    )
+    fractions = {str(i): (1.0 if i % 2 else 0.0) for i in range(300)}
+    got = SA.stratified_sample(df, "s", fractions, "doc_id")
+    n = got.count()
+    assert 0 < n < 3000
+    assert got.filter((F.col("doc_id") % 300) % 2 == 0).count() == 0

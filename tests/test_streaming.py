@@ -395,3 +395,68 @@ def test_state_store_introspection(spark, tdir):
     st = read_state(spark, ckpt)
     got = {(r.key[0], r.value[0]) for r in st.collect()}
     assert got == {("a", 3), ("b", 2), ("c", 1)}
+
+
+def test_versioned_store_on_uri_scheme_storage(spark, tdir):
+    """The manifest/ledger I/O must work on URI-scheme storage (hdfs://,
+    s3a://) — exercised here through file://, which routes through the
+    exact same JVM Hadoop FileSystem shim (listStatus/create/rename/
+    delete) that shared storage uses. A driver-local os.* implementation
+    would write markers into a literal 'file:/...' directory and every
+    read-back would miss them."""
+    from crane_stream_processing_spark.streaming.sinks import (
+        MergeSink,
+        VersionedSink,
+        delete_name,
+        expire_versions,
+        list_versions,
+        read_latest,
+        store_names,
+    )
+
+    base = "file://" + tdir + "/uri_store"
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    df2 = spark.createDataFrame([("a", 9), ("c", 3)], "k string, v int")
+
+    VersionedSink(base, "snap").write_version(df1, 0)
+    assert list_versions(base, "snap") == [0]
+    assert {(r.k, r.v) for r in read_latest(spark, base, "snap").collect()} == {
+        ("a", 1), ("b", 2)
+    }
+
+    ms = MergeSink(base, "merged", keys=["k"])
+    ms.merge_version(df1, batch_id=0)
+    ms.merge_version(df2, batch_id=1)
+    ms.merge_version(df2, batch_id=1)  # retry: ledger no-op, no new version
+    assert list_versions(base, "merged") == [1, 0]
+    assert {(r.k, r.v) for r in read_latest(spark, base, "merged").collect()} == {
+        ("a", 9), ("b", 2), ("c", 3)
+    }
+
+    assert sorted(store_names(base)) == ["merged", "snap"]
+    VersionedSink(base, "snap").write_version(df2, 1)
+    assert expire_versions(base, "snap", keep=1) == [0]
+    assert delete_name(base, "snap") == [1]
+    assert store_names(base) == ["merged"]
+
+
+def test_merge_sink_deterministic_winner(spark, tdir):
+    """Duplicate keys inside one batch: the lexicographically greatest
+    value tuple wins on EVERY attempt (dropDuplicates would commit an
+    arbitrary row, so a crash-retry could commit different content)."""
+    from crane_stream_processing_spark.streaming.sinks import (
+        MergeSink,
+        read_latest,
+    )
+
+    batch = spark.createDataFrame(
+        [("x", 1, "lo"), ("x", 2, "hi"), ("y", 5, "only")],
+        "k string, v int, tag string",
+    ).repartition(4)
+    for attempt in range(3):
+        base = os.path.join(tdir, f"det{attempt}")
+        MergeSink(base, "m", keys=["k"]).merge_version(batch, batch_id=0)
+        got = {
+            (r.k, r.v, r.tag) for r in read_latest(spark, base, "m").collect()
+        }
+        assert got == {("x", 2, "hi"), ("y", 5, "only")}
