@@ -122,6 +122,13 @@ def lsh_candidate_pairs(
     tokenization per shingle per seed per band (observed ~8× slowdown on
     the sf0.1 corpus even with staged select() columns, which
     CollapseProject merges right back)."""
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_rows "
+            f"({band_rows}): the trailing {num_hashes % band_rows} "
+            "signature rows would be computed but silently ignored, "
+            "changing recall vs the requested parameters"
+        )
     n_bands = num_hashes // band_rows
 
     def band_structs(sig: Column) -> Column:
@@ -181,10 +188,17 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # Two empty shingle sets (both docs under k tokens): Jaccard is
+    # undefined; call it 0.0 — no shared evidence, never a duplicate
+    # verdict. Unguarded division aborts the whole job under ANSI mode
+    # (DIVIDE_BY_ZERO) for any caller whose pair list isn't pre-filtered
+    # the way lsh_candidate_pairs filters short docs.
     return j.select(
         "id_a",
         "id_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.when(
+            union > 0, F.round(inter.cast("double") / union, 6)
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
     )
 
 
@@ -301,6 +315,7 @@ def connected_components(
             ).collect()[0][0]
 
         prev_sum = signature(labels)
+        converged = False
         for _ in range(max_iters):
             nbr = (
                 edges.join(labels, edges.v == labels.node)
@@ -314,8 +329,22 @@ def connected_components(
             )
             cur_sum = signature(labels)
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+        if not converged:
+            # Loud, not wrong: a component with diameter > max_iters would
+            # otherwise return with MULTIPLE labels and the caller's
+            # "survivor = (node == label)" step would silently keep
+            # several copies per duplicate cluster. Hash-min propagation
+            # converges in O(diameter) rounds; near-dup clusters are
+            # shallow, so a miss here means the graph is not what the
+            # caller thinks it is.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iters} iterations — a component's diameter exceeds "
+                "max_iters; raise it (rounds needed = graph diameter)"
+            )
         return labels
     finally:
         spark.conf.set(key, prev)

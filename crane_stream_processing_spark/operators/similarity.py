@@ -54,27 +54,51 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "crane-lsh") -> list[list[f
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id = integer of sign bits of dot(vec, plane_p). DuckDB twin:
     SUM(CASE WHEN list_dot_product(...) > 0 THEN 1<<p END) with the same
-    plane literals."""
+    plane literals.
+
+    Dimension-checked: a vector longer than the planes would make dot()
+    fold past the plane array into NULLs, NULL > 0 is false, and EVERY
+    vector would land in bucket 0 — the ANN variants silently degrade to
+    one O(n²) bucket. Better a per-row error than a silently wrong
+    index."""
+    dim = len(planes[0])
     out = F.lit(0).cast("long")
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in row])
         out = out + F.when(dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0)
         )
-    return out
+    return F.when(F.size(vec) == dim, out).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_bucket: vector dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != plane dim {dim}"),
+            )
+        )
+    )
 
 
 def _cosine_topk_within(
-    q: DataFrame, c: DataFrame, k: int, on: str | None = None
+    q: DataFrame, c: DataFrame, k: int, on: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared tail of every top-k variant: score each (query, candidate)
     pair sharing ``on`` (crossJoin when None — the exact baseline), exact
     cosine from the precomputed norms, deterministic per-query top-k
     (score desc, candidate id tiebreak). One definition so the contract —
     self-pair filter, 6-decimal rounding, tiebreak — cannot drift between
-    the exact, LSH, multi-probe, and IVF variants."""
+    the exact, LSH, multi-probe, and IVF variants.
+
+    ``exclude_self`` (default True) drops query_id == cand_id pairs —
+    correct for self-search, where queries are drawn from the corpus and
+    every query would otherwise match itself at cosine 1.0. Pass False
+    when query and corpus ids are INDEPENDENT namespaces: there an id
+    collision is a legitimate match, not a self-pair."""
     joined = q.crossJoin(c) if on is None else q.join(c, on)
-    scored = joined.filter(F.col("query_id") != F.col("cand_id")).select(
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("cand_id"))
+    scored = joined.select(
         "query_id",
         "cand_id",
         F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
@@ -95,6 +119,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the (small) query set
     against the corpus, per-query window top-k. Rounded to 6 decimals with
@@ -115,7 +140,7 @@ def cosine_topk(
         F.col(vec_col).alias("cvec"),
         l2norm(vec_col).alias("cn"),
     ).filter(F.col("cn") > 0)
-    return _cosine_topk_within(q, c, k)
+    return _cosine_topk_within(q, c, k, exclude_self=exclude_self)
 
 
 def lsh_ann_topk(
@@ -125,6 +150,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: restrict candidates to the query's LSH bucket,
     then exact cosine + window top-k within it. The bucket equi-join
@@ -143,7 +169,7 @@ def lsh_ann_topk(
         l2norm(vec_col).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).filter(F.col("cn") > 0)
-    return _cosine_topk_within(q, c, k, on="bucket")
+    return _cosine_topk_within(q, c, k, on="bucket", exclude_self=exclude_self)
 
 
 def lsh_ann_topk_multiprobe(
@@ -153,6 +179,7 @@ def lsh_ann_topk_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Multi-probe LSH top-k: each query searches its own bucket PLUS every
     bucket at Hamming distance 1 (one sign bit flipped) — the standard
@@ -186,7 +213,7 @@ def lsh_ann_topk_multiprobe(
         l2norm(vec_col).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).filter(F.col("cn") > 0)
-    return _cosine_topk_within(q, c, k, on="bucket")
+    return _cosine_topk_within(q, c, k, on="bucket", exclude_self=exclude_self)
 
 
 def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
@@ -238,6 +265,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     k: int = 3,
     bucketed: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: both sides assigned to their nearest
     centroid cell; search probes only the query's cell (nprobe=1), exact
@@ -257,7 +285,7 @@ def ivf_ann_topk(
     c = bucketed if bucketed is not None else ivf_bucket_corpus(
         corpus, centroids, id_col, vec_col
     )
-    return _cosine_topk_within(q, c, k, on="cell")
+    return _cosine_topk_within(q, c, k, on="cell", exclude_self=exclude_self)
 
 
 def ivf_ann_topk_nprobe(
@@ -269,6 +297,7 @@ def ivf_ann_topk_nprobe(
     k: int = 3,
     nprobe: int = 2,
     bucketed: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN with multi-probe: each query searches its ``nprobe`` nearest
     cells (descending centroid dot), recovering most of the recall nprobe=1
@@ -319,7 +348,7 @@ def ivf_ann_topk_nprobe(
     c = bucketed if bucketed is not None else ivf_bucket_corpus(
         corpus, centroids, id_col, vec_col
     )
-    return _cosine_topk_within(q, c, k, on="cell")
+    return _cosine_topk_within(q, c, k, on="cell", exclude_self=exclude_self)
 
 
 def kmeans_fit(
@@ -346,13 +375,34 @@ def kmeans_fit(
     scale this is the standard iterate-over-cached-input pattern) and
     released before returning.
     """
+    # Deterministic init: the k lexicographically-lowest-id DISTINCT
+    # vectors. Deduplication matters on dedup-heavy corpora — two
+    # identical seeds would stay identical forever (argmax ties go to the
+    # first, the twin cell never receives a vector, one cluster slot is
+    # permanently wasted). Probe 4k low-id rows for k distinct vectors.
     seeds = (
         df.orderBy(id_col)
-        .limit(k)
+        .limit(4 * k)
         .select(vec_col)
         .collect()
     )
-    centroids = [[float(x) for x in r[0]] for r in seeds]
+    centroids: list[list[float]] = []
+    seen: set[tuple[float, ...]] = set()
+    for r in seeds:
+        vec = tuple(float(x) for x in r[0])
+        if vec not in seen:
+            seen.add(vec)
+            centroids.append(list(vec))
+        if len(centroids) == k:
+            break
+    if not centroids:
+        raise ValueError("kmeans_fit: input DataFrame has no rows")
+    if len(centroids) < k:
+        raise ValueError(
+            f"kmeans_fit: found only {len(centroids)} distinct vectors in "
+            f"the {4 * k} lowest-id rows; need k={k} — lower k or dedup "
+            "the corpus first"
+        )
     dim = len(centroids[0])
 
     vecs = df.select(F.col(vec_col).alias("v")).persist()
@@ -478,4 +528,15 @@ def random_projection(
     ]
     v = F.col(vec_col)
     proj = F.array(*[F.round(dot(v, row), round_to) for row in sign_rows])
-    return df.select(F.col(id_col), proj.alias("proj"))
+    # Same dimension discipline as lsh_bucket: a shorter sign row would
+    # fold into NULL components silently.
+    guarded = F.when(F.size(v) == in_dim, proj).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("random_projection: vector dim "),
+                F.size(v).cast("string"),
+                F.lit(f" != in_dim {in_dim}"),
+            )
+        )
+    )
+    return df.select(F.col(id_col), guarded.alias("proj"))

@@ -91,10 +91,14 @@ _ALL_MARKERS = tuple(sorted({m for ms in LANG_MARKERS.values() for m in ms}))
 
 
 def _mean_token_len(c: Column, toks: Column) -> Column:
-    n_chars, n_tokens = F.length(c), F.size(toks)
-    return F.round(
-        (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
-    )
+    # True mean: total token characters / token count. The tempting
+    # closed form (n_chars - n_tokens + 1) / n_tokens assumes exactly
+    # single-space separation — multi/leading/trailing whitespace
+    # inflates it, and whitespace-only docs got a nonzero "mean".
+    n_tokens = F.size(toks)
+    return F.when(n_tokens > 0, F.round(
+        F.length(F.array_join(toks, "")).cast("double") / n_tokens, 6
+    )).otherwise(F.lit(0.0))
 
 
 def _punct_ratio(c: Column) -> Column:
@@ -186,9 +190,7 @@ def doc_stats_struct(col: Column | str) -> Column:
             ).alias("upper_ratio"),
             _stopword_ratio(toks).alias("stopword_ratio"),
             _quality_from(c, toks).alias("quality"),
-            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
-                "fingerprint"
-            ),
+            _fingerprint_from(toks).alias("fingerprint"),
         )
 
     return let(tokens(c), body)
@@ -204,9 +206,7 @@ def curation_struct(col: Column | str) -> Column:
         return F.struct(
             _quality_from(c, toks).alias("q"),
             F.size(toks).cast("bigint").alias("ws_tokens"),
-            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
-                "fingerprint"
-            ),
+            _fingerprint_from(toks).alias("fingerprint"),
         )
 
     return let(tokens(c), body)
@@ -252,11 +252,19 @@ def token_bigrams(col: Column | str, as_struct: bool = False) -> Column:
     return let(tokens(col), body)
 
 
+def _fingerprint_from(toks: Column) -> Column:
+    """Shared fingerprint expression over an already-bound token array —
+    one definition so the struct builders stay bit-identical to
+    :func:`fingerprint` (the cross-engine oracle hashes this exact
+    string)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set — detects shuffled/reordered near-copies that exact hashing
     misses. DuckDB twin: md5(array_to_string(list_sort(list_distinct(...)),' '))."""
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+    return _fingerprint_from(tokens(col))
 
 
 # Character-trigram profiles per language for the n-gram language

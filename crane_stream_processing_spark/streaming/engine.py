@@ -14,13 +14,12 @@ upgrading the reference's documented duplicate-on-replay behavior).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..apps import APP_REGISTRY
-from .sinks import VersionedSink
+from .sinks import VersionedSink, _join
 from .sources import file_lines
 
 __all__ = ["start_app", "stop_app"]
@@ -61,7 +60,9 @@ def start_app(
         .writeStream.outputMode("complete")
         .trigger(processingTime=period)
         .foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(out_dir, result_name, "_checkpoint"))
+        # URI-safe join (not os.path.join): out_dir is a store root that
+        # may be a filesystem URI (s3a://...), same convention as sinks.
+        .option("checkpointLocation", _join(out_dir, result_name, "_checkpoint"))
         .queryName(f"crane_{app_name}")
         .start()
     )
