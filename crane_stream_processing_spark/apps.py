@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import tokens
+
 __all__ = [
     "wordcount",
     "top_users",
@@ -50,9 +52,7 @@ def wordcount(lines: DataFrame, k: int = TOP_K, col: str = "value") -> DataFrame
     (``server/wordCount.go:75-84`` transform, ``:45-74`` join, ``:99-124``
     flush). One Spark shuffle: explode → filter → groupBy.count.
     """
-    words = lines.select(
-        F.explode(F.split(F.col(col), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    words = lines.select(F.explode(tokens(F.col(col))).alias("word"))
     counted = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     return _topk_by_count(counted, "word", k)
 
@@ -65,7 +65,10 @@ def top_users(lines: DataFrame, k: int = TOP_K, col: str = "value") -> DataFrame
     (``server/twitter.go:59-67`` transform, ``:33-58`` join). Lines without
     exactly 2 fields are dropped (``server/twitter.go:60-64``).
     """
-    fields = lines.select(F.split(F.col(col), r"\s+").alias("f"))
+    # trim first — Go strings.Fields yields NO empty leading/trailing
+    # fields, but split(\s+) on " a b" gives ["", "a", "b"] (size 3) and
+    # would drop a valid whitespace-padded edge line / shift CLF indexes.
+    fields = lines.select(F.split(F.trim(F.col(col)), r"\s+").alias("f"))
     followees = fields.filter(F.size("f") == 2).select(F.col("f")[1].alias("followee"))
     counted = followees.groupBy("followee").agg(F.count(F.lit(1)).alias("cnt"))
     return _topk_by_count(counted, "followee", k)
@@ -79,7 +82,7 @@ def hot_resources(lines: DataFrame, k: int = TOP_K, col: str = "value") -> DataF
     (``server/hothttp.go:59-73`` transform, ``:33-58`` join).
     """
     ok = lines.filter(F.col(col).contains("200"))
-    fields = ok.select(F.split(F.col(col), r"\s+").alias("f"))
+    fields = ok.select(F.split(F.trim(F.col(col)), r"\s+").alias("f"))
     resources = fields.filter(F.size("f") >= 10).select(F.col("f")[6].alias("resource"))
     counted = resources.groupBy("resource").agg(F.count(F.lit(1)).alias("cnt"))
     return _topk_by_count(counted, "resource", k)

@@ -41,8 +41,6 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should broadcast in joins at any scale factor.
-DIM_TABLES = frozenset({"region", "nation"})
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(

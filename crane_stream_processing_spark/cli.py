@@ -174,14 +174,13 @@ def main(argv: list[str] | None = None) -> int:
             # catalog table (plus each versioned-store name, as its latest
             # committed version) becomes a temp view; the statement runs
             # through the full Catalyst/AQE path like any engine query.
-            from .catalog import TABLES, default_sf_dir, load_table
+            from .catalog import default_sf_dir, register_views
             from .streaming.sinks import read_latest, store_names
 
             import re
 
             sf_dir = a.sf_dir or default_sf_dir()
-            for name in TABLES:
-                load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            register_views(spark, sf_dir)
             for name in store_names(a.store):
                 # Store names are arbitrary user strings; only valid SQL
                 # identifiers can become views. Skip (don't crash) the

@@ -68,6 +68,11 @@ class _ClfReader(DataSourceReader):
     _BATCH_ROWS = 16384  # bounds task memory regardless of file size
 
     def read(self, partition: _FilePartition):
+        # pyspark substitutes [None] for an empty partitions() list (an
+        # empty source directory) — return an empty relation, don't
+        # AttributeError on partition.path.
+        if partition is None:
+            return
         match = _CLF_RE.match
         cols: list[list] = [[] for _ in range(9)]
 
@@ -93,9 +98,14 @@ class _ClfReader(DataSourceReader):
                 c.clear()
             return batch
 
-        with open(partition.path, errors="replace") as fh:
+        # encoding pinned: spark.read.text always decodes UTF-8; relying on
+        # the executor locale would make parsed strings machine-dependent.
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
             for line in fh:
-                m = match(line.rstrip("\n"))
+                # rstrip CR too — CRLF logs otherwise fail the anchored
+                # regex on every line and the whole file silently parses
+                # to zero rows.
+                m = match(line.rstrip("\r\n"))
                 if not m:  # malformed-record guard: drop, don't fail (P5)
                     continue
                 g = m.groups()

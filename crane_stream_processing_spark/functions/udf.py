@@ -53,10 +53,13 @@ def grouped_agg_pandas_udf(fn: Callable[..., Any], return_type: DataType | str):
     deprecated ``PandasUDFType.GROUPED_AGG`` enum — the enum path warns on
     every call under Spark 4 and is slated for removal. The output type is
     governed by ``return_type``; the ``float`` hint only selects the
-    aggregate (Series-to-scalar) evaluation mode."""
+    aggregate (Series-to-scalar) evaluation mode. Variadic: a
+    multi-column aggregate (weighted mean over (value, weight)) receives
+    one Series per bound column — a fixed single-Series wrapper would
+    TypeError at execution for every multi-column call."""
 
-    def agg(v: pd.Series) -> float:
-        return fn(v)
+    def agg(*cols: pd.Series) -> float:
+        return fn(*cols)
 
     return pandas_udf(agg, returnType=return_type)
 

@@ -91,8 +91,8 @@ def app_wordcount_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "app_top_users_top5",
     oracle="""
     SELECT followee, cnt FROM (
-      SELECT list_extract(string_split_regex(
-               CAST(o_orderkey AS VARCHAR) || ' ' || CAST(o_custkey AS VARCHAR),
+      SELECT list_extract(string_split_regex(TRIM(
+               CAST(o_orderkey AS VARCHAR) || ' ' || CAST(o_custkey AS VARCHAR)),
                '\\s+'), 2) AS followee,
              COUNT(*) AS cnt
       FROM orders
@@ -116,7 +116,7 @@ def app_top_users_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT resource, cnt FROM (
       SELECT list_extract(f, 7) AS resource, COUNT(*) AS cnt
       FROM (
-        SELECT string_split_regex(line, '\\s+') AS f
+        SELECT string_split_regex(TRIM(line), '\\s+') AS f
         FROM (
           SELECT 'h - - [01/Jan/2024: +0000] "GET ' || event_type ||
                  ' HTTP/1.0" 200 ' || CAST(event_id % 97 AS VARCHAR) AS line

@@ -244,3 +244,67 @@ def test_cli_sql_over_catalog_and_store(spark, capsys, tmp_path, sf_dir):
         "--sf-dir", sf_dir,
     ]) == 0
     assert "5" in capsys.readouterr().out
+
+
+def test_clf_source_handles_crlf_and_empty_dir(spark, tmp_path):
+    """CRLF logs must parse (rstrip must eat the \\r or the anchored regex
+    fails every line → silent empty scan); an empty source dir must
+    return an empty relation, not crash on pyspark's None-partition
+    substitution."""
+    from crane_stream_processing_spark import datasource
+
+    datasource.register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    line = 'h1 - - [01/Jan/2024:00:00:00 +0000] "GET /a HTTP/1.0" 200 123'
+    (d / "crlf.log").write_bytes(((line + "\r\n") * 3 + "\r\n").encode())
+    got = (
+        spark.read.format("crane_clf").option("path", str(d)).load().collect()
+    )
+    assert len(got) == 3 and got[0].resource == "/a" and got[0].nbytes == 123
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert (
+        spark.read.format("crane_clf").option("path", str(empty)).load().count()
+        == 0
+    )
+
+
+def test_apps_trim_matches_strings_fields_semantics(spark):
+    """Go strings.Fields never yields empty leading/trailing fields; a
+    whitespace-padded edge line must still count (twitter) and a padded
+    CLF line must still select the resource, not the method (hothttp)."""
+    from crane_stream_processing_spark import apps
+
+    edges = spark.createDataFrame(
+        [(" alice bob",), ("alice bob ",), ("alice bob",)], "value string"
+    )
+    top = apps.top_users(edges).collect()
+    assert [(r.followee, r.cnt) for r in top] == [("bob", 3)]
+
+    clf = spark.createDataFrame(
+        [('  h - - [x +0000] "GET /r HTTP/1.0" 200 5 pad',)], "value string"
+    )
+    hot = apps.hot_resources(clf).collect()
+    assert [(r.resource, r.cnt) for r in hot] == [("/r", 1)]
+
+
+def test_grouped_agg_udf_multi_column(spark):
+    """The grouped-agg wrapper must forward every bound column — a
+    weighted mean takes (value, weight)."""
+    import pandas as pd
+
+    from crane_stream_processing_spark.functions.udf import (
+        grouped_agg_pandas_udf,
+    )
+
+    wmean = grouped_agg_pandas_udf(
+        lambda v, w: float((v * w).sum() / w.sum()), "double"
+    )
+    df = spark.createDataFrame(
+        [(1, 2.0, 1.0), (1, 4.0, 3.0), (2, 10.0, 1.0)],
+        "g int, x double, w double",
+    )
+    got = {r.g: r.wm for r in df.groupBy("g").agg(wmean(df.x, df.w).alias("wm")).collect()}
+    assert got == {1: 3.5, 2: 10.0}
