@@ -22,6 +22,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _reject_reserved(options: dict, reserved: dict[str, str]) -> None:
+    for opt, owner in reserved.items():
+        if opt in options:
+            raise ValueError(
+                f"reader option {opt!r} is owned by the {owner} parameter — "
+                "set that instead of passing it through **options"
+            )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -32,7 +41,19 @@ def read_csv(
 ) -> DataFrame:
     """CSV scan with explicit schema; malformed rows dropped (the
     reference's log-and-drop) unless ``drop_malformed=False`` (PERMISSIVE:
-    bad cells become NULL)."""
+    bad cells become NULL).
+
+    Engine caveat (verified on Spark 4.1): DROPMALFORMED validates only
+    the columns a query actually parses, so the VISIBLE row set is
+    projection-scoped — ``count()`` (parses nothing) counts malformed
+    rows that a full-row ``collect()`` drops, and the historical
+    ``spark.sql.csv.parser.columnPruning.enabled=false`` escape hatch no
+    longer changes this. When drops must be deterministic and auditable
+    regardless of projection, parse PERMISSIVE with a
+    ``columnNameOfCorruptRecord`` field, CACHE the parsed result, then
+    filter — or land the file as-is and gate it through the DQ audit
+    (``curate_dq_audit``) before use."""
+    _reject_reserved(options, {"mode": "drop_malformed", "header": "header"})
     mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
     return (
         spark.read.schema(schema)
@@ -50,6 +71,7 @@ def read_json(
 ) -> DataFrame:
     """JSON-lines scan with explicit schema (never inference — one pass,
     stable types)."""
+    _reject_reserved(options, {"mode": "drop_malformed"})
     mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
     return spark.read.schema(schema).options(mode=mode, **options).json(path)
 

@@ -82,11 +82,17 @@ def write_zordered(
     extra scan; swap in approx-quantile bucket boundaries
     (rank-normalization, Delta-style) if a key's distribution is so
     skewed that linear scaling collapses most rows into few codes."""
+    # Namespaced helper columns: un-prefixed names like a_min would
+    # collide with same-named user columns after the condition-less
+    # broadcast join (ambiguous reference, or drop() stripping the
+    # user's own column from the written table).
+    A_MIN, A_MAX = "__crane_a_min__", "__crane_a_max__"
+    B_MIN, B_MAX = "__crane_b_min__", "__crane_b_max__"
     stats = df.agg(
-        F.min(col_a).alias("a_min"),
-        F.max(col_a).alias("a_max"),
-        F.min(col_b).alias("b_min"),
-        F.max(col_b).alias("b_max"),
+        F.min(col_a).alias(A_MIN),
+        F.max(col_a).alias(A_MAX),
+        F.min(col_b).alias(B_MIN),
+        F.max(col_b).alias(B_MAX),
     )
 
     def scaled(col: str, lo: Column, hi: Column) -> Column:
@@ -103,11 +109,11 @@ def write_zordered(
         .withColumn(
             z,
             morton_interleave(
-                scaled(col_a, F.col("a_min"), F.col("a_max")),
-                scaled(col_b, F.col("b_min"), F.col("b_max")),
+                scaled(col_a, F.col(A_MIN), F.col(A_MAX)),
+                scaled(col_b, F.col(B_MIN), F.col(B_MAX)),
             ),
         )
-        .drop("a_min", "a_max", "b_min", "b_max")
+        .drop(A_MIN, A_MAX, B_MIN, B_MAX)
         .repartitionByRange(num_files, F.col(z))
         .sortWithinPartitions(z)
         .drop(z)

@@ -88,12 +88,17 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        # Under spark-submit/cluster managers the master arrives via
-        # PYSPARK_SUBMIT_ARGS; forcing .master() here would silently
-        # override it and run the whole job local on the driver. Default
-        # to local[N] only when no submit-time master exists.
+        # Under a cluster manager the master is already decided before
+        # Python runs: spark-submit pre-launches the JVM and hands Python
+        # a gateway (PYSPARK_GATEWAY_PORT) — it never sets
+        # PYSPARK_SUBMIT_ARGS (that var is only consumed when Python
+        # launches the JVM itself). Forcing .master() in either case
+        # would silently override yarn/k8s and run the whole job local on
+        # the driver node. Default to local[N] only when this process
+        # owns the JVM launch and no submit-time master exists.
         submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-        if "--master" not in submit_args:
+        jvm_prelaunched = "PYSPARK_GATEWAY_PORT" in os.environ
+        if "--master" not in submit_args and not jvm_prelaunched:
             master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS

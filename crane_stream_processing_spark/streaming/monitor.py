@@ -93,10 +93,21 @@ class ProgressRecorder(StreamingQueryListener):
             if query_name is None or p["query"] == query_name
         )
 
-    def observed_series(self, metric: str, obs_name: str = "crane_metrics"):
-        """All values of one observed metric across batches, in order."""
+    def observed_series(
+        self,
+        metric: str,
+        obs_name: str = "crane_metrics",
+        query_name: str | None = None,
+    ):
+        """All values of one observed metric across batches, in order.
+
+        ``query_name`` scopes the series to one query — the listener is
+        session-global, so two concurrent queries sharing the default
+        observation name would otherwise interleave into one series."""
         out = []
         for p in self.progress:
+            if query_name is not None and p["query"] != query_name:
+                continue
             row = p["observed"].get(obs_name)
             if row is not None:
                 out.append(row[metric])

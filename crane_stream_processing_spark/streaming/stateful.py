@@ -46,11 +46,15 @@ def running_keyed_count(
         (total,) = state.get if state.exists else (0,)
         total += n
         state.update((total,))
-        yield pd.DataFrame({"key": [key[0]], "total": [total]})
+        yield pd.DataFrame({key_col: [key[0]], "total": [total]})
 
+    # Output key field mirrors the INPUT column's name and type — a
+    # hardcoded "key string" would rename the grouping column and make
+    # the Arrow conversion throw for non-string keys (long user ids).
+    key_type = lines_grouped_key.schema[key_col].dataType.simpleString()
     return lines_grouped_key.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="key string, total long",
+        outputStructType=f"{key_col} {key_type}, total long",
         stateStructType="total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -87,14 +91,15 @@ def tws_running_count(
             n = sum(len(p) for p in rows)
             total = (self._count.get() or (0,))[0] + n
             self._count.update((total,))
-            yield pd.DataFrame({"key": [key[0]], "total": [total]})
+            yield pd.DataFrame({key_col: [key[0]], "total": [total]})
 
         def close(self) -> None:
             pass
 
+    key_type = lines_grouped_key.schema[key_col].dataType.simpleString()
     return lines_grouped_key.groupBy(key_col).transformWithStateInPandas(
         RunningCount(),
-        outputStructType="key string, total long",
+        outputStructType=f"{key_col} {key_type}, total long",
         outputMode="Update",
         timeMode="None",
     )

@@ -66,3 +66,4 @@ def test_grep_lines_and_counts(spark, tmp_path):
     ]
     counts = {os.path.basename(r.vm): r.cnt for r in grep_counts(matches).collect()}
     assert counts == {"vm1.log": 2, "vm2.log": 1}
+

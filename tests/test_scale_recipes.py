@@ -202,3 +202,31 @@ def test_deterministic_hll_accuracy(spark, sf_dir):
         assert abs(r.hll_estimate - r.n_exact) / r.n_exact <= 0.20, (
             r.event_type, r.hll_estimate, r.n_exact
         )
+
+
+def test_stateful_running_count_long_key(spark, tmp_path):
+    """Non-string grouping keys (long user ids) must work: the output
+    schema mirrors the input key column's name and type instead of a
+    hardcoded 'key string'."""
+    import os
+
+    from crane_stream_processing_spark.streaming.stateful import (
+        running_keyed_count,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"user_id": 7}\n{"user_id": 7}\n{"user_id": 9}\n')
+    stream = spark.readStream.schema("user_id long").json(src)
+    out = running_keyed_count(stream, key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("long_key_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.user_id, r.total) for r in spark.table("long_key_counts").collect()}
+    assert got == {(7, 2), (9, 1)}
