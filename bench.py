@@ -77,23 +77,33 @@ def app_throughput(spark, sf_dir: str) -> dict:
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     for name, lines_df, pipeline, target_mb, ref_scale in suites:
-        row = lines_df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.length("value")).alias("chars")
-        ).collect()[0]
-        chars = row.chars or 0  # SUM over zero rows collects as None
-        if chars == 0:
-            out[name] = {"error": "empty source table — suite skipped"}
-            continue
-        copies = max(1, int(target_mb * 1024 * 1024 / chars))
+        # Per-suite isolation: one failed suite records its error and the
+        # others still report (the docstring promises ALL THREE apps).
         fixture = tempfile.mkdtemp(prefix="crane_apps_bench_")
-        n_lines = row.n * copies
-        spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
-        t0 = time.perf_counter()
         try:
+            row = lines_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                # bytes, not characters — multi-byte text would otherwise
+                # oversize the fixture and under-report MB/s
+                F.sum(F.octet_length("value")).alias("nbytes"),
+            ).collect()[0]
+            nbytes = row.nbytes or 0  # SUM over zero rows collects as None
+            if nbytes == 0:
+                out[name] = {"error": "empty source table — suite skipped"}
+                continue
+            copies = max(1, int(target_mb * 1024 * 1024 / nbytes))
+            n_lines = row.n * copies
+            spark.conf.set(
+                key, os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+            )
             big = lines_df.crossJoin(
                 spark.range(copies).select(F.col("id").alias("__copy"))
             ).select("value")
             big.repartition(8).write.mode("overwrite").text(fixture)
+            # Timer starts AFTER the fixture lands: the batch write of
+            # ~40 MB is comparable work to streaming it back, and the
+            # reported number is STREAMING throughput.
+            t0 = time.perf_counter()
             q = (
                 pipeline(spark.readStream.text(fixture))
                 .writeStream.outputMode("complete")
@@ -103,25 +113,29 @@ def app_throughput(spark, sf_dir: str) -> dict:
                 .start()
             )
             q.awaitTermination()
+            sec = time.perf_counter() - t0
+            mb = nbytes * copies / 1024 / 1024
+            out[name] = {
+                "mb": round(mb, 1),
+                "lines": n_lines,
+                "sec": round(sec, 2),
+                "lines_per_sec": int(n_lines / sec),
+                "mb_per_sec": round(mb / sec, 1),
+                "reference_scale": ref_scale,
+                "reference_emit_rate_lines_per_sec": "10-100 (SendPeriod 10-100 ms)",
+            }
+        except Exception as e:  # noqa: BLE001 — record, keep other suites
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
         finally:
             spark.conf.set(key, prev)
             shutil.rmtree(fixture, ignore_errors=True)
-        sec = time.perf_counter() - t0
-        mb = chars * copies / 1024 / 1024
-        out[name] = {
-            "mb": round(mb, 1),
-            "lines": n_lines,
-            "sec": round(sec, 2),
-            "lines_per_sec": int(n_lines / sec),
-            "mb_per_sec": round(mb / sec, 1),
-            "reference_scale": ref_scale,
-            "reference_emit_rate_lines_per_sec": "10-100 (SendPeriod 10-100 ms)",
-        }
     return out
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from crane_stream_processing_spark.catalog import default_sf_dir
+
+    sf_dir = default_sf_dir()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 

@@ -30,7 +30,12 @@ def norm(rows, cols):
 
     def c(v):
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else float(f"{v:.9g}")
+            if math.isnan(v):
+                return "NaN"
+            val = float(f"{v:.9g}")
+            return 0.0 if val == 0.0 else val  # canonicalize -0.0 (repr
+            # differs, sorts differently, and would false-MISMATCH rows
+            # whose order hinges on a signed-zero cell)
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, (list, tuple)):
@@ -63,13 +68,20 @@ def main() -> int:
             return 1
     failures = 0
     for name in sorted(qs):
-        sdf = qs[name](spark, SF_DIR)
-        sc, sr = norm([tuple(r) for r in sdf.collect()], sdf.columns)
-        if name not in oracles:
-            print(f"{name}: rows-only rows={len(sr)}")
+        # One broken query must not abort the gate — every remaining
+        # query still gets checked and the summary still prints.
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            sc, sr = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+            if name not in oracles:
+                print(f"{name}: rows-only rows={len(sr)}")
+                continue
+            d = con.execute(oracles[name])
+            dc, dr = norm(d.fetchall(), [x[0] for x in d.description])
+        except Exception as e:  # noqa: BLE001 — count as failure, continue
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failures += 1
             continue
-        d = con.execute(oracles[name])
-        dc, dr = norm(d.fetchall(), [x[0] for x in d.description])
         ok = sc == dc and sr == dr
         print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(sr)}/{len(dr)}")
         if not ok:
