@@ -188,7 +188,12 @@ def dedup_survivor_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local projection (token array staged once — HOFs get no CSE);
     survivor choice is one window over the fingerprint; both aggregates
     are map-side-combinable counts."""
+    from ..operators.text import _fingerprint_from
+
     docs = t(spark, sf_dir, "documents")
+    # One canonical fingerprint definition (operators.text) — a local
+    # re-spelling could drift from the expression the other fingerprint
+    # oracles hash.
     fp = docs.select(
         "doc_id",
         "source",
@@ -198,7 +203,7 @@ def dedup_survivor_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tk"))))).alias("f"),
+        _fingerprint_from(F.col("tk")).alias("f"),
     )
     w = Window.partitionBy("f").orderBy("doc_id")
     surv = (

@@ -18,18 +18,63 @@ from pyspark.sql import functions as F
 
 from . import dsum, query, t
 
-
-@query(
-    "evt_tumbling_daily_by_type",
-    oracle="""
+# Shared DuckDB oracles — the streaming twins in streaming_queries.py are
+# documented as "held to the identical oracle"; importing these constants
+# makes that true by construction instead of by copy-paste.
+ORACLE_TUMBLING_DAILY_BY_TYPE = """
     SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+ORACLE_SLIDING_12H = """
+    WITH grid AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_id, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 day', ts - INTERVAL '12 hours') + INTERVAL '12 hours'
+               AS win_start, event_id, value
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM grid GROUP BY 1
+    """
+
+ORACLE_SESSION_30M = """
+    WITH flagged AS (
+      -- > (strict), matching Spark exactly: session_window MERGES an
+      -- event at exactly gap distance (verified empirically — events at
+      -- 00:00 and 00:30 with a 30-minute gap land in ONE session;
+      -- touching windows merge), so the oracle splits only on gap
+      -- STRICTLY greater than 30 minutes.
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      -- the running SUM uses the SAME total order as the LAG above: with
+      -- ORDER BY ts alone, equal-ts peers at a session boundary frame in
+      -- arbitrary physical order and a tie could split one session
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """
+
+
+@query("evt_tumbling_daily_by_type", oracle=ORACLE_TUMBLING_DAILY_BY_TYPE)
 def evt_tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 tumbling window: daily counts/sums per event type via
     F.window(ts, '1 day') — identical code path batch and streaming."""
@@ -46,22 +91,7 @@ def evt_tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "evt_sliding_12h_windows",
-    oracle="""
-    WITH grid AS (
-      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_id, value FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '1 day', ts - INTERVAL '12 hours') + INTERVAL '12 hours'
-               AS win_start, event_id, value
-      FROM events
-    )
-    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
-    FROM grid GROUP BY 1
-    """,
-)
+@query("evt_sliding_12h_windows", oracle=ORACLE_SLIDING_12H)
 def evt_sliding_12h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 sliding window: 1-day windows every 12 hours — each event lands
     in exactly 2 windows. Oracle = union of the two phase-offset tumbling
@@ -78,34 +108,7 @@ def evt_sliding_12h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "evt_session_windows_30m",
-    oracle="""
-    WITH flagged AS (
-      -- > (strict), matching Spark exactly: session_window MERGES an
-      -- event at exactly gap distance (verified empirically — events at
-      -- 00:00 and 00:30 with a 30-minute gap land in ONE session;
-      -- touching windows merge), so the oracle splits only on gap
-      -- STRICTLY greater than 30 minutes.
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    sessions AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged
-    )
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           COUNT(*) AS n_events
-    FROM sessions GROUP BY user_id, session_id
-    """,
-)
+@query("evt_session_windows_30m", oracle=ORACLE_SESSION_30M)
 def evt_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 session window: per-user sessions closed by a 30-minute gap,
     via F.session_window — the streaming-native primitive (state-store

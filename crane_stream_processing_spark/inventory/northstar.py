@@ -86,6 +86,13 @@ def _sql_bucket(vec_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Oracle precondition (latent, pinned here): the similarity oracles assume
+# NO zero-norm embeddings and NO exactly-tied centroid dot products — both
+# impossible in the driver's synthetic embeddings (dense uniform floats).
+# The OPERATORS do guard those cases (qn/cn > 0 filters, array_distinct on
+# probe cells in similarity.py) because real-world corpora hit them; an
+# engine graded on data containing a zero vector would need the same
+# norm>0 filter mirrored into these oracle strings.
 SQL_COSINE = (
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
@@ -1033,7 +1040,10 @@ def udf_flatmap_token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.udf import flat_map
 
-    ws = re.compile(r"\s+")
+    # re.ASCII pins \s to ASCII whitespace — Python's default Unicode \s
+    # also splits on U+00A0/U+0085 etc., which neither the JVM tokens()
+    # helper nor the DuckDB oracle's RE2 \s treat as whitespace.
+    ws = re.compile(r"\s+", re.ASCII)
 
     def tok_stats(batches):
         for pdf in batches:

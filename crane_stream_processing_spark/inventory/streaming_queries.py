@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import dsum, query, t
+from .eventtime import (
+    ORACLE_SESSION_30M,
+    ORACLE_SLIDING_12H,
+    ORACLE_TUMBLING_DAILY_BY_TYPE,
+)
 
 # The streaming file source needs a user-provided schema; the ts column's
 # stored type varies by how the dataset was generated — TIMESTAMP(NANOS)
@@ -77,14 +82,22 @@ def _set_session_confs(spark: SparkSession) -> None:
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     _set_session_confs(spark)
-    # The streaming file source takes a directory; events.parquet is a
-    # single file, so scan the table dir with a filename glob.
-    src = (
-        spark.readStream.schema(_events_schema(_events_ts_type(spark, sf_dir)))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # Layout-independent (catalog contract): events.parquet may be one
+    # FILE (stream the table dir with a filename glob — the streaming
+    # file source takes directories) or a parquet DIRECTORY of part
+    # files (stream it directly; the glob would match zero leaves and
+    # every streaming query would silently read an empty stream).
+    path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(
+        _events_schema(_events_ts_type(spark, sf_dir))
     )
+    if os.path.isdir(path):
+        src = reader.parquet(path)
+    else:
+        src = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return _normalize_ts(src)
 
 
@@ -122,11 +135,7 @@ def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(sentinel_dir)
         _SENTINEL_DIR = sentinel_dir
     sentinel_dir = _SENTINEL_DIR
-    real = _normalize_ts(
-        spark.readStream.schema(_events_schema(_events_ts_type(spark, sf_dir)))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    real = _stream_events(spark, sf_dir)
     sent = spark.readStream.schema(_events_schema(T.TimestampType())).parquet(
         sentinel_dir
     )
@@ -173,17 +182,7 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
         q.awaitTermination()
 
 
-@query(
-    "stream_tumbling_daily_by_type",
-    oracle="""
-    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-           event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
+@query("stream_tumbling_daily_by_type", oracle=ORACLE_TUMBLING_DAILY_BY_TYPE)
 def stream_tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 as a real streaming query: event-time tumbling window aggregate
     over the events stream, complete-mode snapshot after a bounded
@@ -205,22 +204,7 @@ def stream_tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table("stream_tumbling_daily_by_type")
 
 
-@query(
-    "stream_sliding_12h_windows",
-    oracle="""
-    WITH grid AS (
-      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_id, value FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '1 day', ts - INTERVAL '12 hours') + INTERVAL '12 hours'
-               AS win_start, event_id, value
-      FROM events
-    )
-    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
-    FROM grid GROUP BY 1
-    """,
-)
+@query("stream_sliding_12h_windows", oracle=ORACLE_SLIDING_12H)
 def stream_sliding_12h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 sliding windows as a real streaming query: 1-day windows every
     12 hours over the events stream (each event in exactly 2 windows'
@@ -329,31 +313,7 @@ def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_static_enrich_segment")
 
 
-@query(
-    "stream_session_windows_30m",
-    oracle="""
-    WITH flagged AS (
-      -- > (strict): session_window merges exact-gap events — see the
-      -- boundary note on evt_session_windows_30m.
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    sessions AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged
-    )
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           COUNT(*) AS n_events
-    FROM sessions GROUP BY user_id, session_id
-    """,
-)
+@query("stream_session_windows_30m", oracle=ORACLE_SESSION_30M)
 def stream_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 session windows as a real streaming query: state-store-merged
     F.session_window sessions (30-minute gap), complete-mode snapshot over

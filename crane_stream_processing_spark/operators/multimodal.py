@@ -141,7 +141,11 @@ def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFram
         def grid(b: bytes) -> bytes:
             n = width * height
             if not len(b):
-                return bytes(n)
+                # empty payload → empty pixels ("no image", not a fake
+                # black frame of NULs): consistent with the frame-sample
+                # and chunk operators' L=0 handling and with the oracle's
+                # character-indexed rebuild, which yields '' for ''
+                return b""
             # nearest-neighbour positions across the byte stream
             return bytes(b[(i * len(b)) // n] for i in range(n))
 

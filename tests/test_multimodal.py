@@ -38,14 +38,16 @@ def test_fake_decode_features(media):
 
 def test_resize_fixed_grid(media):
     out = {r.media_id: r for r in M.resize_images(media, 4, 4).collect()}
-    for r in out.values():
+    for mid, r in out.items():
         assert (r.width, r.height) == (4, 4)
-        assert len(bytes(r.pixels)) == 16
+        assert len(bytes(r.pixels)) == (0 if mid == 3 else 16)
     # nearest-neighbour sample of 'hello world' (11 bytes) onto 16 cells
     assert bytes(out[1].pixels) == bytes(
         b"hello world"[(i * 11) // 16] for i in range(16)
     )
-    assert bytes(out[3].pixels) == bytes(16)  # empty → zero grid
+    # empty payload → empty pixels ("no image", not a fake NUL frame —
+    # matches the oracle's char-indexed rebuild of '')
+    assert bytes(out[3].pixels) == b""
 
 
 def test_frame_sample_partition(media):
