@@ -174,7 +174,7 @@ def main(argv: list[str] | None = None) -> int:
             # catalog table (plus each versioned-store name, as its latest
             # committed version) becomes a temp view; the statement runs
             # through the full Catalyst/AQE path like any engine query.
-            from .catalog import default_sf_dir, register_views
+            from .catalog import TABLES, default_sf_dir, register_views
             from .streaming.sinks import read_latest, store_names
 
             import re
@@ -189,6 +189,16 @@ def main(argv: list[str] | None = None) -> int:
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
                     print(
                         f"# skipping store {name!r}: not a SQL identifier",
+                        file=sys.stderr,
+                    )
+                    continue
+                # A store named after a catalog table (e.g. 'orders') must
+                # not silently shadow the table view registered above —
+                # queries would read store data while claiming table data.
+                if name.lower() in TABLES:
+                    print(
+                        f"# skipping store {name!r}: collides with catalog "
+                        f"table; query it via the store commands instead",
                         file=sys.stderr,
                     )
                     continue

@@ -150,7 +150,8 @@ def app_hot_resources_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "src_clf_typed_scan",
     oracle="""
-    SELECT resource, COUNT(*) AS hits, SUM(CAST(event_id % 97 AS BIGINT)) AS total_bytes
+    SELECT resource, COUNT(*) AS hits,
+           CAST(SUM(event_id % 97) AS BIGINT) AS total_bytes
     FROM (
       SELECT event_type AS resource, event_id FROM events
     )
@@ -388,8 +389,9 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "src_json_roundtrip",
     oracle="""
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars,
-           SUM(LENGTH(text)) AS total_text_len
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
     FROM documents
     GROUP BY lang
     """,
@@ -573,7 +575,7 @@ _ZORDER_DIRS: dict[str, str] = {}  # per-process z-ordered write fixture cache
     SELECT COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
              AS total_price,
-           SUM(a | (b << 1)) AS z_sum
+           CAST(SUM(a | (b << 1)) AS BIGINT) AS z_sum
     FROM s4
     """,
 )
@@ -631,7 +633,8 @@ _EVOLVE_DIRS: dict[str, str] = {}  # per-process schema-evolution fixture
     "io_schema_evolution",
     oracle="""
     SELECT COUNT(*) AS n,
-           SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_evolved,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_evolved,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value,
            COUNT(CASE WHEN event_id % 2 = 1 THEN event_type END) AS n_etype
     FROM events

@@ -64,7 +64,8 @@ def sample_uniform_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_cap_per_source",
     oracle=f"""
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
     FROM (
       SELECT source, n_chars,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY {SQL_U}, doc_id) AS rn
@@ -96,7 +97,7 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
     )
     SELECT lang,
-           SUM(c) AS total_tokens,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
            COUNT(*) AS vocab_size,
            COUNT(*) FILTER (c = 1) AS hapax_count,
            CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
@@ -131,7 +132,8 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            COUNT(*) FILTER (len(regexp_extract_all(text, '\bspark\b')) > 0) AS docs_hit,
-           SUM(len(regexp_extract_all(text, '\bspark\b'))) AS n_redacted
+           CAST(SUM(len(regexp_extract_all(text, '\bspark\b'))) AS BIGINT)
+             AS n_redacted
     FROM documents
     GROUP BY source
     """,
@@ -170,7 +172,8 @@ def text_redact_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
       FROM fp
     ), per_surv AS (
-      SELECT source, COUNT(*) AS n_survivors, SUM(n_chars) AS retained_chars
+      SELECT source, COUNT(*) AS n_survivors,
+             CAST(SUM(n_chars) AS BIGINT) AS retained_chars
       FROM surv WHERE rn = 1 GROUP BY source
     ), per_tot AS (
       SELECT source, COUNT(*) AS total_docs FROM documents GROUP BY source
@@ -296,7 +299,8 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 16 AS shard
       FROM documents
     )
-    SELECT shard, COUNT(*) AS n_docs, SUM(ntok) AS total_tokens,
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM d GROUP BY shard ORDER BY shard
     """,
@@ -356,9 +360,10 @@ def curate_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (mwl < 3.0 OR mwl > 7.0) AS fail_wordlen,
            COUNT(*) FILTER (sf > 0.35) AS fail_stop,
            COUNT(*) FILTER (df < 0.55) AS fail_rep,
-           SUM(n_words) FILTER (n_words BETWEEN 25 AND 80
-                                AND mwl >= 3.0 AND mwl <= 7.0
-                                AND sf <= 0.35 AND df >= 0.55) AS kept_tokens
+           CAST(SUM(n_words) FILTER (n_words BETWEEN 25 AND 80
+                                     AND mwl >= 3.0 AND mwl <= 7.0
+                                     AND sf <= 0.35 AND df >= 0.55)
+                AS BIGINT) AS kept_tokens
     FROM g GROUP BY lang
     """,
 )
@@ -415,7 +420,7 @@ def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_mixture_weights",
     oracle=f"""
     WITH lt AS (
-      SELECT lang, SUM(len(tk)) AS lang_tokens
+      SELECT lang, CAST(SUM(len(tk)) AS BIGINT) AS lang_tokens
       FROM (SELECT lang, {SQL_TOKS} AS tk FROM documents) GROUP BY lang
     ), tot AS (
       SELECT SUM(lang_tokens) AS total_tokens,

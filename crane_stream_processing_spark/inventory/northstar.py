@@ -615,7 +615,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality,
-           SUM(ws_tokens) AS total_tokens
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens
     FROM kept WHERE rn = 1
     GROUP BY source
     """,

@@ -249,7 +249,8 @@ _PACK_BUDGET = 256
              ntok
       FROM toks
     )
-    SELECT source, pack_id, COUNT(*) AS n_docs, SUM(ntok) AS total_tokens
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens
     FROM packed
     GROUP BY source, pack_id
     ORDER BY source, pack_id
@@ -361,7 +362,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lp_sum / dl, 4) AS avg_logprob
     FROM (
       SELECT tc.doc_id,
-             SUM(tf) AS dl,
+             CAST(SUM(tf) AS BIGINT) AS dl,
              SUM(tf * ln(cf / CAST(total_cf AS DOUBLE))) AS lp_sum
       FROM tc JOIN lm USING (term) CROSS JOIN corpus
       GROUP BY tc.doc_id
@@ -549,7 +550,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lp_sum / n_bigrams, 4) AS avg_logprob
     FROM (
       SELECT bc.doc_id,
-             SUM(bc.tf) AS n_bigrams,
+             CAST(SUM(bc.tf) AS BIGINT) AS n_bigrams,
              SUM(bc.tf * ln((lm.c2 + 0.5) / (ctx.c1 + 0.5 * vocab.v))) AS lp_sum
       FROM bc
       JOIN lm USING (w1, w2)

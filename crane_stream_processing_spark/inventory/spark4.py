@@ -83,8 +83,9 @@ def udtf_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS k_distinct,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)
-               * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sq_sum
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    * CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sq_sum
     FROM events
     GROUP BY event_type
     """,

@@ -68,12 +68,20 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         out = out + F.when(dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0)
         )
-    return F.when(F.size(vec) == dim, out).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("lsh_bucket: vector dim "),
-                F.size(vec).cast("string"),
-                F.lit(f" != plane dim {dim}"),
+    # NULL vectors pass through as NULL buckets (F.size(NULL) is NULL, so
+    # the equality check can never be true for them and the raise would
+    # fire with a misleading message); the raise is reserved for genuinely
+    # mis-dimensioned non-NULL vectors.
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("long"))
+        .when(F.size(vec) == dim, out)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("lsh_bucket: vector dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(f" != plane dim {dim}"),
+                )
             )
         )
     )

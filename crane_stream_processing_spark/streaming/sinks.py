@@ -90,9 +90,13 @@ class _HadoopFS:
         finally:
             out.close()
         dest = self._path(p)
-        if self._fs.exists(dest):
-            self._fs.delete(dest, False)
-        self._fs.rename(tmp, dest)
+        # HDFS signals several failure modes by RETURNING false from
+        # delete/rename rather than throwing — a swallowed false here would
+        # silently lose a commit marker (version written, never visible).
+        if self._fs.exists(dest) and not self._fs.delete(dest, False):
+            raise IOError(f"delete of existing {p!r} returned false")
+        if not self._fs.rename(tmp, dest):
+            raise IOError(f"atomic rename {p + '.tmp'!r} -> {p!r} returned false")
 
     def remove(self, p: str) -> None:
         self._fs.delete(self._path(p), False)

@@ -308,3 +308,19 @@ def test_grouped_agg_udf_multi_column(spark):
     )
     got = {r.g: r.wm for r in df.groupBy("g").agg(wmean(df.x, df.w).alias("wm")).collect()}
     assert got == {1: 3.5, 2: 10.0}
+
+
+def test_kafka_wrapper_surface(spark):
+    """kafka_lines is the deployment surface for the reference's UDP spout
+    (S1/S4) — the connector jar is not bundled in this container, so the
+    declared contract here is: the wrapper builds its plan lazily and
+    surfaces Spark's DATA_SOURCE_NOT_FOUND (not a silent no-op or an
+    unrelated crash) the moment the source is resolved. On a cluster with
+    spark-sql-kafka on the classpath the same call returns a streaming
+    DataFrame with schema `value: string`."""
+    import pytest
+
+    from crane_stream_processing_spark.streaming.sources import kafka_lines
+
+    with pytest.raises(Exception, match="(?i)kafka|DATA_SOURCE|FAILED_TO_LOAD"):
+        kafka_lines(spark, "localhost:9092", "t")

@@ -45,6 +45,51 @@ def norm(rows, cols):
     return sorted(cols), sorted([tuple(c(r[i]) for i in order) for r in rows], key=repr)
 
 
+_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "HUGEINT": "int128", "UHUGEINT": "int128",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+}
+
+
+def _duck_kind(t: str) -> str:
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]"):
+        return "array"
+    return _KIND.get(t, t.lower())
+
+
+def _spark_kind(t: str) -> str:
+    base = t.split("(")[0]
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float", "double": "float", "string": "str",
+        "boolean": "bool", "date": "date", "timestamp": "ts",
+        "timestamp_ntz": "ts", "decimal": "decimal",
+    }.get(base, "array" if base.startswith("array") else base)
+
+
+def type_audit(con, spark_dtypes, sql: str) -> list[str]:
+    """The driver fetches DuckDB results through pandas, where HUGEINT
+    (any uncast integer SUM) and int-vs-float divergence become float64 and
+    hash-mismatch against Spark even though fetchall()-based value compare
+    passes (Python 5 == 5.0). Catch both classes statically: DESCRIBE the
+    oracle and require kind-compatible output types per column."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    duck = {row[0]: _duck_kind(row[1]) for row in desc}
+    spark = {c: _spark_kind(t) for c, t in spark_dtypes}
+    errs = [f"oracle col {c!r} is {k} (driver's pandas fetch degrades it)"
+            for c, k in duck.items() if k == "int128"]
+    for c in set(duck) & set(spark):
+        if {duck[c], spark[c]} == {"int", "float"}:
+            errs.append(f"col {c!r} kind mismatch spark={spark[c]} duck={duck[c]}")
+    return errs
+
+
 def main() -> int:
     # Optional argv: query-name prefixes — check only matching queries
     # (entry() smoke skipped) for fast iteration on new registry entries.
@@ -76,10 +121,15 @@ def main() -> int:
             if name not in oracles:
                 print(f"{name}: rows-only rows={len(sr)}")
                 continue
+            terrs = type_audit(con, sdf.dtypes, oracles[name])
             d = con.execute(oracles[name])
             dc, dr = norm(d.fetchall(), [x[0] for x in d.description])
         except Exception as e:  # noqa: BLE001 — count as failure, continue
             print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if terrs:
+            print(f"{name}: TYPE-AUDIT FAIL {terrs}")
             failures += 1
             continue
         ok = sc == dc and sr == dr
