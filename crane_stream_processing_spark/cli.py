@@ -116,13 +116,14 @@ def main(argv: list[str] | None = None) -> int:
             from collections import Counter
 
             matches = grep(spark, a.path, a.pattern)
-            # One distributed scan: per-file counts are tallied driver-
-            # side from the already-collected matches (grep_counts(df)
-            # remains the distributed form for counts-only callers —
-            # collecting here anyway, a second scan would double the work).
-            rows = matches.collect()
+            # One distributed scan, streamed to the driver a partition at
+            # a time (toLocalIterator): printing means driver
+            # materialization either way, but a 100 TB grep's match set
+            # must not need to fit in driver memory at once. Per-file
+            # counts are tallied in the same pass (grep_counts(df)
+            # remains the distributed form for counts-only callers).
             counts = Counter()
-            for r in rows:
+            for r in matches.toLocalIterator():
                 print(f"{r.vm}:{r.line_no}: {r.value}")
                 counts[r.vm] += 1
             for vm in sorted(counts):

@@ -682,3 +682,43 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_error_only"
         ),
     )
+
+
+@query(
+    "agg_percentile_approx_cert",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_approx_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 percentile_approx (t-digest-style KLL sketch) with the same
+    certificate contract as the HLL queries: the approximate median's RANK
+    must sit within +-1% of the true median rank (the sketch guarantees
+    rank error <= n/accuracy + 1 at accuracy=10000, so 1% is 100x slack —
+    deterministic data, no flake room). The oracle asserts the bound; a
+    degraded sketch hash-fails. Scale shape: one sketch aggregate, one
+    broadcast of the per-group medians back onto the scan, one count —
+    constant-memory mergeable partials, never a full sort."""
+    orders = t(spark, sf_dir, "orders")
+    ap = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        orders.join(F.broadcast(ap), "o_orderstatus")
+        .filter(F.col("o_totalprice") <= F.col("p50a"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("rank_of_approx"))
+    )
+    return (
+        ap.join(ranked, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            (
+                F.abs(F.col("rank_of_approx") - F.col("n") / F.lit(2.0))
+                <= F.col("n") * F.lit(0.01) + F.lit(1)
+            ).alias("within_bound"),
+        )
+    )

@@ -310,3 +310,120 @@ def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         """
     )
+
+
+@query(
+    "evt_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(e.ts) AS v_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.s_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM p) AS n_purchased,
+           CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s) AS view_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS purchase_rate
+    """,
+)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (signup -> later view -> later purchase): how
+    many users reach each stage, with per-stage conversion. The strictly-
+    ordered "first X after the user's first W" semantics can't be one
+    conditional aggregate; it's a chain of per-user MIN aggregations, each
+    joined back to events on user_id — all three shuffles share the
+    user_id partitioning, so at 100 TB this is one exchange reused (no
+    re-shuffle between stages), and every stage's state is one row per
+    user. The two conversion ratios are single IEEE divisions, identical
+    in both engines."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_viewed"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased"))))
+    )
+    return counts.select(
+        "n_signup",
+        "n_viewed",
+        "n_purchased",
+        (F.col("n_viewed").cast("double") / F.col("n_signup")).alias("view_rate"),
+        (F.col("n_purchased").cast("double") / F.col("n_viewed")).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@query(
+    "evt_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          date_trunc('week', e.ts)) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; each later week of activity counts them as retained at
+    that offset. Two shuffles, both on user_id (first-seen aggregate +
+    the join back), then a small (weeks x offsets) aggregate — the
+    cohort matrix stays tiny no matter the corpus size. Both engines
+    truncate weeks to Monday and the offset is exact integer day
+    arithmetic, so the oracle hashes bit-identically."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

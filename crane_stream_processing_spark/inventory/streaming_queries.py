@@ -411,7 +411,9 @@ def stream_stream_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "stream_stream_left_join_error_purchase",
     oracle="""
-    SELECT e.event_id AS error_id, p.event_id AS purchase_id, p.value AS purchase_value
+    SELECT e.event_id AS error_id,
+           COALESCE(p.event_id, -1) AS purchase_id,
+           COALESCE(p.value, -1.0) AS purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'error') e
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON e.user_id = p.user_id
@@ -426,7 +428,11 @@ def stream_stream_left_join_error_purchase(spark: SparkSession, sf_dir: str) -> 
     (_stream_events_sentinel): a year-2100 marker drives the final
     watermark past every real error, and the bounded pass emits the
     complete relational LEFT JOIN. Sentinel rows (user_id = -1) are
-    filtered from the output."""
+    filtered from the output. Unmatched rows surface as purchase_id = -1 /
+    purchase_value = -1.0 (not NULL): a NULL bigint column is the one
+    output type whose driver-side fetch behavior round 1 left unproven
+    (pandas degrades nullable int64 to float64; arrow doesn't), and the
+    graded contract must not hinge on which fetch the driver uses."""
     ev = _stream_events_sentinel(spark, sf_dir)
     errors = (
         ev.filter(F.col("event_type") == "error")
@@ -453,7 +459,11 @@ def stream_stream_left_join_error_purchase(spark: SparkSession, sf_dir: str) -> 
         & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("p_ts") <= F.col("e_ts")),
         "left_outer",
-    ).select("error_id", "purchase_id", "purchase_value")
+    ).select(
+        "error_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("purchase_value"), F.lit(-1.0)).alias("purchase_value"),
+    )
     _run_to_memory(joined, "stream_stream_left_join_error_purchase", "append")
     # Sentinel filter happens on the BATCH read-back, not inside the
     # streaming plan: a pre-join filter would be pushed below the watermark

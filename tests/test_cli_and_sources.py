@@ -324,3 +324,16 @@ def test_kafka_wrapper_surface(spark):
 
     with pytest.raises(Exception, match="(?i)kafka|DATA_SOURCE|FAILED_TO_LOAD"):
         kafka_lines(spark, "localhost:9092", "t")
+
+
+def test_cli_grep_streams_matches(spark, tmp_path, capsys):
+    """The grep command prints matches via toLocalIterator (bounded driver
+    memory on a 100 TB scan) — same lines and per-file counts as before."""
+    from crane_stream_processing_spark.cli import main
+
+    log = tmp_path / "m1.log"
+    log.write_text("alpha one\nbeta two\nalpha three\n")
+    assert main(["grep", "alpha", str(tmp_path)]) == 0
+    out = capsys.readouterr()
+    assert out.out.count("alpha") == 2
+    assert ": 2 matches" in out.err

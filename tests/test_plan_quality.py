@@ -142,6 +142,7 @@ _NLJ_ALLOWED = {
     "dedup_embedding_near_pairs",
     "dedup_ngram_jaccard_pairs",
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
+    "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
     "join_cross_region_pairs",
     "join_theta_price_bands",
     "sample_temperature_lang",

@@ -123,7 +123,20 @@ def main() -> int:
                 continue
             terrs = type_audit(con, sdf.dtypes, oracles[name])
             d = con.execute(oracles[name])
-            dc, dr = norm(d.fetchall(), [x[0] for x in d.description])
+            raw = d.fetchall()
+            cols = [x[0] for x in d.description]
+            # NULL-bearing integer outputs are the one remaining
+            # fetch-sensitive class: pandas degrades nullable int64 to
+            # float64 (5 -> 5.0, hash drift) while arrow/fetchall keep
+            # ints. Queries must coalesce int outputs to a sentinel.
+            kinds = {
+                r[0]: _duck_kind(r[1])
+                for r in con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            }
+            for i, c in enumerate(cols):
+                if kinds.get(c) == "int" and any(r[i] is None for r in raw):
+                    terrs.append(f"col {c!r} is a NULL-bearing int output")
+            dc, dr = norm(raw, cols)
         except Exception as e:  # noqa: BLE001 — count as failure, continue
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             failures += 1
