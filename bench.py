@@ -197,8 +197,14 @@ def main() -> None:
     }
     detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    with open(detail_file, "w") as f:
-        json.dump(detail, f, indent=1)
+    try:
+        with open(detail_file, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # read-only checkout / full disk: the summary
+        # line below carries the signal; losing the detail file must not
+        # abort a completed 2-minute timing run.
+        print(f"bench: detail write FAILED: {e}", file=sys.stderr)
+        detail_file = None
     # The driver captures only a ~4 KB stdout tail (round-1 BENCH json came
     # back "parsed": null) — print a COMPACT line: totals, slowest-5 as the
     # "queries" dict, per-app lines/s; full per-query detail in the file.

@@ -398,21 +398,24 @@ def agg_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist + merge; ids never re-shuffle). Graded contract mirrors
     agg_approx_count_distinct: exact count plus a ``within_bound``
     certificate (union-merged estimate within 10% of exact; lgK=12 HLL is
-    ~1.6% rsd) that the oracle asserts TRUE."""
+    ~1.6% rsd) that the oracle asserts TRUE. The exact side is a GLOBAL
+    countDistinct — summing per-source distincts would double-count a
+    doc_id shared by two sources, which is exactly the overlap a
+    deduplicating sketch union is FOR (and what the oracle computes)."""
     docs = t(spark, sf_dir, "documents")
-    per_source = docs.groupBy("source").agg(
-        F.hll_sketch_agg("doc_id").alias("sk"),
-        F.countDistinct("doc_id").alias("exact_docs"),
-    )
-    return per_source.agg(
+    merged = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    ).agg(
         F.count(F.lit(1)).alias("n_sources"),
-        F.sum("exact_docs").alias("exact_distinct_docs"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = docs.agg(F.countDistinct("doc_id").alias("exact_distinct_docs"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_sources",
+        "exact_distinct_docs",
         (
-            F.abs(
-                F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                - F.sum("exact_docs")
-            )
-            <= F.lit(0.10) * F.sum("exact_docs")
+            F.abs(F.col("est") - F.col("exact_distinct_docs"))
+            <= F.lit(0.10) * F.col("exact_distinct_docs")
         ).alias("within_bound"),
     )
 

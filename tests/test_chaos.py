@@ -49,23 +49,19 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 
-def flaky(schema):
+def flaky(it):
     """mapInPandas passthrough that dies on the FIRST attempt of every
     task covering partition 0 — the moral equivalent of the worker hosting
     that partition crashing mid-task. Drops a marker file per injected
     death (local mode: executor shares the driver host) so the test can
     prove faults actually fired rather than silently not triggering."""
+    from pyspark import TaskContext
 
-    def fn(it):
-        from pyspark import TaskContext
-
-        tc = TaskContext.get()
-        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
-            open(os.path.join(MARKERS, f"death_{tc.taskAttemptId()}"), "w").close()
-            raise RuntimeError("chaos: injected task failure")
-        yield from it
-
-    return fn
+    tc = TaskContext.get()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        open(os.path.join(MARKERS, f"death_{tc.taskAttemptId()}"), "w").close()
+        raise RuntimeError("chaos: injected task failure")
+    yield from it
 
 
 results = {}
@@ -78,7 +74,7 @@ truth = sorted(
     ).collect()
 )
 faulted = sorted(
-    df.mapInPandas(flaky("id long, k long"), "id long, k long")
+    df.mapInPandas(flaky, "id long, k long")
     .groupBy("k")
     .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
     .collect()
@@ -105,7 +101,7 @@ batch_truth = sorted(
 lines = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
 counts = (
     lines.repartition(4)
-    .mapInPandas(flaky("value string"), "value string")
+    .mapInPandas(flaky, "value string")
     .select(F.explode(F.split("value", " ")).alias("w"))
     .groupBy("w")
     .agg(F.count(F.lit(1)).alias("n"))

@@ -143,6 +143,7 @@ _NLJ_ALLOWED = {
     "dedup_ngram_jaccard_pairs",
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
+    "agg_hll_sketch_distinct",  # 1-row sketch-union x 1-row exact count
     "join_cross_region_pairs",
     "join_theta_price_bands",
     "sample_temperature_lang",

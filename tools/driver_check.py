@@ -73,12 +73,13 @@ def _spark_kind(t: str) -> str:
     }.get(base, "array" if base.startswith("array") else base)
 
 
-def type_audit(con, spark_dtypes, sql: str) -> list[str]:
+def type_audit(con, spark_dtypes, sql: str) -> tuple[list[str], dict[str, str]]:
     """The driver fetches DuckDB results through pandas, where HUGEINT
     (any uncast integer SUM) and int-vs-float divergence become float64 and
     hash-mismatch against Spark even though fetchall()-based value compare
     passes (Python 5 == 5.0). Catch both classes statically: DESCRIBE the
-    oracle and require kind-compatible output types per column."""
+    oracle and require kind-compatible output types per column. Returns
+    (errors, column->kind) so the caller's NULL audit reuses one DESCRIBE."""
     desc = con.execute(f"DESCRIBE ({sql})").fetchall()
     duck = {row[0]: _duck_kind(row[1]) for row in desc}
     spark = {c: _spark_kind(t) for c, t in spark_dtypes}
@@ -87,7 +88,7 @@ def type_audit(con, spark_dtypes, sql: str) -> list[str]:
     for c in set(duck) & set(spark):
         if {duck[c], spark[c]} == {"int", "float"}:
             errs.append(f"col {c!r} kind mismatch spark={spark[c]} duck={duck[c]}")
-    return errs
+    return errs, duck
 
 
 def main() -> int:
@@ -121,7 +122,7 @@ def main() -> int:
             if name not in oracles:
                 print(f"{name}: rows-only rows={len(sr)}")
                 continue
-            terrs = type_audit(con, sdf.dtypes, oracles[name])
+            terrs, kinds = type_audit(con, sdf.dtypes, oracles[name])
             d = con.execute(oracles[name])
             raw = d.fetchall()
             cols = [x[0] for x in d.description]
@@ -129,10 +130,9 @@ def main() -> int:
             # fetch-sensitive class: pandas degrades nullable int64 to
             # float64 (5 -> 5.0, hash drift) while arrow/fetchall keep
             # ints. Queries must coalesce int outputs to a sentinel.
-            kinds = {
-                r[0]: _duck_kind(r[1])
-                for r in con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
-            }
+            # NULL floats/strings are deliberately NOT flagged: round 1
+            # proved them safe at the real driver (join_asof passed with
+            # 134 NULL doubles; rollup/cube/lag_lead with NULL varchars).
             for i, c in enumerate(cols):
                 if kinds.get(c) == "int" and any(r[i] is None for r in raw):
                     terrs.append(f"col {c!r} is a NULL-bearing int output")
