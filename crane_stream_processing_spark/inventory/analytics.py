@@ -427,3 +427,92 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "graph_triangle_count_brand",
+    oracle="""
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), e AS (
+      SELECT DISTINCT a.p_brand AS brand, a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand = b.p_brand
+       AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.brand, COUNT(*) AS n_tri
+      FROM e e1
+      JOIN e e2 ON e2.brand = e1.brand AND e2.u = e1.v
+      JOIN e e3 ON e3.brand = e1.brand AND e3.u = e1.u AND e3.v = e2.v
+      GROUP BY e1.brand
+    ), ep AS (
+      SELECT brand, COUNT(*) AS n_edges FROM e GROUP BY brand
+    )
+    SELECT ep.brand, ep.n_edges,
+           COALESCE(tri.n_tri, CAST(0 AS BIGINT)) AS n_triangles
+    FROM ep LEFT JOIN tri ON ep.brand = tri.brand
+    ORDER BY ep.brand
+    """,
+)
+def graph_triangle_count_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on a derived co-purchase graph: parts are nodes,
+    an edge connects two same-brand parts bought in the same order, and
+    the query counts triangles per brand (the clustering signal behind
+    "frequently bought together" clique mining). Scale shape: the edge
+    list is ORIENTED (u < v) so each triangle is enumerated exactly once,
+    and the brand key rides every join, partitioning the graph into 25
+    independent subgraphs — candidate 2-paths are Σ_brand deg², not
+    global deg². All three triangle joins are composite-key equi shuffle
+    joins (never a nested loop); at 100 TB the standard next step is
+    orienting by degree instead of id, which bounds per-node fan-out by
+    sqrt(edges) — id-orientation is kept here because the oracle must
+    enumerate identically."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_partkey", "p_brand")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.brand") == F.col("e1.brand"))
+            & (F.col("e2.u") == F.col("e1.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.brand") == F.col("e1.brand"))
+            & (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    ep = e.groupBy("brand").agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ep.join(tri, "brand", "left")
+        .select(
+            "brand",
+            "n_edges",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_triangles"),
+        )
+        .orderBy("brand")
+    )

@@ -261,6 +261,41 @@ def join_asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> Da
 
 
 @query(
+    "join_asof_next_purchase_after_error",
+    oracle="""
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_next_purchase_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of, FORWARD direction: each error event paired with the
+    user's first purchase at-or-after it (NULL if none) — the "what did
+    the user do next" lookup. Same linear union+window recipe as the
+    backward variant with the window's time order mirrored
+    (operators.asof direction="forward"): one shuffle on user_id, no join
+    explosion; DuckDB ASOF JOIN with the inequality flipped is the
+    oracle."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        F.col("value_r").alias("next_purchase_value"),
+    )
+
+
+@query(
     "join_nullsafe_segment",
     oracle="""
     WITH c AS (

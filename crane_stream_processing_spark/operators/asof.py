@@ -37,20 +37,29 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join.
 
-    For each ``left`` row, the ``value_cols`` of the ``right`` row with the
-    greatest ``right_ts`` satisfying ``right_ts <= left_ts`` and equal join
-    keys; NULLs when no prior right row exists (including every left row
+    ``direction="backward"`` (default): for each ``left`` row, the
+    ``value_cols`` of the ``right`` row with the greatest ``right_ts``
+    satisfying ``right_ts <= left_ts`` and equal join keys — same as DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts``. ``direction="forward"``: the right
+    row with the SMALLEST ``right_ts >= left_ts`` (the "next event after"
+    lookup — DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``); implemented as the
+    mirror of the same linear union+window recipe (the window orders time
+    descending), so it keeps the single-shuffle cost — never a range join.
+
+    NULLs when no matching right row exists (including every left row
     with a NULL join key — equi-join semantics). Ties on the timestamp are
     broken toward the right row (right sorts before left at equal ts), i.e.
-    a right row at exactly ``left_ts`` matches — same as DuckDB ``ASOF JOIN
-    ... ON l.ts >= r.ts``. Multiple right rows at the same (key, ts) are
-    resolved deterministically: the lexicographically greatest
-    ``value_cols`` struct wins, so results are stable across runs and
-    partitionings.
+    a right row at exactly ``left_ts`` matches in both directions. Multiple
+    right rows at the same (key, ts) are resolved deterministically: the
+    lexicographically greatest ``value_cols`` struct wins, so results are
+    stable across runs and partitionings.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
 
@@ -89,9 +98,12 @@ def asof_join(
     # right rows the greatest __r struct sorts last and wins (NULL on left
     # rows — Spark sorts NULL structs first, which keeps left rows after
     # any tied right rows irrelevant since __side already orders them).
+    # Forward direction mirrors time: descending __t makes "the nearest
+    # right row at-or-after" the last non-null __r in the running frame.
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
+        .orderBy(t_order, F.col("__side").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

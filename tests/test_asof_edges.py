@@ -147,3 +147,65 @@ def test_asof_rejects_colliding_columns(spark):
     with _pytest.raises(ValueError, match="collides"):
         asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
                   value_cols=["v"])
+
+
+def test_asof_forward_basic_tie_and_null(spark):
+    """Forward direction: first right row at-or-AFTER each left row; a
+    same-instant right row matches; lefts after the last right get NULL."""
+    left = _df(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00:00"), "L-before-any"),
+            (1, ts("2024-01-01 12:00:00"), "L-at-tie"),
+            (1, ts("2024-01-01 13:00:00"), "L-after-all"),
+            (2, ts("2024-01-01 09:00:00"), "L-other-key"),
+        ],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark,
+        [
+            (1, ts("2024-01-01 12:00:00"), 100.0),
+            (1, ts("2024-01-01 12:30:00"), 200.0),
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = {
+        r.tag: r.v_r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out == {
+        "L-before-any": 100.0,   # earliest right at-or-after 10:00
+        "L-at-tie": 100.0,       # right at exactly 12:00 matches
+        "L-after-all": None,     # nothing at-or-after 13:00
+        "L-other-key": None,     # no rights under key 2
+    }
+
+
+def test_asof_forward_equal_ts_rights_resolve_deterministically(spark):
+    """Two right rows at the SAME future instant: the lexicographically
+    greatest value struct wins — same contract as backward."""
+    left = _df(spark, [(1, ts("2024-01-01 10:00:00"), "L")],
+               "k int, t timestamp, tag string")
+    right = _df(
+        spark,
+        [(1, ts("2024-01-01 11:00:00"), 5.0), (1, ts("2024-01-01 11:00:00"), 9.0)],
+        "k int, t timestamp, v double",
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        value_cols=["v"], direction="forward",
+    ).collect()
+    assert [r.v_r for r in rows] == [9.0]
+
+
+def test_asof_rejects_unknown_direction(spark):
+    left = _df(spark, [(1, ts("2024-01-01 10:00:00"))], "k int, t timestamp")
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on=["k"], left_ts="t", right_ts="t",
+                  value_cols=["t"], direction="nearest")

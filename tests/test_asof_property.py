@@ -71,3 +71,44 @@ def test_asof_matches_bruteforce(left, right):
     }
     want = brute_asof(left, right)
     assert got == want
+
+
+def brute_asof_forward(left, right):
+    out = {}
+    for i, (lk, lt, lv) in enumerate(left):
+        best = None
+        for rk, rt, rv in right:
+            if rk == lk and rt >= lt and (best is None or rt < best[0]):
+                best = (rt, rv)
+        out[i] = best[0] if best else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(row, min_size=1, max_size=12),
+    right=st.lists(row, min_size=0, max_size=12),
+)
+def test_asof_forward_matches_bruteforce(left, right):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(i, k, t, v) for i, (k, t, v) in enumerate(left)],
+        "idx int, k int, t int, lv int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right] or [(None, None, None)],
+        "k int, t int, rts int",
+    ).filter("k is not null")
+    rdf = rdf.withColumn("rts", rdf["t"])
+    got = {
+        r.idx: r.rts_r
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["rts"], direction="forward",
+        ).collect()
+    }
+    assert got == brute_asof_forward(left, right)

@@ -28,6 +28,11 @@ HOSTILE_CHECKED = [
     "stream_tumbling_daily_by_type",
     "io_bucketed_colocated_join",
     "udf_flatmap_token_rows",
+    # round-2 additions with their own timezone-sensitive surface:
+    # date_trunc('week')+date_format (retention) and the forward as-of's
+    # timestamp formatting must self-correct on a non-UTC session
+    "evt_retention_cohorts",
+    "join_asof_next_purchase_after_error",
 ]
 
 
