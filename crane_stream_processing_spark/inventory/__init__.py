@@ -142,8 +142,8 @@ GRADE_PRIORITY: list[str] = [
     # similarity / ANN (10)
     "sim_cosine_topk", "sim_lsh_bucket_histogram", "sim_lsh_ann_topk",
     "sim_lsh_multiprobe_topk", "sim_ivf_ann_topk", "sim_ivf_nprobe_topk",
-    # (sim_ivf_kmeans_topk is rows-only — iterative k-means has no SQL
-    # oracle — so it doesn't spend one of the 50 hash-graded slots)
+    # (sim_ivf_kmeans_topk now grades via a recall certificate but rotates
+    # in with the round-3 families rather than spending a slot here)
     "sim_random_projection", "sim_quantize_int8", "sim_hard_negatives",
     "text_rolling_hash",
     # text analysis (5)

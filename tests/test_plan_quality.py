@@ -148,6 +148,8 @@ _NLJ_ALLOWED = {
     "join_theta_price_bands",
     "sample_temperature_lang",
     "sim_cosine_topk",
+    "sim_ivf_kmeans_topk",  # recall certificate's exact baseline: 10-query
+    # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
     "sim_hard_negatives",
     "text_bigram_lm_logprob",  # 1-row smoothing-denominator vocab scalar
     "text_bm25_search",

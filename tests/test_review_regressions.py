@@ -176,5 +176,7 @@ def test_grade_priority_fronts_registry():
     assert names[: len(GRADE_PRIORITY)] == GRADE_PRIORITY
     assert len(GRADE_PRIORITY) == 50
     assert len(set(GRADE_PRIORITY)) == 50
-    missing_oracle = [n for n in GRADE_PRIORITY if REGISTRY[n].oracle is None]
+    # the whole registry is oracle-backed: estimates/iterative algorithms
+    # grade through certificates, so rows-only rows may not reappear
+    missing_oracle = [n for n, q in REGISTRY.items() if q.oracle is None]
     assert missing_oracle == [], missing_oracle
