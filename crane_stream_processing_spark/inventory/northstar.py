@@ -533,18 +533,19 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _KMEANS_MODELS[key]
     queries = emb.filter(F.col("vec_id") < 10)
     ivf = S.ivf_ann_topk(emb, queries, centroids, k=3).select(
-        "query_id", "cand_id"
+        "query_id", "cand_id", F.lit(1).alias("__hit")
     )
     exact = S.cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
-    hits = exact.join(ivf, ["query_id", "cand_id"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
+    # One left join over the exact baseline computes all three numbers in
+    # a single pass — the |Q|x|corpus| exact subplan is the expensive part
+    # and must not be evaluated twice.
     return (
-        exact.agg(
+        exact.join(ivf, ["query_id", "cand_id"], "left")
+        .agg(
             F.countDistinct("query_id").alias("n_queries"),
             F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hits"),
         )
-        .crossJoin(F.broadcast(hits))
         .select(
             "n_queries",
             "n_exact",

@@ -100,7 +100,16 @@ def asof_join(
     # any tied right rows irrelevant since __side already orders them).
     # Forward direction mirrors time: descending __t makes "the nearest
     # right row at-or-after" the last non-null __r in the running frame.
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    # NULLs FIRST in both directions is load-bearing: a left row with a
+    # NULL timestamp must match nothing (right_ts >= NULL is unknown), so
+    # it must sort BEFORE every (non-null-ts, pre-filtered) right row —
+    # desc's default nulls-LAST would put it after all rights and wrongly
+    # hand it the earliest right value.
+    t_order = (
+        F.col("__t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(t_order, F.col("__side").asc(), F.col("__r").asc())

@@ -209,3 +209,29 @@ def test_asof_rejects_unknown_direction(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, left, on=["k"], left_ts="t", right_ts="t",
                   value_cols=["t"], direction="nearest")
+
+
+def test_asof_forward_null_left_ts_never_matches(spark):
+    """A left row with a NULL timestamp must match nothing in EITHER
+    direction (right_ts >= NULL is unknown) — forward needs explicit
+    nulls-first ordering or the NULL-ts row sorts after every right row
+    and wrongly picks up the earliest right value."""
+    left = _df(
+        spark,
+        [(1, None, "L-null-ts"), (1, ts("2024-01-01 09:00:00"), "L-real")],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark, [(1, ts("2024-01-01 10:00:00"), 99.0)],
+        "k int, t timestamp, v double",
+    )
+    for direction, want_real in (("forward", 99.0), ("backward", None)):
+        out = {
+            r.tag: r.v_r
+            for r in asof_join(
+                left, right, on=["k"], left_ts="t", right_ts="t",
+                value_cols=["v"], direction=direction,
+            ).collect()
+        }
+        assert out["L-null-ts"] is None, direction
+        assert out["L-real"] == want_real, direction

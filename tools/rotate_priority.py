@@ -29,21 +29,21 @@ WINDOW = 50
 
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    graded: set[str] = set()
-    failed: list[str] = []
+    # latest verdict wins per name: files process in round order, so a
+    # round-N+1 regression re-queues a query that passed in round N (and
+    # vice versa); names no longer in REGISTRY are dropped entirely.
+    verdict: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
-            ok = (
+            if name not in REGISTRY:
+                continue
+            verdict[name] = (
                 isinstance(row, dict)
                 and row.get("hash_match") is True
                 and not row.get("err")
             )
-            if ok:
-                graded.add(name)
-            elif name in REGISTRY and name not in failed:
-                failed.append(name)
-    # a later-round pass supersedes an earlier failure
-    failed = [n for n in failed if n not in graded]
+    graded = {n for n, ok in verdict.items() if ok}
+    failed = [n for n in REGISTRY if verdict.get(n) is False]
 
     ungraded = [n for n in REGISTRY if n not in graded and n not in failed]
     plan = (failed + ungraded)[:WINDOW]
