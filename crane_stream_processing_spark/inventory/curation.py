@@ -555,3 +555,56 @@ def curate_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS (metric, value)"
     )
     return report.unionByName(orphans)
+
+
+@query(
+    "curate_kfold_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, len({SQL_TOKS}) AS ntok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 10 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket = 0 THEN 'test'
+                WHEN bucket = 1 THEN 'val' ELSE 'train' END AS role,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def curate_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by id-hash bucket):
+    every document lands in exactly one role purely as a function of its
+    id — stable across engines, re-runs, partitionings, and incremental
+    corpus growth (new docs join a split without reshuffling old ones),
+    which is the property that keeps eval sets uncontaminated across
+    pipeline re-runs. One scan + one 3-group aggregate reporting the
+    balance/coverage stats a training job validates before reading. The
+    filter form (``bucket = k``) pushes to the scan when materializing a
+    single split."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 10
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("ntok"),
+        F.when(bucket == 0, "test").when(bucket == 1, "val")
+        .otherwise("train").alias("role"),
+    )
+    return (
+        d.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("role")
+    )
