@@ -6,7 +6,7 @@ decorrelation (SURVEY.md §4 — all Catalyst-built-in, verified here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import dsum, query, t
@@ -547,8 +547,6 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine deterministic), one (from,to) aggregate; the normalizing
     window runs over the 25-row matrix, not the events. The probability is
     a single IEEE division on both engines."""
-    from pyspark.sql import Window
-
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(

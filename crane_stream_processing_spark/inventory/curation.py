@@ -318,8 +318,7 @@ def curate_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("ntok"),
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-         .cast("int") % 16).alias("shard"),
+        SA.hash_bucket("doc_id", 16).alias("shard"),
     )
     return (
         d.groupBy("shard")
@@ -586,10 +585,7 @@ def curate_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter form (``bucket = k``) pushes to the scan when materializing a
     single split."""
     docs = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 10
-    )
+    bucket = SA.hash_bucket("doc_id", 10)
     d = docs.select(
         "doc_id",
         "lang",

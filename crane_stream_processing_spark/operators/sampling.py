@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "hash_bucket",
     "hash_uniform_hex",
     "hex_threshold",
     "hex_threshold_col",
@@ -57,6 +58,20 @@ def hash_uniform_hex(key: Column | str) -> Column:
     c = F.col(key) if isinstance(key, str) else key
     return F.substring(
         F.md5(F.coalesce(c.cast("string"), F.lit("\x00"))), 1, _HEX_DIGITS
+    )
+
+
+def hash_bucket(key: Column | str, n: int) -> Column:
+    """Deterministic bucket in [0, n) from the id-hash: integer value of
+    the first 4 hex digits of md5(key), mod n. Engine-portable — the
+    DuckDB twin is ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))
+    AS INTEGER) % n`` — and stable across re-runs/partitionings, which is
+    what makes hash sharding resumable and hash splits contamination-safe.
+    16 bits of hash: fine for bucket counts << 65536."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+        % n
     )
 
 
