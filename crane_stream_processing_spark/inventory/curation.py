@@ -604,3 +604,62 @@ def curate_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("role")
     )
+
+
+@query(
+    "curate_split_leakage_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' '))
+               AS f,
+             CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 10
+               WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS role
+      FROM documents
+    ), per_fp AS (
+      SELECT f,
+             COUNT(DISTINCT role) AS n_roles,
+             COUNT(*) AS n_docs
+      FROM d GROUP BY f
+    )
+    SELECT COUNT(*) AS n_fingerprints,
+           COUNT(*) FILTER (n_roles > 1) AS n_leaky_fingerprints,
+           CAST(COALESCE(SUM(n_docs) FILTER (n_roles > 1), 0) AS BIGINT)
+             AS n_docs_in_leaky_groups
+    FROM per_fp
+    """,
+)
+def curate_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: a content fingerprint (order-insensitive
+    token-set hash, the dedup key) that appears in more than one of the
+    train/val/test splits means near-identical text straddles the held-out
+    boundary — the contamination that silently inflates eval numbers. The
+    audit joins the split assignment (id-hash bucket, curate_kfold_split)
+    with the dedup fingerprint and counts straddling fingerprint groups —
+    the pre-training check that decides whether dedup must run BEFORE
+    splitting. One scan, one fingerprint aggregate; output is a 1-row
+    report. (The id-hash split guarantees nothing about content: identical
+    text under different ids lands in different splits ~uniformly, which
+    is exactly what this catches.)"""
+    docs = t(spark, sf_dir, "documents")
+    from ..operators.text import fingerprint
+
+    d = docs.select(
+        fingerprint("text").alias("f"),
+        F.when(SA.hash_bucket("doc_id", 10) == 0, "test")
+        .when(SA.hash_bucket("doc_id", 10) == 1, "val")
+        .otherwise("train").alias("role"),
+    )
+    per_fp = d.groupBy("f").agg(
+        F.countDistinct("role").alias("n_roles"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    leaky = F.col("n_roles") > 1
+    return per_fp.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.count(F.when(leaky, 1)).alias("n_leaky_fingerprints"),
+        F.coalesce(F.sum(F.when(leaky, F.col("n_docs"))), F.lit(0))
+        .cast("long")
+        .alias("n_docs_in_leaky_groups"),
+    )
