@@ -712,17 +712,16 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-table values — compaction preserved every row. At 100 TB the
     same rewrite runs per partition-directory with target_size = HDFS
     block; file counting uses the FS listing exactly as here."""
-    from ..catalog import ensure_engine_confs
-
-    ensure_engine_confs(spark)
-    import glob as _glob
-    import tempfile
-
     from .. import catalog
+
+    catalog.ensure_engine_confs(spark)  # fixture memo may skip load_table
+    import glob as _glob
+    import shutil
+    import tempfile
 
     fx = _COMPACT_FIXTURES.get(sf_dir)
     if fx is None:
-        ev = catalog.load_table(spark, sf_dir, "events").select("event_id")
+        ev = t(spark, sf_dir, "events").select("event_id")
         small = tempfile.mkdtemp(prefix="crane_small_")
         ev.repartition(64).write.mode("overwrite").parquet(small)
         n_before = len(_glob.glob(os.path.join(small, "part-*.parquet")))
@@ -731,6 +730,9 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(compact)
         n_after = len(_glob.glob(os.path.join(compact, "part-*.parquet")))
+        # the compact write has executed eagerly; the 64-file staging dir
+        # is garbage now — only the compacted dir is memoized/re-read
+        shutil.rmtree(small, ignore_errors=True)
         fx = _COMPACT_FIXTURES[sf_dir] = (compact, n_before, n_after)
     compact, n_before, n_after = fx
 

@@ -10,7 +10,7 @@ and the oracle can assert full row equality, not just counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import tokens
@@ -20,6 +20,23 @@ from .northstar import SQL_TOKS
 
 # Oracle twin of operators.sampling.hash_uniform_hex.
 SQL_U = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+# THE train/val/test split, defined once: 10 id-hash buckets, bucket 0 =
+# test, 1 = val, rest train (80/10/10). curate_kfold_split reports it and
+# curate_split_leakage_audit audits it — both must always describe the
+# SAME split, so both build from these two definitions (Spark + SQL twin).
+_SPLIT_BUCKETS = 10
+SQL_SPLIT_ROLE = f"""CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % {_SPLIT_BUCKETS}
+                     WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END"""
+
+
+def _split_role() -> Column:
+    """Spark twin of :data:`SQL_SPLIT_ROLE`."""
+    bucket = SA.hash_bucket("doc_id", _SPLIT_BUCKETS)
+    return (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
 
 
 @query(
@@ -561,12 +578,10 @@ def curate_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT doc_id, lang, len({SQL_TOKS}) AS ntok,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                  AS INTEGER) % 10 AS bucket
+             {SQL_SPLIT_ROLE} AS role
       FROM documents
     )
-    SELECT CASE WHEN bucket = 0 THEN 'test'
-                WHEN bucket = 1 THEN 'val' ELSE 'train' END AS role,
+    SELECT role,
            COUNT(*) AS n_docs,
            CAST(SUM(ntok) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT lang) AS n_langs,
@@ -585,13 +600,11 @@ def curate_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter form (``bucket = k``) pushes to the scan when materializing a
     single split."""
     docs = t(spark, sf_dir, "documents")
-    bucket = SA.hash_bucket("doc_id", 10)
     d = docs.select(
         "doc_id",
         "lang",
         F.size(tokens("text")).alias("ntok"),
-        F.when(bucket == 0, "test").when(bucket == 1, "val")
-        .otherwise("train").alias("role"),
+        _split_role().alias("role"),
     )
     return (
         d.groupBy("role")
@@ -613,9 +626,7 @@ def curate_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' '))
                AS f,
-             CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                       AS INTEGER) % 10
-               WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS role
+             {SQL_SPLIT_ROLE} AS role
       FROM documents
     ), per_fp AS (
       SELECT f,
@@ -647,9 +658,7 @@ def curate_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = docs.select(
         fingerprint("text").alias("f"),
-        F.when(SA.hash_bucket("doc_id", 10) == 0, "test")
-        .when(SA.hash_bucket("doc_id", 10) == 1, "val")
-        .otherwise("train").alias("role"),
+        _split_role().alias("role"),
     )
     per_fp = d.groupBy("f").agg(
         F.countDistinct("role").alias("n_roles"),
