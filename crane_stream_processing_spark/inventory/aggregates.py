@@ -403,7 +403,11 @@ def agg_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id shared by two sources, which is exactly the overlap a
     deduplicating sketch union is FOR (and what the oracle computes)."""
     docs = t(spark, sf_dir, "documents")
-    merged = docs.groupBy("source").agg(
+    # source IS NOT NULL: the oracle's COUNT(DISTINCT source) excludes
+    # NULLs, but groupBy would emit a NULL-source group and over-count
+    # n_sources by one on a corpus with unattributed docs (fixture data
+    # has none — this pins the NULL semantics to the oracle's anyway)
+    merged = docs.filter(F.col("source").isNotNull()).groupBy("source").agg(
         F.hll_sketch_agg("doc_id").alias("sk")
     ).agg(
         F.count(F.lit(1)).alias("n_sources"),

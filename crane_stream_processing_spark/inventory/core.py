@@ -721,7 +721,16 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fx = _COMPACT_FIXTURES.get(sf_dir)
     if fx is None:
+        import atexit
+
         ev = t(spark, sf_dir, "events").select("event_id")
+        # every repartition(64) partition must be non-empty or the
+        # oracle's 64/4 file-count literals hash-fail opaquely — fail
+        # loudly here instead if the fixture ever shrinks below 64 rows
+        n_events = ev.count()
+        assert n_events >= 64, (
+            f"io_compact_small_files needs >=64 events, got {n_events}"
+        )
         small = tempfile.mkdtemp(prefix="crane_small_")
         ev.repartition(64).write.mode("overwrite").parquet(small)
         n_before = len(_glob.glob(os.path.join(small, "part-*.parquet")))
@@ -733,6 +742,9 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the compact write has executed eagerly; the 64-file staging dir
         # is garbage now — only the compacted dir is memoized/re-read
         shutil.rmtree(small, ignore_errors=True)
+        # the memoized compacted copy is process-scoped scratch: reap it
+        # on exit so repeated gate/bench runs don't leak parquet into /tmp
+        atexit.register(shutil.rmtree, compact, ignore_errors=True)
         fx = _COMPACT_FIXTURES[sf_dir] = (compact, n_before, n_after)
     compact, n_before, n_after = fx
 

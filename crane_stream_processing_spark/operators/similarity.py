@@ -452,6 +452,7 @@ def cosine_near_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     bucket_planes: list[list[float]] | None = None,
+    probe_max_id: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (exact,
     pairwise). The all-pairs form (``bucket_planes=None``) is the
@@ -465,19 +466,32 @@ def cosine_near_pairs(
     Norms precomputed per vector (1 dot per pair instead of 3). In the
     all-pairs form the non-equi condition makes parallelism equal the
     stream side's partition count, so repartition the input for CPU-bound
-    corpora (the inventory queries do)."""
+    corpora (the inventory queries do).
+
+    ``probe_max_id`` bounds the probe (left) side to ids below the cap and
+    broadcasts it: cost drops from O(n²) to O(cap·n) — LINEAR in corpus
+    size, the shape a registry/bench query must have (an unbounded
+    all-pairs plan is 10,000× the pairs at 100× the data). Leave ``None``
+    only for explicitly bounded inputs or the bucketed form."""
     cols = [F.col(id_col), F.col(vec_col), l2norm(vec_col).alias("nrm")]
     if bucket_planes is not None:
         cols.append(lsh_bucket(F.col(vec_col), bucket_planes).alias("bucket"))
     staged = df.select(*cols).filter(
         F.col("nrm") > 0  # cosine undefined for zero vectors
     )
-    a = staged.select(
+    a_src = staged if probe_max_id is None else staged.filter(
+        F.col(id_col) < probe_max_id
+    )
+    a = a_src.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         F.col("nrm").alias("na"),
         *([F.col("bucket")] if bucket_planes is not None else []),
     )
+    if probe_max_id is not None:
+        # pin the bounded side as the broadcast build side so the big
+        # corpus streams — never the other way around
+        a = F.broadcast(a)
     b = staged.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),

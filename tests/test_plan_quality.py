@@ -139,7 +139,8 @@ def test_tfidf_vocab_sides_broadcast(spark, sf_dir):
 # deliberate brute-force similarity baseline. Everything else must stay on
 # hash/sort-merge equi strategies.
 _NLJ_ALLOWED = {
-    "dedup_embedding_near_pairs",
+    "dedup_embedding_near_pairs",  # bounded: vec_id<200 probe side
+    # broadcast vs corpus — O(cap·n), no longer the all-pairs plan
     "dedup_ngram_jaccard_pairs",
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
@@ -292,3 +293,27 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     plan = _plan(spark, "io_dynamic_partition_pruning", sf_dir)
     assert "dynamicpruning" in plan
     assert "PartitionFilters" in plan
+
+
+def test_registry_wide_driver_safe_output_schemas(spark, sf_dir):
+    """The driver canonicalizes both result sets through a pandas
+    sort_values over ALL columns; a list/struct/map cell crashes it with
+    "unhashable type" (CORRECTNESS_r02.json: sim_random_projection died
+    exactly there — the local gate's tuple-convert hid it), and raw
+    timestamp outputs are fetch-unproven (session-tz LTZ collect vs
+    DuckDB naive/tz-aware pandas). Sweep every batch query's output
+    dtypes so no graded result can carry either shape; driver_check's
+    type_audit enforces the same rule at gate time (including the
+    stream_* queries skipped here because they execute on build)."""
+    bad = {}
+    for name in sorted(REGISTRY):
+        if name.startswith("stream_"):
+            continue
+        df = REGISTRY[name].fn(spark, sf_dir)
+        offend = [
+            f"{c}:{t}" for c, t in df.dtypes
+            if t.startswith(("array", "map", "struct", "timestamp"))
+        ]
+        if offend:
+            bad[name] = offend
+    assert bad == {}, bad

@@ -180,3 +180,41 @@ def test_grade_priority_fronts_registry():
     # grade through certificates, so rows-only rows may not reappear
     missing_oracle = [n for n, q in REGISTRY.items() if q.oracle is None]
     assert missing_oracle == [], missing_oracle
+
+
+def test_driver_check_type_audit_flags_arrays_and_timestamps():
+    """The local gate must predict the driver: its round-2 norm()
+    tuple-converted list cells and green-lit the array<double> output
+    that crashed the driver's pandas canonicalizer (sim_random_projection,
+    CORRECTNESS_r02.json). type_audit now rejects array/map/struct and raw
+    timestamp graded outputs on either side — prove it fires."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "driver_check.py",
+    )
+    spec = importlib.util.spec_from_file_location("driver_check", path)
+    dc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dc)
+    con = duckdb.connect()
+
+    errs, _ = dc.type_audit(
+        con, [("v", "array<double>")], "SELECT [1.0, 2.0] AS v"
+    )
+    assert sum("array-typed" in e for e in errs) == 2  # both sides flagged
+
+    errs, _ = dc.type_audit(
+        con, [("t", "timestamp")], "SELECT TIMESTAMP '2020-01-01' AS t"
+    )
+    assert sum("raw timestamp" in e for e in errs) == 2
+
+    # scalar shapes stay clean
+    errs, _ = dc.type_audit(
+        con, [("n", "bigint"), ("s", "string")],
+        "SELECT CAST(1 AS BIGINT) AS n, 'x' AS s",
+    )
+    assert errs == []

@@ -56,10 +56,10 @@ _KIND = {
 
 
 def _duck_kind(t: str) -> str:
+    if t.endswith("[]"):  # before DECIMAL: DECIMAL(2,1)[] is an array
+        return "array"
     if t.startswith("DECIMAL"):
         return "decimal"
-    if t.endswith("[]"):
-        return "array"
     return _KIND.get(t, t.lower())
 
 
@@ -85,6 +85,24 @@ def type_audit(con, spark_dtypes, sql: str) -> tuple[list[str], dict[str, str]]:
     spark = {c: _spark_kind(t) for c, t in spark_dtypes}
     errs = [f"oracle col {c!r} is {k} (driver's pandas fetch degrades it)"
             for c, k in duck.items() if k == "int128"]
+    # LIST/ARRAY outputs crash the driver's pandas canonicalizer
+    # (sort_values -> factorize -> "unhashable type: 'list'" — the exact
+    # round-2 sim_random_projection failure; this norm()'s tuple-convert
+    # hid it). Ban array-typed graded output columns on EITHER side.
+    errs += [f"col {c!r} is array-typed on the {side} side (driver's "
+             "pandas sort_values crashes on list cells — posexplode or "
+             "emit scalar columns)"
+             for side, m in (("oracle", duck), ("spark", spark))
+             for c, k in m.items() if k == "array" or k.startswith("map")
+             or k.startswith("struct")]
+    # Raw timestamp outputs are fetch-unproven at the driver (session-tz
+    # LTZ collect vs DuckDB naive/tz-aware pandas drift); every proven
+    # window/event query formats bounds via date_format/strftime strings.
+    # DATE stayed allowed: r01 drove date outputs green.
+    errs += [f"col {c!r} is a raw timestamp on the {side} side "
+             "(date_format/strftime it to a string)"
+             for side, m in (("oracle", duck), ("spark", spark))
+             for c, k in m.items() if k == "ts"]
     for c in set(duck) & set(spark):
         if {duck[c], spark[c]} == {"int", "float"}:
             errs.append(f"col {c!r} kind mismatch spark={spark[c]} duck={duck[c]}")
