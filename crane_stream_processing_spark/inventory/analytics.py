@@ -518,6 +518,96 @@ def graph_triangle_count_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_EDGES_SQL = """
+      SELECT cn.n_name AS u, sn.n_name AS v, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank recurrence (DuckDB recursive CTEs
+    cannot aggregate over the recursive term, so each iteration is its own
+    CTE — exactly the recurrence operators.graph.pagerank runs)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    pr{i} AS (
+      SELECT ns.node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * COALESCE(s.acc, CAST(0 AS DOUBLE))
+               AS rank
+      FROM nodes ns LEFT JOIN (
+        SELECT e.v AS node, SUM(p.rank * e.wn) AS acc
+        FROM e JOIN pr{i - 1} p ON p.node = e.u
+        GROUP BY e.v
+      ) s ON s.node = ns.node
+    )""")
+    return f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    outw AS (SELECT u, SUM(w) AS wu FROM edges GROUP BY u),
+    e AS (
+      SELECT edges.u, v,
+             CAST(w AS DOUBLE) / CAST(wu AS DOUBLE) AS wn
+      FROM edges JOIN outw ON edges.u = outw.u
+    ),
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+      FROM nodes
+    ),{",".join(steps)}
+    SELECT node AS nation, round(rank, 6) AS pagerank FROM pr{iters}
+    """
+
+
+@query("graph_pagerank_nation", oracle=_pagerank_oracle())
+def graph_pagerank_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (customer
+    nation -> supplier nation, weight = lineitem count): which nations
+    sit at the center of the supply network — the influence-ranking
+    complement to graph_triangle_count_brand's clique mining. Damping
+    0.85, FIXED 10 iterations so the oracle unrolls the identical
+    recurrence (operators/graph.py pagerank; see its docstring for the
+    100 TB shape: per-iteration join+aggregate on the EDGE LIST only,
+    localCheckpoint lineage control, one collected integer). The edge
+    build itself is the tpch_q7-style dim-broadcast join chain; the
+    25-node graph here is deliberately small so the oracle is exact —
+    the operator's data path is the one that runs at billions of
+    edges."""
+    from ..operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("u")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("v")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, damping=0.85, iters=10)
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("rank", 6).alias("pagerank")
+    )
+
+
 @query(
     "evt_transition_matrix",
     oracle="""

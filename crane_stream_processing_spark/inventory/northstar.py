@@ -271,6 +271,62 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+SQL_COSINE_PRE16 = (
+    "list_dot_product(CAST(a.embedding[1:16] AS DOUBLE[]),"
+    " CAST(b.embedding[1:16] AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding[1:16] AS DOUBLE[]),"
+    " CAST(a.embedding[1:16] AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding[1:16] AS DOUBLE[]),"
+    " CAST(b.embedding[1:16] AS DOUBLE[]))))"
+)
+
+
+@query(
+    "sim_matryoshka_rerank_topk",
+    oracle=f"""
+    WITH pre AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             a.embedding AS qv, b.embedding AS cv,
+             round({SQL_COSINE_PRE16}, 6) AS pre_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+      JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), short AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pre_sim DESC, cand_id) AS prank
+      FROM pre
+    )
+    SELECT query_id, cand_id, pre_sim, cos_sim, rank FROM (
+      SELECT query_id, cand_id, pre_sim,
+             round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))),
+                   6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))),
+                        6) DESC, cand_id) AS rank
+      FROM short WHERE prank <= 20
+    ) WHERE rank <= 3
+    """,
+)
+def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) two-stage retrieval: coarse top-20
+    shortlist on the first 16 of 64 dims, exact full-dim re-rank to
+    top-3 — the MRL-embedding serving pattern where the cheap prefix pass
+    does 4× less arithmetic (and at scale reads a 4× narrower column)
+    before exact scoring touches only |Q|·shortlist pairs
+    (operators/similarity.py matryoshka_topk). Both stages round(6) with
+    candidate-id tiebreaks, so the oracle reproduces the exact shortlist
+    and final ranking."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    return S.matryoshka_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        prefix_dim=16, shortlist=20, k=3,
+    )
+
+
 @query(
     "sim_lsh_bucket_histogram",
     oracle=f"""
@@ -749,6 +805,38 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of the fingerprint in text_stats_documents."""
     docs = t_cpu(spark, sf_dir, "documents")
     return docs.select("doc_id", X.rolling_hash("text").alias("rhash"))
+
+
+@query(
+    "text_entropy_char",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), cnt AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n FROM chars GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(ln(CAST(t.n AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / t.n, 6) AS char_entropy
+    FROM tot t JOIN cnt USING (doc_id)
+    GROUP BY t.doc_id, t.n
+    """,
+)
+def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy (nats) per document — the
+    low-entropy quality gate that catches keyboard-mash / padding / spam
+    the length and stopword ratios miss (operators/text.py
+    char_entropy_nats). Zero shuffle on the Spark side: a run-length fold
+    over the sorted char array, streaming through the scan; the oracle
+    recomputes relationally (unnest -> per-char counts -> ln identity
+    H = ln(n) - SUM(c*ln(c))/n). Empty docs split to [''] identically in
+    both engines, so every doc keeps a row."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.char_entropy_nats("text").alias("char_entropy")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,84 @@ def cosine_topk(
     return _cosine_topk_within(q, c, k, exclude_self=exclude_self)
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+    shortlist: int = 20,
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage matryoshka (prefix-dimension) retrieval: score every
+    candidate on the first ``prefix_dim`` components only, keep a
+    per-query ``shortlist``, then re-rank the shortlist with exact
+    full-dimension cosine. The production pattern for MRL-style
+    embeddings, where prefixes are trained to be usable sub-embeddings:
+    stage 1 does dim/prefix_dim (here 4×) less arithmetic per pair — and
+    at 100 TB the prefix lives in its own narrow column/index so the
+    coarse pass also reads 4× fewer bytes — while stage 2 touches only
+    |Q|·shortlist pairs. Same determinism contract as
+    :func:`_cosine_topk_within` at BOTH stages: round(6) before ranking,
+    candidate-id tiebreak, so an oracle reproduces the exact shortlist
+    and the exact final top-k.
+
+    Output: (query_id, cand_id, pre_sim, cos_sim, rank) — pre_sim kept
+    so the coarse-vs-exact gap (the matryoshka quality signal) is
+    visible per hit."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("qpre"),
+            l2norm(vec_col).alias("qn"),
+            l2norm(F.slice(F.col(vec_col), 1, prefix_dim)).alias("qpn"),
+        ).filter((F.col("qn") > 0) & (F.col("qpn") > 0))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("cpre"),
+        l2norm(vec_col).alias("cn"),
+        l2norm(F.slice(F.col(vec_col), 1, prefix_dim)).alias("cpn"),
+    ).filter((F.col("cn") > 0) & (F.col("cpn") > 0))
+    joined = q.crossJoin(c)
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("cand_id"))
+    coarse = joined.select(
+        "query_id",
+        "cand_id",
+        "qvec",
+        "cvec",
+        "qn",
+        "cn",
+        F.round(dot("qpre", "cpre") / (F.col("qpn") * F.col("cpn")), 6).alias(
+            "pre_sim"
+        ),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pre_sim").desc(), F.col("cand_id")
+    )
+    short = coarse.withColumn("prank", F.row_number().over(w1)).filter(
+        F.col("prank") <= shortlist
+    )
+    rescored = short.select(
+        "query_id",
+        "cand_id",
+        "pre_sim",
+        F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -326,3 +326,63 @@ def rolling_hash(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: (acc * ROLLING_BASE + v) % ROLLING_MOD,
     )
+
+
+def char_entropy_nats(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the document's character distribution —
+    the low-entropy gate a pretraining corpus runs to drop keyboard-mash /
+    padding / single-char spam that length and stopword ratios miss
+    (H = ln(n) - (SUM_c cnt*ln(cnt))/n over per-character counts).
+
+    Zero shuffle: characters are sorted per row and the count term is
+    accumulated by a run-length fold over the sorted array (the
+    text_repetition_topbigram trick), so the signal streams through the
+    scan like any projection at 100 TB — no explode, no per-doc groupBy.
+    DuckDB twin: unnest chars -> COUNT per char -> ln(n) - SUM(c*ln(c))/n.
+    Cross-engine float safety: both sides sum doubles then round(6); the
+    addition-order ulp drift (~1e-15) is 9 orders below the rounding
+    step (the text_unigram_logprob precedent)."""
+    from ..functions import let
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    # let-bind the sorted char array: n and the fold both read it, and
+    # without the binding CollapseProject re-inlines split()+array_sort()
+    # per reference site (the functions.let / DESIGN.md tokenization rule,
+    # enforced registry-wide by test_plan_quality).
+    def _entropy(chars: Column) -> Column:
+        n = F.size(chars)
+        # fold state: (prev char, current run length, sum of run*ln(run)
+        # over CLOSED runs); a run closes when the char changes, and the
+        # finish lambda closes the final run. run == 0 -> no run open yet.
+        folded = F.aggregate(
+            chars,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0.0).alias("acc"),
+            ),
+            lambda s, x: F.struct(
+                x.alias("prev"),
+                F.when(x == s["prev"], s["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when((x == s["prev"]) | (s["run"] == 0), s["acc"])
+                .otherwise(
+                    s["acc"]
+                    + s["run"].cast("double") * F.log(s["run"].cast("double"))
+                )
+                .alias("acc"),
+            ),
+            lambda s: s["acc"]
+            + F.when(
+                s["run"] > 0,
+                s["run"].cast("double") * F.log(s["run"].cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+        return F.when(
+            n > 0,
+            F.round(F.log(n.cast("double")) - folded / n.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    return let(F.array_sort(F.split(c, "")), _entropy)

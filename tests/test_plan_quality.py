@@ -149,6 +149,8 @@ _NLJ_ALLOWED = {
     "join_theta_price_bands",
     "sample_temperature_lang",
     "sim_cosine_topk",
+    "sim_matryoshka_rerank_topk",  # stage-1 coarse pass: same bounded
+    # 10-query broadcast crossJoin as sim_cosine_topk (4x cheaper math)
     "sim_ivf_kmeans_topk",  # recall certificate's exact baseline: 10-query
     # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
     "sim_hard_negatives",
