@@ -218,3 +218,9 @@ def test_driver_check_type_audit_flags_arrays_and_timestamps():
         "SELECT CAST(1 AS BIGINT) AS n, 'x' AS s",
     )
     assert errs == []
+
+    # the dynamic backstop: structurally execute the driver's pandas
+    # sort_values canonicalization — a list cell must crash it the way
+    # the real driver crashed, a scalar set must pass
+    assert dc.pandas_canon_smoke([(1, [1.0, 2.0])], ["a", "v"]) is not None
+    assert dc.pandas_canon_smoke([(1, "x"), (2, None)], ["a", "s"]) is None

@@ -109,6 +109,22 @@ def type_audit(con, spark_dtypes, sql: str) -> tuple[list[str], dict[str, str]]:
     return errs, duck
 
 
+def pandas_canon_smoke(rows, cols) -> str | None:
+    """Run the driver's exact canonicalization shape — a pandas DataFrame
+    sort_values over ALL columns — purely to detect crash-shapes. The
+    round-2 failure died INSIDE this step (factorize -> "unhashable type:
+    'list'") before any value compare, so the static type audit is backed
+    by structurally executing the same code path on both result sets.
+    Returns an error string, or None if canonicalization succeeds."""
+    import pandas as pd
+
+    try:
+        pd.DataFrame(rows, columns=cols).sort_values(by=sorted(cols))
+    except Exception as e:  # noqa: BLE001 — any crash = driver crash
+        return f"pandas canonicalization fails: {type(e).__name__}: {e}"
+    return None
+
+
 def main() -> int:
     # Optional argv: query-name prefixes — check only matching queries
     # (entry() smoke skipped) for fast iteration on new registry entries.
@@ -136,7 +152,8 @@ def main() -> int:
         # query still gets checked and the summary still prints.
         try:
             sdf = qs[name](spark, SF_DIR)
-            sc, sr = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+            sraw = [tuple(r) for r in sdf.collect()]
+            sc, sr = norm(sraw, sdf.columns)
             if name not in oracles:
                 print(f"{name}: rows-only rows={len(sr)}")
                 continue
@@ -154,6 +171,11 @@ def main() -> int:
             for i, c in enumerate(cols):
                 if kinds.get(c) == "int" and any(r[i] is None for r in raw):
                     terrs.append(f"col {c!r} is a NULL-bearing int output")
+            for side, r_, c_ in (("spark", sraw, sdf.columns),
+                                 ("oracle", raw, cols)):
+                err = pandas_canon_smoke(r_, c_)
+                if err:
+                    terrs.append(f"{side} {err}")
             dc, dr = norm(raw, cols)
         except Exception as e:  # noqa: BLE001 — count as failure, continue
             print(f"{name}: ERROR {type(e).__name__}: {e}")
