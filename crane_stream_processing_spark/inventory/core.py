@@ -726,13 +726,18 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = t(spark, sf_dir, "events").select("event_id")
         # every repartition(64) partition must be non-empty or the
         # oracle's 64/4 file-count literals hash-fail opaquely — fail
-        # loudly here instead if the fixture ever shrinks below 64 rows
+        # loudly here instead if the fixture ever shrinks below 64 rows.
+        # coalesce(1) first: round-robin distributes each INPUT partition
+        # from an independent start offset, so only a single >=64-row
+        # input partition guarantees all 64 output slots are hit (raise,
+        # not assert — python -O must not strip the guard).
         n_events = ev.count()
-        assert n_events >= 64, (
-            f"io_compact_small_files needs >=64 events, got {n_events}"
-        )
+        if n_events < 64:
+            raise ValueError(
+                f"io_compact_small_files needs >=64 events, got {n_events}"
+            )
         small = tempfile.mkdtemp(prefix="crane_small_")
-        ev.repartition(64).write.mode("overwrite").parquet(small)
+        ev.coalesce(1).repartition(64).write.mode("overwrite").parquet(small)
         n_before = len(_glob.glob(os.path.join(small, "part-*.parquet")))
         compact = tempfile.mkdtemp(prefix="crane_compact_")
         spark.read.parquet(small).repartition(4).write.mode(

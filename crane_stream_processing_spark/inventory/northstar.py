@@ -288,8 +288,12 @@ SQL_COSINE_PRE16 = (
       SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
              a.embedding AS qv, b.embedding AS cv,
              round({SQL_COSINE_PRE16}, 6) AS pre_sim
-      FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10
+            AND list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
+                                 CAST(embedding[1:16] AS DOUBLE[])) > 0) a
       JOIN embeddings b ON a.vec_id <> b.vec_id
+       AND list_dot_product(CAST(b.embedding[1:16] AS DOUBLE[]),
+                            CAST(b.embedding[1:16] AS DOUBLE[])) > 0
     ), short AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY pre_sim DESC, cand_id) AS prank
@@ -319,7 +323,9 @@ def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before exact scoring touches only |Q|·shortlist pairs
     (operators/similarity.py matryoshka_topk). Both stages round(6) with
     candidate-id tiebreaks, so the oracle reproduces the exact shortlist
-    and final ranking."""
+    and final ranking; both sides drop zero-prefix vectors (the oracle's
+    list_dot_product guards mirror the operator's prefix-norm filter —
+    none exist in driver data, but parity must not depend on that)."""
     emb = t_cpu(spark, sf_dir, "embeddings")
     return S.matryoshka_topk(
         emb, emb.filter(F.col("vec_id") < 10),
@@ -811,7 +817,8 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_entropy_char",
     oracle="""
     WITH chars AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE text IS NOT NULL
     ), cnt AS (
       SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
     ), tot AS (
@@ -831,9 +838,13 @@ def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_entropy_nats). Zero shuffle on the Spark side: a run-length fold
     over the sorted char array, streaming through the scan; the oracle
     recomputes relationally (unnest -> per-char counts -> ln identity
-    H = ln(n) - SUM(c*ln(c))/n). Empty docs split to [''] identically in
-    both engines, so every doc keeps a row."""
-    docs = t_cpu(spark, sf_dir, "documents")
+    H = ln(n) - SUM(c*ln(c))/n). Both sides exclude NULL texts (the
+    oracle's unnest would drop them while the operator yields NULL — the
+    filter pins one semantics); EMPTY text splits to [''] identically in
+    both engines, so every non-NULL doc keeps a row."""
+    docs = t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id", X.char_entropy_nats("text").alias("char_entropy")
     )

@@ -59,6 +59,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # the one driver-side scalar
+    if n == 0:  # empty edge list: no nodes, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):

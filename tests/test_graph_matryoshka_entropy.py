@@ -65,6 +65,11 @@ def test_pagerank_dangling_mass_leaks_but_ranks_stay_positive(spark):
     assert sum(got.values()) < 1.0  # the documented dangling leak
 
 
+def test_pagerank_empty_graph_returns_empty(spark):
+    df = spark.createDataFrame([], "u long, v long, w double")
+    assert pagerank(df, iters=3).collect() == []
+
+
 def _vecs(spark, n=30, dim=8, seed=3):
     rng = random.Random(seed)
     rows = [

@@ -56,7 +56,10 @@ _KIND = {
 
 
 def _duck_kind(t: str) -> str:
-    if t.endswith("[]"):  # before DECIMAL: DECIMAL(2,1)[] is an array
+    # before DECIMAL: DECIMAL(2,1)[] is an array. endswith("]") catches
+    # both LIST ("DOUBLE[]") and fixed-size ARRAY ("DOUBLE[3]") — both
+    # fetch as list cells and crash the driver's pandas sort_values.
+    if t.endswith("]"):
         return "array"
     if t.startswith("DECIMAL"):
         return "decimal"
