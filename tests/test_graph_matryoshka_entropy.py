@@ -14,7 +14,10 @@ import random
 from pyspark.sql import functions as F
 
 from crane_stream_processing_spark.operators import similarity as S
-from crane_stream_processing_spark.operators.graph import pagerank
+from crane_stream_processing_spark.operators.graph import (
+    pagerank,
+    shortest_paths,
+)
 from crane_stream_processing_spark.operators.text import char_entropy_nats
 
 
@@ -68,6 +71,67 @@ def test_pagerank_dangling_mass_leaks_but_ranks_stay_positive(spark):
 def test_pagerank_empty_graph_returns_empty(spark):
     df = spark.createDataFrame([], "u long, v long, w double")
     assert pagerank(df, iters=3).collect() == []
+
+
+def _dijkstra_ref(edges, sources):
+    """Driver-side reference: exact shortest paths (rounds=inf)."""
+    import heapq
+
+    adj = collections.defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+    dist = {s: 0.0 for s in sources}
+    heap = [(0.0, s) for s in sources]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, math.inf):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, math.inf):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def test_shortest_paths_matches_dijkstra_when_rounds_cover_diameter(spark):
+    rng = random.Random(11)
+    nodes = list(range(10))
+    edges = [
+        (u, v, float(rng.randint(1, 20)))
+        for u in nodes
+        for v in rng.sample(nodes, 3)
+        if u != v
+    ]
+    df = spark.createDataFrame(edges, "u long, v long, w double")
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(df, src, rounds=9).collect()
+    }
+    ref = _dijkstra_ref(edges, [0])
+    assert got == ref  # identical double arithmetic -> exact equality
+
+
+def test_shortest_paths_bounds_path_length_and_drops_unreached(spark):
+    # chain 1->2->3->4 plus isolated target 9: rounds=2 reaches node 3
+    # but not 4; 9 never appears (sparse contract: no NULL-dist rows)
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (8, 9, 1.0)],
+        "u long, v long, w double",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(df, src, rounds=2).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_shortest_paths_multi_source_takes_nearest(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (2, 5, 3.0)], "u long, v long, w double"
+    )
+    src = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(df, src, rounds=3).collect()}
+    assert got == {1: 0.0, 2: 0.0, 5: 3.0}
 
 
 def _vecs(spark, n=30, dim=8, seed=3):
