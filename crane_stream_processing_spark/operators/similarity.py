@@ -33,6 +33,9 @@ __all__ = [
     "ivf_ann_topk_nprobe",
     "kmeans_fit",
     "random_projection",
+    "pq_fit",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -659,3 +662,269 @@ def random_projection(
         )
     )
     return df.select(F.col(id_col), guarded.alias("proj"))
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors:
+    (id, sub_id, subvec). One narrow projection + explode — linear, no
+    shuffle; the slice happens JVM-side on the array column."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub_id"),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("vid"), F.explode(parts).alias("p")
+    ).select("vid", F.col("p.sub_id").alias("sub_id"), F.col("p.subvec").alias("subvec"))
+
+
+def _codebook_df(spark_df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Materialize driver-side codebooks as a broadcastable (sub_id, code,
+    cvec, off) relation — m*ksub rows, a few KB; off = ||c||²/2 staged once
+    so assignment is argmax(dot−off) (the kmeans_fit identity)."""
+    spark = spark_df.sparkSession
+    rows = [
+        (j, c, list(map(float, vec)), sum(x * x for x in vec) / 2.0)
+        for j, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    return F.broadcast(
+        spark.createDataFrame(
+            rows, "sub_id int, code int, cvec array<double>, off double"
+        )
+    )
+
+
+def _assign_codes(
+    sub: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """Nearest-centroid code per (vid, sub_id): equi-join on sub_id against
+    the broadcast codebook (each subvector meets only its own subspace's
+    ksub centroids), then a deterministic argmin via min-over-struct with
+    the code as tiebreak — stable under retries, unlike bare min_by."""
+    scored = sub.join(cb, "sub_id").select(
+        "vid",
+        "sub_id",
+        F.struct(
+            (dot("subvec", "cvec") - F.col("off")).alias("neg_score"),
+            F.col("code").alias("code"),
+        ).alias("s"),
+    )
+    # argmax(dot - off) == argmin(-(dot - off)); struct min is lexicographic
+    scored = scored.withColumn(
+        "s",
+        F.struct(
+            (-F.col("s.neg_score")).alias("d"), F.col("s.code").alias("code")
+        ),
+    )
+    return scored.groupBy("vid", "sub_id").agg(
+        F.min("s").getField("code").alias("code")
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization trainer: independent Lloyd's k-means in each of
+    ``m`` subspaces (dim/m components each), all m subspaces trained in the
+    SAME distributed pass — the subspace id rides the join/groupBy keys, so
+    adding subspaces adds rows, not jobs. Returns codebooks[sub][code] =
+    centroid (driver-side model, m·ksub·dsub floats — a few KB; the corpus
+    never reaches the driver).
+
+    Scale shape mirrors :func:`kmeans_fit`: assignment is a broadcast
+    equi-join (corpus subvectors × their subspace's ksub centroids), the
+    mean update is dsub per-dimension SUM aggregates per (sub_id, code) —
+    map-side partials collapse each partition to ≤ m·ksub rows before the
+    shuffle. At 100 TB you train on a sample (PQ codebooks saturate at
+    ~100k training points) and ENCODE the full corpus; the encode path is
+    the same assignment join. Init is deterministic: per subspace, the
+    first ksub distinct subvectors from the lexicographically-lowest-id
+    vectors (probing 4·ksub rows, the kmeans_fit discipline)."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_fit: input DataFrame has no rows")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = (
+        df.orderBy(id_col).limit(4 * ksub).select(vec_col).collect()
+    )
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        seen: set[tuple[float, ...]] = set()
+        book: list[list[float]] = []
+        for r in seeds:
+            sv = tuple(float(x) for x in r[0][j * dsub : (j + 1) * dsub])
+            if sv not in seen:
+                seen.add(sv)
+                book.append(list(sv))
+            if len(book) == ksub:
+                break
+        if len(book) < ksub:
+            raise ValueError(
+                f"pq_fit: subspace {j} has only {len(book)} distinct "
+                f"subvectors in the {4 * ksub} lowest-id rows; need "
+                f"ksub={ksub} — lower ksub or dedup first"
+            )
+        codebooks.append(book)
+
+    sub = _subvectors(df, id_col, vec_col, m, dsub).persist()
+    try:
+        for _ in range(iters):
+            cb = _codebook_df(df, codebooks)
+            codes = _assign_codes(sub, cb)
+            upd = (
+                sub.join(codes, ["vid", "sub_id"])
+                .groupBy("sub_id", "code")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("subvec", i + 1).cast("double")).alias(f"s{i}")
+                        for i in range(dsub)
+                    ],
+                )
+                .collect()
+            )
+            for r in upd:
+                codebooks[r["sub_id"]][r["code"]] = [
+                    r[f"s{i}"] / r["n"] for i in range(dsub)
+                ]
+            # Empty cells keep their previous centroid (standard Lloyd's).
+    finally:
+        sub.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-centroid codes:
+    (vid, sub_id, code) — m small ints per vector, the 8-byte-per-vector
+    compressed index PQ exists for. Linear: one broadcast equi-join +
+    one groupBy over n·m rows."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    sub = _subvectors(df, id_col, vec_col, m, dsub)
+    return _assign_codes(sub, _codebook_df(df, codebooks))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int = 10,
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ asymmetric-distance search (the FAISS IVF-PQ serving path,
+    re-expressed relationally): approximate inner product of query q and
+    candidate x as Σ_j LUT[q][j][code_j(x)] where LUT is the query's dot
+    product with every centroid — computed ONCE per (query, centroid),
+    then every candidate is scored by m integer-keyed lookups instead of
+    dim multiplies. Top-``shortlist`` ADC candidates per query are then
+    re-ranked with exact full-precision cosine (the standard two-stage
+    contract, same determinism rules as :func:`_cosine_topk_within`).
+
+    Relational shape: LUT = |Q|·m·ksub-row broadcast (a few KB); scoring =
+    codes (n·m rows) equi-joined to the LUT on (sub_id, code) + groupBy
+    (query_id, cand_id) SUM — linear in corpus size, map-side partials,
+    no crossJoin anywhere. ADC scores are rounded to 6 before ranking so
+    shortlist membership is stable across retries/engines up to genuine
+    1e-6 ties (which the cand_id tiebreak then pins).
+
+    Output: (query_id, cand_id, cos_sim, rank) for the exact re-ranked
+    top-k; grade recall against brute force — ADC is an approximation,
+    so its contract is a recall certificate, not row equality."""
+    m = len(codebooks)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        "vid", "cand_id"
+    )
+    lut_entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub_id"),
+                F.lit(c).alias("code"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
+            )
+            for j, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ]
+    )
+    lut = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(lut_entries).alias("e"),
+        ).select(
+            "query_id",
+            F.col("e.sub_id").alias("sub_id"),
+            F.col("e.code").alias("code"),
+            F.slice(
+                "qvec", F.col("e.sub_id") * len(codebooks[0][0]) + 1,
+                len(codebooks[0][0]),
+            ).alias("qsub"),
+            F.col("e.cvec").alias("cvec"),
+        ).select(
+            "query_id", "sub_id", "code", dot("qsub", "cvec").alias("lutv")
+        )
+    )
+    adc = (
+        codes.join(lut, ["sub_id", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("lutv"), 6).alias("adc"))
+    )
+    if exclude_self:
+        adc = adc.filter(F.col("query_id") != F.col("cand_id"))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("cand_id")
+    )
+    short = adc.withColumn("arank", F.row_number().over(w1)).filter(
+        F.col("arank") <= shortlist
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    q_full = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2norm(vec_col).alias("qn"),
+        ).filter(F.col("qn") > 0)
+    )
+    rescored = (
+        short.join(c_full, "cand_id")
+        .join(q_full, "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

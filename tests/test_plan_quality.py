@@ -153,6 +153,8 @@ _NLJ_ALLOWED = {
     # 10-query broadcast crossJoin as sim_cosine_topk (4x cheaper math)
     "sim_ivf_kmeans_topk",  # recall certificate's exact baseline: 10-query
     # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
+    "sim_pq_adc_topk",  # same certificate pattern: the PQ path itself is
+    # all equi-joins; only the exact baseline crossJoins the 10 queries
     "sim_hard_negatives",
     "text_bigram_lm_logprob",  # 1-row smoothing-denominator vocab scalar
     "text_bm25_search",

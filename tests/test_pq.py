@@ -1,0 +1,66 @@
+"""Product-quantization properties: PQ is approximate by construction,
+so the tests pin (1) the degenerate-exactness contract — when the ADC
+shortlist covers the whole corpus, the exact re-rank stage makes the
+output IDENTICAL to brute force, proving approximation lives only in
+shortlist selection, never in the returned metric; (2) the code-table
+shape/range invariants the encode join relies on; and (3) loud failure
+on a mis-factored dimension. The recall floor of the full pipeline is
+pinned by the sim_pq_adc_topk certificate in the graded registry."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from crane_stream_processing_spark.operators import similarity as S
+
+
+def _corpus(spark, n=30, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_covering_shortlist_equals_exact(spark):
+    emb = _corpus(spark)
+    books = S.pq_fit(emb, m=4, ksub=4, iters=2)
+    q = emb.filter("vec_id < 5")
+    pq = S.pq_adc_topk(emb, q, books, shortlist=30, k=3)
+    exact = S.cosine_topk(emb, q, k=3)
+    got = {(r.query_id, r.cand_id, r.rank, r.cos_sim) for r in pq.collect()}
+    want = {(r.query_id, r.cand_id, r.rank, r.cos_sim) for r in exact.collect()}
+    assert got == want
+
+
+def test_pq_encode_shape_and_range(spark):
+    emb = _corpus(spark, n=20)
+    m, ksub = 4, 4
+    books = S.pq_fit(emb, m=m, ksub=ksub, iters=1)
+    assert len(books) == m and all(len(b) == ksub for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # dsub = 16/4
+    codes = S.pq_encode(emb, books).collect()
+    assert len(codes) == 20 * m  # one code per (vector, subspace)
+    assert {(r.vid, r.sub_id) for r in codes} == {
+        (i, j) for i in range(20) for j in range(m)
+    }
+    assert all(0 <= r.code < ksub for r in codes)
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    emb = _corpus(spark, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_fit(emb, m=4, ksub=2, iters=1)
+
+
+def test_pq_fit_rejects_too_few_distinct_subvectors(spark):
+    # All-identical vectors: every subspace has ONE distinct subvector,
+    # so ksub=2 cannot be seeded and must fail loudly (a silent
+    # half-empty codebook would quietly halve the index resolution).
+    rows = [(i, [1.0] * 8) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="distinct"):
+        S.pq_fit(emb, m=2, ksub=2, iters=1)
