@@ -645,7 +645,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are scored, PQ compresses HOW each one is scored — at 100 TB
     the 8-byte codes replace the 256-byte float rows in the hot scan, a
     32x read shrink, and scoring is m LUT adds instead of dim multiplies.
-    Everything is broadcast equi-joins + groupBy sums; no crossJoin.
+    Corpus-side work is all broadcast equi-joins + groupBy sums; the
+    only crossJoins are query-bounded (the 10 x 256 LUT build and the
+    certificate's exact baseline).
 
     PQ training is iterative (outside SQL), so the graded contract is a
     recall CERTIFICATE in the sim_ivf_kmeans_topk pattern: recall@3 of

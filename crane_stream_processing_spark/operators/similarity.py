@@ -845,8 +845,9 @@ def pq_adc_topk(
 
     Relational shape: LUT = |Q|·m·ksub-row broadcast (a few KB); scoring =
     codes (n·m rows) equi-joined to the LUT on (sub_id, code) + groupBy
-    (query_id, cand_id) SUM — linear in corpus size, map-side partials,
-    no crossJoin anywhere. ADC scores are rounded to 6 before ranking so
+    (query_id, cand_id) SUM — linear in corpus size, map-side partials.
+    The only crossJoin is the LUT build itself: |Q| x m·ksub, both sides
+    broadcast-tiny. ADC scores are rounded to 6 before ranking so
     shortlist membership is stable across retries/engines up to genuine
     1e-6 ties (which the cand_id tiebreak then pins).
 
@@ -857,33 +858,25 @@ def pq_adc_topk(
     codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
         "vid", "cand_id"
     )
-    lut_entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("sub_id"),
-                F.lit(c).alias("code"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
-            )
-            for j, book in enumerate(codebooks)
-            for c, vec in enumerate(book)
-        ]
-    )
+    # LUT = |Q| queries x (m·ksub)-row codebook relation: a crossJoin of
+    # two broadcast-tiny sides (10 x 256 here). The earlier form inlined
+    # the whole codebook as m·ksub·dsub literals into one explode
+    # expression — semantically identical, but analysis + codegen of the
+    # 2k-literal projection cost ~2 s per run at any SF; the relational
+    # build is constant-time in plan size (measured 4.5 s -> 2.4 s).
+    dsub = len(codebooks[0][0])
     lut = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.explode(lut_entries).alias("e"),
-        ).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .crossJoin(_codebook_df(queries, codebooks))
+        .select(
             "query_id",
-            F.col("e.sub_id").alias("sub_id"),
-            F.col("e.code").alias("code"),
-            F.slice(
-                "qvec", F.col("e.sub_id") * len(codebooks[0][0]) + 1,
-                len(codebooks[0][0]),
-            ).alias("qsub"),
-            F.col("e.cvec").alias("cvec"),
-        ).select(
-            "query_id", "sub_id", "code", dot("qsub", "cvec").alias("lutv")
+            "sub_id",
+            "code",
+            dot(
+                F.slice("qvec", F.col("sub_id") * dsub + 1, dsub), F.col("cvec")
+            ).alias("lutv"),
         )
     )
     adc = (
