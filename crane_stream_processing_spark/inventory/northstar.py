@@ -682,6 +682,59 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivfpq_topk",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production index: trained IVF cells x trained PQ
+    codes (FAISS IVF8,PQ8x32 shape; operators/similarity.py
+    ivfpq_topk). The coarse quantizer restricts each query to its 3
+    nearest cells, PQ ADC scores only those survivors from their 8-byte
+    codes, and the 50-candidate shortlist is re-ranked with exact
+    cosine. Both models are the SAME cached artifacts the single-axis
+    queries grade (sim_ivf_kmeans_topk's centroids, sim_pq_adc_topk's
+    codebooks) — one training cost, three graded consumers, the
+    production reuse pattern.
+
+    Recall compounds both approximations, so the certificate bar stays
+    at 0.5 while the measured value is 0.77 (sf0.1) / 0.93 (sf0.01)
+    with nprobe=3 — the margin absorbs centroid drift on both axes.
+    Exact-side counts come from the oracle; recall_ok is the
+    certificate bit."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 8, 2)
+    if ckey not in _KMEANS_MODELS:
+        _KMEANS_MODELS[ckey] = S.kmeans_fit(emb, k=8, iters=2)
+    pkey = (sf_dir, 8, 32, 2)
+    if pkey not in _PQ_MODELS:
+        _PQ_MODELS[pkey] = S.pq_fit(emb, m=8, ksub=32, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = S.ivfpq_topk(
+        emb, queries, _KMEANS_MODELS[ckey], _PQ_MODELS[pkey],
+        nprobe=3, shortlist=50, k=3,
+    ).select("query_id", "cand_id", F.lit(1).alias("__hit"))
+    exact = S.cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
+    return (
+        exact.join(approx, ["query_id", "cand_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .select(
+            "n_queries",
+            "n_exact",
+            (F.col("n_hits") >= F.lit(0.5) * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

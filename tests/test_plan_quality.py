@@ -155,6 +155,8 @@ _NLJ_ALLOWED = {
     # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
     "sim_pq_adc_topk",  # same certificate pattern: the PQ path itself is
     # all equi-joins; only the exact baseline crossJoins the 10 queries
+    "sim_ivfpq_topk",  # composed IVF x PQ: same bounded LUT-build and
+    # exact-baseline crossJoins as sim_pq_adc_topk, nothing unbounded
     "sim_hard_negatives",
     "text_bigram_lm_logprob",  # 1-row smoothing-denominator vocab scalar
     "text_bm25_search",

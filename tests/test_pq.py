@@ -64,3 +64,24 @@ def test_pq_fit_rejects_too_few_distinct_subvectors(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="distinct"):
         S.pq_fit(emb, m=2, ksub=2, iters=1)
+
+
+def test_ivfpq_subset_of_pq_and_true_cosines(spark):
+    """IVF cell pruning can only REMOVE candidates relative to plain PQ
+    over the same codebooks (same ADC scores, restricted pool), and both
+    emit exact re-ranked cosines — so every IVF-PQ hit that plain-PQ
+    also returns must carry the identical score."""
+    emb = _corpus(spark, n=40)
+    books = S.pq_fit(emb, m=4, ksub=4, iters=2)
+    cents = S.kmeans_fit(emb, k=4, iters=2)
+    q = emb.filter("vec_id < 5")
+    pq = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in S.pq_adc_topk(emb, q, books, shortlist=40, k=40).collect()
+    }
+    ivfpq = S.ivfpq_topk(
+        emb, q, cents, books, nprobe=4, shortlist=40, k=3
+    ).collect()
+    assert ivfpq  # nprobe == k cells -> no pruning, must return rows
+    for r in ivfpq:
+        assert pq[(r.query_id, r.cand_id)] == r.cos_sim
