@@ -672,3 +672,112 @@ def curate_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_in_leaky_groups"),
     )
+
+
+@query(
+    "curate_label_coherence",
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+      WHERE label IS NOT NULL
+    ),
+    scales AS (SELECT dim, MAX(abs(val)) AS maxabs FROM vals GROUP BY dim),
+    q AS (
+      SELECT vec_id, label, dim,
+             CAST(floor(val / maxabs * 127.0) AS BIGINT) AS q8
+      FROM vals JOIN scales USING (dim) WHERE maxabs > 0
+    ),
+    ctr AS (SELECT label, dim, CAST(SUM(q8) AS BIGINT) AS c
+            FROM q GROUP BY label, dim),
+    nc AS (SELECT label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS cnorm
+           FROM ctr GROUP BY label),
+    vec AS (
+      SELECT q.vec_id, q.label,
+             CAST(SUM(q.q8 * ctr.c) AS DOUBLE) AS dot,
+             sqrt(CAST(SUM(q.q8 * q.q8) AS DOUBLE)) AS vnorm
+      FROM q JOIN ctr ON q.label = ctr.label AND q.dim = ctr.dim
+      GROUP BY 1, 2
+    ),
+    cosv AS (
+      SELECT vec.vec_id, vec.label, dot / (vnorm * nc.cnorm) AS cosc
+      FROM vec JOIN nc USING (label)
+      WHERE vnorm > 0 AND cnorm > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(AVG(cosc), 6) AS mean_coherence,
+           round(MIN(cosc), 6) AS min_coherence,
+           CAST(COUNT(*) FILTER (cosc < 0) AS BIGINT) AS n_opposed
+    FROM cosv GROUP BY label
+    """,
+)
+def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-coherence audit — the mislabel / outlier
+    detector a training-data pipeline runs before trusting class labels:
+    per label, the cosine of every member to its label centroid, reduced
+    to mean / min / opposed-count. Arithmetic is exact end-to-end: the
+    per-dimension int8 quantization (same floor formula
+    ``sim_quantize_int8`` proves IEEE-identical cross-engine) makes the
+    centroid an exact BIGINT sum vector, dots and squared norms exact
+    BIGINTs, and each per-vector cosine ONE double expression
+    (dot / (sqrt * sqrt)) — bit-identical in any engine, no rounding
+    ladder needed until the final per-label mean (round 6). Self-
+    inclusion in the centroid is deliberate (bias 1/n, vanishing at
+    scale). Plan shape: posexplode → two hash aggregates + one 64-row
+    broadcast (scales) + one (labels x dims)-row broadcast-sized join
+    (centroids) — every shuffle keyed on (label, dim) or vec_id, nothing
+    quadratic; at 100 TB the centroid table is still labels x dims rows."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    vals = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "valf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    scales = vals.groupBy("dim").agg(F.max(F.abs(F.col("val"))).alias("maxabs"))
+    q = (
+        vals.join(F.broadcast(scales), "dim")
+        .filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.floor(F.col("val") / F.col("maxabs") * F.lit(127.0))
+            .cast("long")
+            .alias("q8"),
+        )
+    )
+    ctr = q.groupBy("label", "dim").agg(F.sum("q8").alias("c"))
+    nc = ctr.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("cnorm")
+    )
+    vec = (
+        q.join(F.broadcast(ctr), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q8") * F.col("c")).cast("double").alias("dot"),
+            F.sqrt(F.sum(F.col("q8") * F.col("q8")).cast("double")).alias("vnorm"),
+        )
+    )
+    cosv = (
+        vec.join(F.broadcast(nc), "label")
+        .filter((F.col("vnorm") > 0) & (F.col("cnorm") > 0))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dot") / (F.col("vnorm") * F.col("cnorm"))).alias("cosc"),
+        )
+    )
+    return cosv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cosc"), 6).alias("mean_coherence"),
+        F.round(F.min("cosc"), 6).alias("min_coherence"),
+        F.count_if(F.col("cosc") < 0).alias("n_opposed"),
+    )

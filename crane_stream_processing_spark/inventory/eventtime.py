@@ -126,6 +126,114 @@ def evt_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(value AS DECIMAL(14,4)) * CAST(dur_us AS DECIMAL(14,0))) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) AS twa
+    FROM seg
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the TimescaleDB ``time_weight``
+    / Flink LOCF-interpolation analytic the reference's processing-time
+    model can't express): each reading holds until the next one, so the
+    mean weights ``value`` by its microsecond holding duration, not by
+    sample count — the correct summary for irregularly-sampled gauges.
+    One window pass (lead over the same deterministic (ts, event_id)
+    order every event-time query uses) + one groupBy; numerator and
+    denominator are exact decimals/bigints so the ONLY float op is the
+    final double division — bit-identical cross-engine. Scales as a
+    single hash shuffle on user_id; no state beyond one lead row."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("us", F.unix_micros("ts"))
+        .withColumn("dur_us", F.lead("us").over(w) - F.col("us"))
+        .filter(F.col("dur_us").isNotNull())
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (
+            F.sum(
+                F.col("value").cast("decimal(14,4)")
+                * F.col("dur_us").cast("decimal(14,0)")
+            ).cast("double")
+            / F.sum("dur_us").cast("double")
+        ).alias("twa"),
+    )
+
+
+@query(
+    "evt_scd2_user_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+      WHERE user_id < 200
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id,
+           event_type AS segment,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def evt_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 built from a change log: treat
+    each user's event_type as a mutating attribute and materialize its
+    full interval history — version number, [valid_from, valid_to)
+    bounds, is_current flag — the standard warehouse MERGE outcome,
+    derived here in one pass with two windows instead of row-at-a-time
+    upserts (no MERGE target needed; the history IS a deterministic
+    function of the log). Run-length compression first (keep only rows
+    whose attribute differs from the previous — lag), then lead/
+    row_number over the survivors. Both windows share one deterministic
+    (ts, event_id) sort per user, so Spark plans a single shuffle +
+    sort. valid_to is NULL-string on the open interval (driver-safe;
+    the NULL-int hazard does not apply to strings). At 100 TB this is
+    the incremental-dim pattern: partition by key hash, each key's
+    history derived independently."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(~F.col("event_type").eqNullSafe(F.col("prev_type")))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "valid_to"
+        ),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
     "evt_dedup_first_event_per_user_day",
     oracle="""
     SELECT user_id,

@@ -381,3 +381,52 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").try_cast("bigint").alias("qty_int"),
         F.col("l_returnflag").try_cast("double").alias("flag_as_num"),
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    SELECT source || '.example.com' AS host,
+           lang AS qlang,
+           COUNT(*) AS n,
+           COUNT(DISTINCT doc_id) AS n_paths
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the JVM-side ``parse_url`` builtin — the
+    per-document URL is assembled from corpus columns, then host / path
+    / a named query parameter are extracted back out and aggregated per
+    (host, lang-param). This is the web-corpus curation primitive
+    (domain-level stats drive source mixing and blocklists at 100 TB)
+    expressed with zero Python: one codegen'd projection + one hash
+    aggregate. The oracle recomputes every extraction from the raw
+    components, so a parse_url regression (wrong host boundary, query
+    param leakage into the path) hash-fails rather than round-tripping.
+    The protocol-equality filter is a semantic no-op that likewise
+    turns a broken PROTOCOL extraction into a loud row-count mismatch."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+    )
+    return (
+        parsed.filter(F.col("proto") == "https")
+        .groupBy("host", "qlang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("path").alias("n_paths"),
+        )
+    )

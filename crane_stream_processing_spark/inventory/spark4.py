@@ -330,3 +330,34 @@ def sql_named_params_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"since": "1996-01-01", "min_price": 1000.0},
     )
+
+
+@query(
+    "sql_groupby_all_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_groupby_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (SPARK-41631): every non-aggregate select item
+    becomes a grouping key, inferred by the analyzer — the DuckDB-style
+    ergonomic that keeps hand-edited exploration SQL valid as columns
+    are added. Resolves to the identical hash-aggregate plan as an
+    explicit GROUP BY 1, 2 (the oracle runs DuckDB's own GROUP BY ALL —
+    two engines' inference proven equivalent on the same statement)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gball")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM orders_gball
+        GROUP BY ALL
+        """
+    )
