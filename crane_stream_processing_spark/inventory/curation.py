@@ -729,7 +729,12 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale). Plan shape: posexplode → two hash aggregates + one 64-row
     broadcast (scales) + one (labels x dims)-row broadcast-sized join
     (centroids) — every shuffle keyed on (label, dim) or vec_id, nothing
-    quadratic; at 100 TB the centroid table is still labels x dims rows."""
+    quadratic; at 100 TB the centroid table is still labels x dims rows.
+    The quantized form is cached because three consumers (centroids,
+    norms, dots) would otherwise each re-scan and re-explode the corpus
+    (measured: 6 scans uncached → 2 cached); at 100 TB the int8 rows are
+    the SMALLEST representation of the corpus, so that is the layer to
+    persist (memory-and-disk), exactly like a serialized ANN index."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     vals = emb.select(
         "vec_id",
@@ -754,6 +759,9 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q8"),
         )
     )
+    from pyspark import StorageLevel
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
     ctr = q.groupBy("label", "dim").agg(F.sum("q8").alias("c"))
     nc = ctr.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("cnorm")

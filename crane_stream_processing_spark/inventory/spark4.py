@@ -361,3 +361,86 @@ def sql_groupby_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@udtf(returnType="user_id bigint, session_start string, n_events bigint")
+class SessionizeUDTF:
+    """Per-partition stateful sessionizer (30-minute gap, strict-greater
+    split matching F.session_window's merge-at-exactly-gap semantics —
+    see eventtime.ORACLE_SESSION_30M). With ``TABLE(...) PARTITION BY
+    user_id ORDER BY ...`` Spark runs a FRESH instance per user and
+    feeds rows in order: ``eval`` accumulates the open session,
+    ``terminate`` flushes the last one — the custom-stateful-operator
+    contract (reference: per-key bolt state, server/Crane.go) expressed
+    as a declared-schema table function."""
+
+    def __init__(self):
+        self._user = None
+        self._start = None
+        self._last = None
+        self._n = 0
+
+    def eval(self, row):  # noqa: D102 — UDTF contract
+        ts, user = row["ts"], row["user_id"]
+        if self._n and (ts - self._last).total_seconds() > 1800.0:
+            yield (self._user, self._start.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                   self._n)
+            self._n = 0
+        if not self._n:
+            self._user, self._start = user, ts
+        self._last = ts
+        self._n += 1
+
+    def terminate(self):  # noqa: D102 — UDTF contract
+        if self._n:
+            yield (self._user, self._start.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                   self._n)
+
+
+@query(
+    "udtf_sessionize_table_arg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 300
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def udtf_sessionize_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 polymorphic-input UDTF: the SAME 30-minute sessionization
+    already graded in batch (evt_session_windows_30m, F.session_window)
+    and streaming (stream_session_windows_30m) — now as a Python UDTF
+    consuming ``TABLE(events) PARTITION BY user_id ORDER BY (ts,
+    event_id)``, the Spark 4 surface for user-defined PER-KEY STATEFUL
+    operators in batch SQL. Three implementations, one oracle: the
+    gaps-and-islands SQL. The engine shuffles/sorts by the declared
+    partitioning before the UDTF sees a row, so state is a single open
+    session per instance — O(1) memory regardless of corpus size. Python
+    row-at-a-time is the slow path (that is WHY the built-in
+    session_window grades the unbounded run); the user_id < 300 probe
+    bound keeps the demo O(bounded) while exercising the full contract
+    incl. per-partition terminate() flush."""
+    spark.udtf.register("crane_sessionize", SessionizeUDTF)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    ev.createOrReplaceTempView("events_sess_udtf")
+    return spark.sql(
+        """
+        SELECT user_id, session_start, n_events
+        FROM crane_sessionize(TABLE(events_sess_udtf)
+                              PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )
