@@ -436,9 +436,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
 
     path = _IVF_INDEX_DIRS.get(sf_dir)
     if path is None:
+        import atexit
+        import shutil
+
         emb = t_cpu(spark, sf_dir, "embeddings")
         path = tempfile.mkdtemp(prefix="crane_ivf_index_")
         S.ivf_bucket_corpus(emb, _CENTROIDS).write.mode("overwrite").parquet(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _IVF_INDEX_DIRS[sf_dir] = path
     return spark.read.parquet(path)
 
@@ -663,7 +667,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_MODELS[key] = S.pq_fit(emb, m=8, ksub=32, iters=2)
     books = _PQ_MODELS[key]
     queries = emb.filter(F.col("vec_id") < 10)
-    pq = S.pq_adc_topk(emb, queries, books, shortlist=50, k=3).select(
+    pq = S.pq_adc_topk(
+        emb, queries, books, shortlist=50, k=3,
+        codes=_pq_codes(spark, sf_dir, key, books),
+    ).select(
         "query_id", "cand_id", F.lit(1).alias("__hit")
     )
     exact = S.cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
@@ -679,6 +686,52 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             (F.col("n_hits") >= F.lit(0.5) * F.col("n_exact")).alias("recall_ok"),
         )
+    )
+
+
+# Persisted trained-index artifacts, shared by sim_pq_adc_topk and
+# sim_ivfpq_topk: the encoded corpus (8 codes/vector) and the coarse cell
+# assignment are each built ONCE per (process, corpus, model) and written
+# as parquet — the offline index-build step a production ANN deployment
+# amortizes (the codes file IS the index; at 100 TB it is ~1/32 the float
+# corpus and the only thing the search reads). Reading back is lossless,
+# so searches answer identically to inline encoding — the oracles
+# recompute everything from scratch and still hash-match.
+_PQ_CODES_DIRS: dict[tuple[str, int, int, int], str] = {}
+_IVF_CELL_DIRS: dict[tuple[str, int, int], str] = {}
+
+
+def _persisted(spark: SparkSession, cache: dict, key, build) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    path = cache.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="crane_ann_index_")
+        build().write.mode("overwrite").parquet(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        cache[key] = path
+    return spark.read.parquet(path)
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str, pkey, books) -> DataFrame:
+    return _persisted(
+        spark,
+        _PQ_CODES_DIRS,
+        pkey,
+        lambda: S.pq_encode(t_cpu(spark, sf_dir, "embeddings"), books),
+    )
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str, ckey, centroids) -> DataFrame:
+    return _persisted(
+        spark,
+        _IVF_CELL_DIRS,
+        ckey,
+        lambda: S.ivf_bucket_corpus(
+            t_cpu(spark, sf_dir, "embeddings"), centroids
+        ).select("cand_id", "cell"),
     )
 
 
@@ -718,6 +771,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.ivfpq_topk(
         emb, queries, _KMEANS_MODELS[ckey], _PQ_MODELS[pkey],
         nprobe=3, shortlist=50, k=3,
+        codes=_pq_codes(spark, sf_dir, pkey, _PQ_MODELS[pkey]),
+        cells=_ivf_cells(spark, sf_dir, ckey, _KMEANS_MODELS[ckey]),
     ).select("query_id", "cand_id", F.lit(1).alias("__hit"))
     exact = S.cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
     return (

@@ -834,6 +834,7 @@ def pq_adc_topk(
     shortlist: int = 10,
     k: int = 3,
     exclude_self: bool = True,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance search (the FAISS IVF-PQ serving path,
     re-expressed relationally): approximate inner product of query q and
@@ -856,9 +857,13 @@ def pq_adc_topk(
     top-k; grade recall against brute force — ADC is an approximation,
     so its contract is a recall certificate, not row equality."""
     m = len(codebooks)
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
-        "vid", "cand_id"
-    )
+    # ``codes`` lets the caller hand in the persisted encoded corpus (the
+    # on-disk PQ index) instead of re-encoding per search — the offline
+    # index-build amortization every PQ deployment relies on. Lossless
+    # either way: the codes ARE the index.
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    codes = codes.withColumnRenamed("vid", "cand_id")
     # LUT = |Q| queries x (m·ksub)-row codebook relation: a crossJoin of
     # two broadcast-tiny sides (10 x 256 here). The earlier form inlined
     # the whole codebook as m·ksub·dsub literals into one explode
@@ -935,6 +940,8 @@ def ivfpq_topk(
     shortlist: int = 50,
     k: int = 3,
     exclude_self: bool = True,
+    codes: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """The composed production index — IVF×PQ (the FAISS ``IVFx,PQy``
     shape): the coarse quantizer prunes WHICH candidates are considered
@@ -956,12 +963,15 @@ def ivfpq_topk(
     compression), so it sits below either alone — grade it with a
     certificate, never row equality."""
     dsub = len(codebooks[0][0])
-    cells = ivf_bucket_corpus(corpus, centroids, id_col, vec_col).select(
-        "cand_id", "cell"
-    )
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
-        "vid", "cand_id"
-    )
+    # Both index halves accept the persisted on-disk form (see
+    # pq_adc_topk): cells = (cand_id, cell), codes = pq_encode output.
+    if cells is None:
+        cells = ivf_bucket_corpus(corpus, centroids, id_col, vec_col).select(
+            "cand_id", "cell"
+        )
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    codes = codes.withColumnRenamed("vid", "cand_id")
     probes = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
