@@ -1452,3 +1452,50 @@ def udf_arrow_native_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("scored", scale=6).alias("scored_price"),
     )
+
+
+@query(
+    "text_bpe_pair_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKS}) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks, UNNEST(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: count every
+    adjacent symbol pair inside whitespace tokens across the corpus and
+    rank the merge candidates — exactly the statistic a byte-pair-
+    encoding trainer maximizes each round (Sennrich et al. 2016, public
+    algorithm). Pair extraction is one codegen'd
+    ``transform(sequence(1, len-1), i -> substring(tok, i, 2))`` per
+    token — no Python, no shuffle until the (pair, count) aggregate,
+    which map-side combines to at most |alphabet|² partial rows per
+    task regardless of corpus size; the top-20 is a TakeOrdered with
+    the (n DESC, pair ASC) tiebreak pinned. Both engines index
+    substrings by CHARACTER, so multibyte text agrees. At 100 TB this
+    is the canonical two-phase aggregation — the iterated trainer
+    would loop this query with the previous round's merges applied."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    pairs = toks.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
