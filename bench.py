@@ -17,7 +17,10 @@ import os
 import sys
 import time
 
-from crane_stream_processing_spark.inventory import REGISTRY
+from crane_stream_processing_spark.inventory import (
+    REGISTRY,
+    release_query_caches,
+)
 from crane_stream_processing_spark.session import get_spark
 
 
@@ -161,6 +164,11 @@ def main() -> None:
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             continue
+        finally:
+            # No query's cache (recursive-CTE edge list, label-coherence
+            # int8 rows, iterative localCheckpoints) may pin memory into
+            # the next query's timing.
+            release_query_caches(spark)
         timings[name] = round(time.perf_counter() - t0, 4)
 
     # Steady-state de-noising: re-run the slow tail once and keep the
@@ -174,6 +182,8 @@ def main() -> None:
             force(REGISTRY[name].fn(spark, sf_dir))
         except Exception:
             continue
+        finally:
+            release_query_caches(spark)
         timings[name] = min(timings[name], round(time.perf_counter() - t0, 4))
 
     total = round(sum(timings.values()), 4)

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
-__all__ = ["Query", "REGISTRY", "query", "t", "t_cpu", "dsum", "davg"]
+__all__ = [
+    "Query", "REGISTRY", "query", "t", "t_cpu", "dsum", "davg",
+    "register_query_cache", "release_query_caches",
+]
 
 
 @dataclass(frozen=True)
@@ -58,6 +61,43 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# Queries that must persist an intermediate DURING their (lazy) execution
+# — the recursive-CTE edge list, the label-coherence int8 rows — cannot
+# unpersist it before the caller materializes the result. They register
+# the cached frame here instead, and the harnesses (bench.py,
+# tools/driver_check.py) call release_query_caches() after each query's
+# collect so no cache outlives the query that built it (round-3 verdict:
+# the leaked relations pinned executor memory across the other 190
+# registry queries in one long-lived session).
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def register_query_cache(df: DataFrame) -> DataFrame:
+    """Record a persisted/cached DataFrame for post-query release."""
+    _QUERY_CACHES.append(df)
+    return df
+
+
+def release_query_caches(spark: SparkSession) -> None:
+    """Unpersist every registered query cache, then sweep any remaining
+    persistent RDDs (localCheckpoint storage from iterative operators —
+    pagerank / label propagation — persists at the RDD level, invisible
+    to ``spark.catalog.clearCache``). Safe between queries: nothing in
+    the engine relies on cross-query cached state; index artifacts are
+    parquet files on disk, not cached relations."""
+    while _QUERY_CACHES:
+        try:
+            _QUERY_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead session must not mask release
+            pass
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jrdds.values()):
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 _SCAN_PARTS: dict[tuple[str, str], int] = {}  # (sf_dir, table) → scan partitions
@@ -112,55 +152,73 @@ def _load_all() -> None:
 # insertion order per round. Rotate this list each round so every family
 # accumulates a graded row: round 1 covered apps/io/src/join/agg/window
 # (CORRECTNESS_r01.json); round 2 proved TPC-H / dedup / similarity /
-# text (CORRECTNESS_r02.json, 49/50). Round 3 (this list, generated by
-# tools/rotate_priority.py from the accumulated CORRECTNESS files):
-# the one driver failure first (sim_random_projection — array output
-# crashed the driver's pandas canonicalizer, now reshaped to scalar
-# rows), then the never-graded families: scalars, setops, eventtime,
-# windows tail, multimodal, udf/udtf, and 11 of 13 stream_* queries.
-# Still ungraded after this round (30: remaining text/relevance,
-# curation/sampling, sql_*, evt_funnel/retention/transition, graph,
-# kfold/leakage, stream_append/stream_dedup_within_watermark) front
-# round 4.
+# text (CORRECTNESS_r02.json, 49/50); round 3 proved scalars, setops,
+# eventtime, windows tail, multimodal, udf/udtf, and 11 of 13 stream_*
+# queries (CORRECTNESS_r03.json, 50/50). Round 4 (this list, generated
+# by tools/rotate_priority.py from the accumulated CORRECTNESS files):
+# the exactly-48 never-driver-graded queries — graph_*, sample_*,
+# curate_*, sql_*, udtf_*, the evt_/text_/sim_ tails, and the two
+# remaining stream_* rows — plus the round-4 src_rate_word_cycle
+# addition and one backfill slot re-proving the historically
+# driver-flakiest row (sim_random_projection).
+# After this window the cumulative union of CORRECTNESS_r01-r04 covers
+# all 192 registry queries.
 GRADE_PRIORITY: list[str] = [
-    # round-2's only driver-red row, reshaped (posexplode) this round
+    # round-3 additions + pre-r3 leftovers never yet in a driver window
+    "agg_regr_linear_price_qty",
+    "window_percentrank_cumedist_price",
+    "scalar_url_parse",
+    "evt_time_weighted_avg",
+    "evt_scd2_user_history",
+    "evt_gapfill_hourly",
+    "sim_matryoshka_rerank_topk",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "text_entropy_char",
+    "text_bpe_pair_candidates",
+    "stream_append_daily_by_type",
+    "stream_dedup_within_watermark",
+    # SQL-surface family (subquery/lateral/recursive/pipe/params/ALL)
+    "sql_orders_above_customer_avg",
+    "evt_funnel_conversion",
+    "evt_retention_cohorts",
+    "graph_triangle_count_brand",
+    "graph_pagerank_nation",
+    "evt_transition_matrix",
+    "graph_shortest_cost_nation",
+    "evt_anomaly_daily_zscore",
+    "evt_ewma_daily_smoothing",
+    "udtf_bigram_top20",
+    "variant_props_stats",
+    "sql_lateral_top2_orders",
+    "sql_recursive_order_chain",
+    "sql_pipe_priority_revenue",
+    "udf_sql_function_margin",
+    "sql_named_params_revenue",
+    "sql_groupby_all_orders",
+    "udtf_sessionize_table_arg",
+    # sampling / curation pipeline family
+    "sample_stratified_lang",
+    "sample_uniform_k_docs",
+    "sample_cap_per_source",
+    "text_vocab_stats",
+    "text_redact_marker",
+    "sample_weighted_length",
+    "sample_temperature_lang",
+    "curate_shard_assignment",
+    "curate_quality_gate",
+    "curate_mixture_weights",
+    "curate_dq_audit",
+    "curate_kfold_split",
+    "curate_split_leakage_audit",
+    "curate_label_coherence",
+    "text_bm25_search",
+    "curate_decontaminate",
+    "curate_pack_sequences",
+    # round-4 addition (rate-source content path, S2/S10 batch grade)
+    "src_rate_word_cycle",
+    # backfill slot: re-prove the historically flakiest driver row
     "sim_random_projection",
-    # round-2 additions that missed the r02 window
-    "io_compact_small_files",
-    "join_asof_next_purchase_after_error",
-    "agg_percentile_approx_cert",
-    # window-function tail (3)
-    "window_ntile_quartiles", "window_range_30d_spend",
-    "window_activity_streaks",
-    # scalar-function suites (11)
-    "scalar_string_suite", "scalar_date_suite", "scalar_math_suite",
-    "scalar_json_props", "scalar_conditional_null", "scalar_hash_xor",
-    "scalar_higher_order_suite", "scalar_map_suite",
-    "scalar_posexplode_tokens", "scalar_array_suite",
-    "scalar_try_arithmetic",
-    # set operations (5)
-    "setop_union_active_keys", "setop_intersect_nations",
-    "setop_except_inactive_customers", "setop_dropduplicates_user_type",
-    "setop_union_by_name_missing",
-    # event-time windows, batch mode (4)
-    "evt_tumbling_daily_by_type", "evt_sliding_12h_windows",
-    "evt_session_windows_30m", "evt_dedup_first_event_per_user_day",
-    # trained-IVF recall certificate + corpus-curation pipeline
-    "sim_ivf_kmeans_topk", "pipeline_curate_corpus",
-    # multimodal plumbing (4) + repetition gate
-    "mm_frame_sample", "mm_media_features", "text_repetition_topbigram",
-    "mm_audio_chunks", "mm_image_resize",
-    # UDF/UDAF/UDTF surface (5)
-    "udf_grouped_rank_normalize", "udf_grouped_agg_price_range",
-    "udf_cogroup_customer_orders", "udf_flatmap_token_rows",
-    "udf_arrow_native_score",
-    # Structured Streaming twins (11 of 13; append/within-watermark → r4)
-    "stream_tumbling_daily_by_type", "stream_sliding_12h_windows",
-    "stream_dedup_user_day", "stream_rocksdb_dedup_user_type",
-    "stream_static_enrich_segment", "stream_session_windows_30m",
-    "stream_stateful_running_count", "stream_stream_join_error_purchase",
-    "stream_stream_left_join_error_purchase",
-    "stream_versioned_sink_roundtrip", "stream_merge_sink_roundtrip",
 ]
 
 

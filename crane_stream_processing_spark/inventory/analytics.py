@@ -208,7 +208,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share for one month — conditional
-    aggregation over a fact-dim join (part broadcasts; the month filter
+    aggregation over a fact-dim join (part is unhinted — AQE broadcasts
+    it when it fits; the month filter
     pushes into the lineitem scan). Both sums go through exact decimal so
     the final division is the only float op, computed identically by both
     engines."""
@@ -220,7 +221,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -252,7 +253,8 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-H Q18 shape: large-volume orders — a HAVING-filtered aggregate
     over the fact table used as a semi-join filter back onto the same
     3-table join. The qualifying-orderkey set is tiny after the >300
-    threshold, so Catalyst broadcasts it as a left-semi; lineitem is
+    threshold, so AQE broadcasts it as a left-semi (size-based, no
+    forced hint); lineitem is
     scanned twice but both scans prune to 2 columns. Quantity compare and
     output go through exact decimal."""
     cust = t(spark, sf_dir, "customer")
@@ -268,7 +270,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            big.withColumnRenamed("l_orderkey", "bk"),
             F.col("o_orderkey") == F.col("bk"),
             "left_semi",
         )
@@ -471,7 +473,7 @@ def graph_triangle_count_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     lp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "l_partkey", "p_brand")
         .distinct()
     )
@@ -576,7 +578,8 @@ def graph_pagerank_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence (operators/graph.py pagerank; see its docstring for the
     100 TB shape: per-iteration join+aggregate on the EDGE LIST only,
     localCheckpoint lineage control, one collected integer). The edge
-    build itself is the tpch_q7-style dim-broadcast join chain; the
+    build itself is the tpch_q7-style join chain (nation aliases hinted
+    broadcast; customer/supplier unhinted, AQE-sized); the
     25-node graph here is deliberately small so the oracle is exact —
     the operator's data path is the one that runs at billions of
     edges."""
@@ -595,9 +598,9 @@ def graph_pagerank_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
@@ -725,9 +728,9 @@ def graph_shortest_cost_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy("u", "v")
         .agg(F.min("l_extendedprice").cast("double").alias("w"))

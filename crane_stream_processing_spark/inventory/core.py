@@ -469,6 +469,48 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "src_rate_word_cycle",
+    oracle="""
+    SELECT (['alpha', 'beta', 'gamma', 'delta'])[CAST(event_id % 4 AS INT) + 1]
+             AS word,
+           COUNT(*) AS n,
+           MIN(event_id) AS first_seq,
+           MAX(event_id) AS last_seq
+    FROM events
+    GROUP BY 1
+    """,
+)
+def src_rate_word_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S10 content path, graded batch-equivalently: the rate source's
+    deterministic line synthesis (``streaming.sources.word_cycle`` — word
+    = words[seq mod n], the declarative stand-in for the reference
+    spout's per-tuple emission, reference server/Crane.go:63-99) applied
+    over the events table's id sequence and aggregated per word. The
+    socket/rate sources themselves are wall-clock-bound and can't run at
+    the driver, but this pins the exact Column expression they emit
+    through — a broken cycle (off-by-one, wrong modulus cast) shifts
+    every count and min/max. Pure row-local projection + one hash
+    aggregate on a 4-value key; no shuffle beyond the final group."""
+    from ..streaming.sources import word_cycle
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_id").alias("seq"),
+            word_cycle(
+                F.col("event_id"), ["alpha", "beta", "gamma", "delta"]
+            ).alias("word"),
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+        )
+    )
+
+
 _BUCKETED_SFS: set[str] = set()  # sf_dirs whose bucketed tables exist
 
 

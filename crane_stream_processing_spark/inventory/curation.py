@@ -761,7 +761,12 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    from . import register_query_cache
+
+    # Registered for post-query release: the int8 relation is reused by
+    # three downstream aggregates of THIS query only — harnesses
+    # unpersist it via release_query_caches once the result is collected.
+    q = register_query_cache(q.persist(StorageLevel.MEMORY_AND_DISK))
     ctr = q.groupBy("label", "dim").agg(F.sum("q8").alias("c"))
     nc = ctr.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("cnorm")

@@ -1007,8 +1007,12 @@ def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes relationally (unnest -> per-char counts -> ln identity
     H = ln(n) - SUM(c*ln(c))/n). Both sides exclude NULL texts (the
     oracle's unnest would drop them while the operator yields NULL — the
-    filter pins one semantics); EMPTY text splits to [''] identically in
-    both engines, so every non-NULL doc keeps a row."""
+    filter pins one semantics). EMPTY text is NOT split-parity: Spark's
+    split('','') yields [] while DuckDB's string_split yields [''];
+    outputs still agree only because the operator's when(n>0) guard
+    emits 0.0 and the oracle's H collapses to ln(1)=0 — a refactor that
+    removes either guard breaks empty-doc parity even though the split
+    shapes never matched."""
     docs = t_cpu(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )

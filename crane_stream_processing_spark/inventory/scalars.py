@@ -391,6 +391,7 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            COUNT(DISTINCT doc_id) AS n_paths
     FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -405,8 +406,14 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     components, so a parse_url regression (wrong host boundary, query
     param leakage into the path) hash-fails rather than round-tripping.
     The protocol-equality filter is a semantic no-op that likewise
-    turns a broken PROTOCOL extraction into a loud row-count mismatch."""
-    docs = t(spark, sf_dir, "documents")
+    turns a broken PROTOCOL extraction into a loud row-count mismatch.
+    NULL lang/source rows are filtered explicitly on BOTH sides: F.concat
+    propagates NULL so the proto filter would silently drop them on the
+    Spark side while the oracle's GROUP BY would keep a NULL group —
+    the same divergence class agg_hll_sketch_distinct pinned."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     url = F.concat(
         F.lit("https://"),
         F.col("source"),

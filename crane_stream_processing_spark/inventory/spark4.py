@@ -193,11 +193,15 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncached window there re-scans + re-sorts orders per step (measured
     17.7 s → 7.0 s at sf0.1, depth 24). The per-step frontier join is an
     equi shuffle join on o_orderkey; total work is O(rows · depth /
-    cluster), the same as any vertex-centric BFS."""
+    cluster), the same as any vertex-centric BFS. The cache is registered
+    for post-query release (harnesses call release_query_caches after
+    materializing) so it cannot pin memory across later queries."""
     from pyspark.sql import Window
 
+    from . import register_query_cache
+
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    edges = (
+    edges = register_query_cache(
         t(spark, sf_dir, "orders")
         .select(
             "o_orderkey",

@@ -300,10 +300,11 @@ def stream_rocksdb_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 stream-static join: the events stream enriched against the static
-    customer dimension (broadcast — no stream-side shuffle), aggregated per
-    market segment. The static side is re-resolvable per micro-batch."""
+    customer dimension, aggregated per market segment. The static side is
+    re-resolvable per micro-batch; no broadcast hint — customer is
+    SF-scaled, the per-batch planner picks broadcast when it fits."""
     ev = _stream_events(spark, sf_dir)
-    cust = F.broadcast(t(spark, sf_dir, "customer"))
+    cust = t(spark, sf_dir, "customer")
     agg = (
         ev.join(cust, ev.user_id == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")

@@ -75,22 +75,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     # Semi-filter the bridge on the selective part predicate BEFORE the
-    # distinct: the broadcast semi join is row-local, so the distinct's
-    # shuffle carries only the ~2% of (partkey, suppkey) pairs that can
-    # contribute — at 100 TB the unfiltered form shuffles the whole
-    # lineitem projection.
+    # distinct, so the distinct's shuffle carries only the ~2% of
+    # (partkey, suppkey) pairs that can contribute — at 100 TB the
+    # unfiltered form shuffles the whole lineitem projection. No
+    # broadcast hint: part is SF-scaled, so AQE's size-based planning
+    # picks broadcast at benchmark SF and a shuffle join at 100 TB.
     bridge = (
         t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
         .distinct()
     )
     cand = (
-        F.broadcast(part)
+        part
         .join(bridge, F.col("p_partkey") == F.col("l_partkey"))
         .join(esupp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
@@ -189,7 +190,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -234,8 +235,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): NATION_3's share of ECONOMY
     part revenue sold into AMERICA, per order year. Eight-relation join;
-    part/supplier/nation/region broadcast, the two fact tables shuffle
-    once each. Numerator and denominator are both exact decimal sums, so
+    nation/region broadcast by hint; part/supplier carry no hint (they
+    are SF-scaled — AQE broadcasts them at benchmark SF, shuffles at
+    100 TB); the two fact tables shuffle once each. Numerator and denominator are both exact decimal sums, so
     the only float op is the final division — identical IEEE on both
     engines."""
     part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -256,8 +258,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -303,8 +305,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -342,7 +344,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_value = (
         t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(t(spark, sf_dir, "supplier")),
+            t(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -510,8 +512,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
     count per (brand, type, size) bucket, excluding one brand, one type
     family, and suppliers with complaints (negative acctbal proxy). The
-    NOT IN subquery is a broadcast ANTI join on the tiny excluded-supplier
-    set; COUNT(DISTINCT) expands to a two-phase aggregate with no extra
+    NOT IN subquery is an ANTI join on the excluded-supplier set (no
+    hint — supplier is SF-scaled, AQE picks broadcast when it fits); COUNT(DISTINCT) expands to a two-phase aggregate with no extra
     shuffle beyond the group keys.
 
     No pre-distinct on the bridge: COUNT(DISTINCT l_suppkey) subsumes it
@@ -531,9 +533,9 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_suppkey")
     )
     return (
-        bridge.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        bridge.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -587,7 +589,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("ap_key") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -618,7 +620,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brackets across the join — the disjunctive-predicate stress case.
     Catalyst extracts the common single-table conjuncts (p_size >= 1,
     quantity bounds, brand IN set) and pushes them below the join while
-    the cross-table residual evaluates post-join; part broadcasts."""
+    the cross-table residual evaluates post-join; part carries no
+    broadcast hint (SF-scaled — AQE decides by measured size)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     br = (
@@ -639,7 +642,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(br)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
@@ -672,8 +675,9 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion): one nation's suppliers
     who shipped more than a threshold quantity of 'small…' parts in a year
     (availqty-excess proxy via the lineitem bridge). The nested IN is an
-    aggregate-then-semi-join: the HAVING output is tiny, so it broadcasts
-    into the supplier side; the quantity compare stays in decimal."""
+    aggregate-then-semi-join: the HAVING output is small, so AQE
+    broadcasts it into the supplier side (no forced hint — it scales
+    with supplier count); the quantity compare stays in decimal."""
     qualifying = (
         t(spark, sf_dir, "lineitem")
         .filter(
@@ -681,9 +685,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
-            ),
+            t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_suppkey")
@@ -700,7 +702,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(qualifying),
+            qualifying,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -766,7 +768,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .join(orders, F.col("o_orderkey") == F.col("l1.l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l1.l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

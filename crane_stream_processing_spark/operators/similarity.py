@@ -335,6 +335,30 @@ def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def probe_cells(dots: Column, nprobe: int) -> Column:
+    """Top-``nprobe`` cell indices by descending centroid dot, as an array
+    — index-based selection, so exactly-tied centroid dots still yield
+    exactly ``nprobe`` DISTINCT cells (the earlier value-based recipe —
+    slice top dot values, map back via first-occurrence array_position,
+    array_distinct — collapsed ties and silently probed fewer cells; the
+    tied cell was never scanned). Sorts (dot, cell) pairs with an explicit
+    comparator: descending dot, ascending cell index on ties — the same
+    low-index tiebreak as ``ivf_centroid``. Pure row-local expression;
+    cells are distinct by construction so no dedup step is needed and a
+    downstream explode probes each cell exactly once."""
+    pairs = F.transform(
+        dots,
+        lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("c")),
+    )
+    ordered = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+        .when(a["d"] < b["d"], F.lit(1))
+        .otherwise(a["c"] - b["c"]),
+    )
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["c"])
+
+
 def ivf_centroid(dots: Column) -> Column:
     """IVF coarse quantizer: cell id = argmax of the centroid-dot array
     (max dot ≈ min L2 for unit-ish vectors, and cheaper). Centroids are
@@ -413,12 +437,13 @@ def ivf_ann_topk_nprobe(
     loses at cell boundaries for ~nprobe× the candidate cost — still
     |centroids|/nprobe× cheaper than brute force.
 
-    The probe list is a row-local array expression: sort the centroid-dot
-    array descending, slice the top ``nprobe`` values, map each back to its
-    cell index (first-occurrence on ties → deterministic), explode to one
-    (query, cell) row per probe. Candidates live in exactly one cell, so
-    probing distinct cells can't duplicate a pair and the downstream
-    equi-join + window top-k is unchanged."""
+    The probe list is a row-local array expression (``probe_cells``):
+    sort (dot, cell-index) pairs descending by dot with a low-index
+    tiebreak and take the first ``nprobe`` — exactly ``nprobe`` distinct
+    cells even under tied dots — then explode to one (query, cell) row
+    per probe. Candidates live in exactly one cell, so probing distinct
+    cells can't duplicate a pair and the downstream equi-join + window
+    top-k is unchanged."""
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -431,27 +456,7 @@ def ivf_ann_topk_nprobe(
             "query_id",
             "qvec",
             "qn",
-            "__dots",
-            F.slice(F.reverse(F.array_sort("__dots")), 1, nprobe).alias("__top"),
-        )
-        .select(
-            "query_id",
-            "qvec",
-            "qn",
-            # array_distinct: tied centroid dots both map (via
-            # array_position first-occurrence) to the SAME cell — without
-            # the dedup a tie probes one cell twice, duplicating every
-            # candidate pair in it and crowding real rows out of the top-k.
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        "__top",
-                        lambda d: (
-                            F.array_position(F.col("__dots"), d) - 1
-                        ).cast("int"),
-                    )
-                )
-            ).alias("cell"),
+            F.explode(probe_cells(F.col("__dots"), nprobe)).alias("cell"),
         )
     )
     c = bucketed if bucketed is not None else ivf_bucket_corpus(
@@ -976,24 +981,9 @@ def ivfpq_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             centroid_dots(F.col(vec_col), centroids).alias("__dots"),
-        )
-        .select(
+        ).select(
             "query_id",
-            "__dots",
-            F.slice(F.reverse(F.array_sort("__dots")), 1, nprobe).alias("__top"),
-        )
-        .select(
-            "query_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        "__top",
-                        lambda d: (
-                            F.array_position(F.col("__dots"), d) - 1
-                        ).cast("int"),
-                    )
-                )
-            ).alias("cell"),
+            F.explode(probe_cells(F.col("__dots"), nprobe)).alias("cell"),
         )
     )
     lut = F.broadcast(

@@ -11,10 +11,24 @@ column (plus ``ts``/``seq`` for rate), directly consumable by the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["file_lines", "socket_lines", "rate_lines", "kafka_lines"]
+__all__ = [
+    "file_lines", "socket_lines", "rate_lines", "kafka_lines", "word_cycle",
+]
+
+
+def word_cycle(seq: Column, words: list[str]) -> Column:
+    """The rate source's deterministic line synthesis as a standalone
+    column expression: word = words[seq mod len(words)]. Factored out so
+    the batch inventory can grade the exact content path the streaming
+    rate source emits (``src_rate_word_cycle`` — the S2/S10 sources
+    themselves are wall-clock/socket-bound and ungradable at the driver,
+    but their line-generation logic is engine code and oracle-checkable
+    batch-equivalently)."""
+    n = len(words)
+    return F.array(*[F.lit(w) for w in words])[(seq % n).cast("int")]
 
 
 def file_lines(
@@ -78,10 +92,7 @@ def rate_lines(
     becomes a deterministic pseudo-line (word cycle on the sequence number)
     so aggregations have repeatable content."""
     words = words or ["alpha", "beta", "gamma", "delta"]
-    n = len(words)
-    word = F.array(*[F.lit(w) for w in words])[
-        (F.col("value") % n).cast("int")
-    ]
+    word = word_cycle(F.col("value"), words)
     return (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)

@@ -20,6 +20,9 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as contract  # noqa: E402
+from crane_stream_processing_spark.inventory import (  # noqa: E402
+    release_query_caches,
+)
 from crane_stream_processing_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -151,6 +154,11 @@ def main() -> int:
             return 1
     failures = 0
     for name in sorted(qs):
+        # Release the PREVIOUS query's registered caches/persistent RDDs
+        # (recursive-CTE edges, label-coherence rows, localCheckpoints):
+        # the real driver holds one session across all 50 graded queries,
+        # and this gate mirrors that lifecycle.
+        release_query_caches(spark)
         # One broken query must not abort the gate — every remaining
         # query still gets checked and the summary still prints.
         try:
