@@ -158,11 +158,12 @@ def _load_all() -> None:
 # by tools/rotate_priority.py from the accumulated CORRECTNESS files):
 # the exactly-48 never-driver-graded queries — graph_*, sample_*,
 # curate_*, sql_*, udtf_*, the evt_/text_/sim_ tails, and the two
-# remaining stream_* rows — plus the round-4 src_rate_word_cycle
-# addition and one backfill slot re-proving the historically
-# driver-flakiest row (sim_random_projection).
+# remaining stream_* rows — plus the two round-4 additions
+# (src_rate_word_cycle, text_bpe_train_merges), which take the spare
+# slots so the window covers every query that existed when it froze.
 # After this window the cumulative union of CORRECTNESS_r01-r04 covers
-# all 192 registry queries.
+# 193 of the 194 registry queries; text_bpe_compression_by_lang (added
+# after the freeze) fronts the round-5 window.
 GRADE_PRIORITY: list[str] = [
     # round-3 additions + pre-r3 leftovers never yet in a driver window
     "agg_regr_linear_price_qty",
@@ -215,10 +216,9 @@ GRADE_PRIORITY: list[str] = [
     "text_bm25_search",
     "curate_decontaminate",
     "curate_pack_sequences",
-    # round-4 addition (rate-source content path, S2/S10 batch grade)
+    # round-4 additions (rate-source content grade; iterated BPE trainer)
     "src_rate_word_cycle",
-    # backfill slot: re-prove the historically flakiest driver row
-    "sim_random_projection",
+    "text_bpe_train_merges",
 ]
 
 

@@ -1503,3 +1503,229 @@ def text_bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+_BPE_PAIR_STRUCTS = (
+    "transform(sequence(1, size(l) - 1), "
+    "i -> struct(element_at(l, i) AS a, element_at(l, i + 1) AS b))"
+)
+
+
+def _bpe_round_sql(r: int, src: str, carry: str = "freq") -> str:
+    """One unrolled BPE training round as oracle CTEs: pair counts over
+    the delimited symbol strings of ``src``, the argmax merge rule, and
+    the post-merge word table (DuckDB recursive CTEs can't aggregate the
+    recursive term, so fixed-round recurrences unroll — same pattern as
+    the pagerank / Bellman-Ford / EWMA oracles). ``carry`` lists the
+    word-table columns to thread through the merge besides ``sym``."""
+    return f"""
+    p{r} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM {src}),
+           UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+      WHERE len(l) >= 2
+      GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    w{r} AS (
+      SELECT replace(sym, ' ' || m{r}.a || ' ' || m{r}.b || ' ',
+                     ' ' || m{r}.a || m{r}.b || ' ') AS sym, {carry}
+      FROM {src}, m{r}
+    )"""
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS sym,
+             COUNT(*) AS freq
+      FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    {_bpe_round_sql(1, "words")},
+    {_bpe_round_sql(2, "w1")},
+    {_bpe_round_sql(3, "w2")}
+    SELECT 1 AS round, a AS sym_a, b AS sym_b, a || b AS merged,
+           n AS pair_freq FROM m1
+    UNION ALL
+    SELECT 2, a, b, a || b, n FROM m2
+    UNION ALL
+    SELECT 3, a, b, a || b, n FROM m3
+    """,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of BPE tokenizer training (Sennrich et al. 2016,
+    public algorithm), distributed: each round counts adjacent symbol
+    pairs weighted by word frequency, picks the argmax merge rule
+    ((n DESC, a ASC, b ASC) tiebreak, pinned both engines), applies it
+    to every word, and recounts. Output is the learned merge table —
+    (round, pair, merged symbol, pair frequency), 3 rows.
+
+    100 TB shape: training runs on the WORD-FREQUENCY table (one corpus
+    scan + groupBy — vocabulary-sized, millions of rows at any corpus
+    scale, cached via register_query_cache), never the corpus again;
+    each round is one vocab-sized aggregate whose map-side combine
+    bounds partials by |symbol-alphabet|². The per-round ``collect()``
+    moves ONE row — the merge rule, i.e. the MODEL — matching the
+    ivf_kmeans/pq centroid-extraction precedent. Words are delimited
+    symbol strings (" c h a r s ") and a merge is a literal
+    single-pass ``replace(' a b ' -> ' ab ')``: both engines scan
+    left-to-right over non-overlapping matches, so results are
+    bit-identical cross-engine. (That replace-pass semantics is the
+    one deliberate variant vs the classic per-sequence greedy fold:
+    immediately repeated pairs — "a a a a" — share a delimiter space,
+    so a run merges across successive rounds rather than within one.
+    Deterministic, engine-identical, and irrelevant to rule RANKING on
+    natural text; documented so nobody 'fixes' one side alone.)
+
+    Reference parity: the reference has no tokenizer trainer; this is
+    north-star LLM-pipeline surface (SURVEY §2 note) extending
+    text_bpe_pair_candidates (the single-round statistic) to the
+    iterated trainer."""
+    from . import register_query_cache
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    words = register_query_cache(
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("tok", ""), " "), F.lit(" ")
+            ).alias("sym")
+        )
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .cache()
+    )
+    merges: list[tuple] = []
+    cur = words
+    for rnd in (1, 2, 3):
+        top = (
+            cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
+            .filter(F.size("l") >= 2)
+            .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top.a, top.b, top.a + top.b, int(top.n)))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {top.a} {top.b} "),
+                F.lit(f" {top.a}{top.b} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "round int, sym_a string, sym_b string, merged string, pair_freq long",
+    )
+
+
+@query(
+    "text_bpe_compression_by_lang",
+    oracle=f"""
+    WITH words AS (
+      SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS sym,
+             lang, COUNT(*) AS freq
+      FROM (SELECT unnest({SQL_TOKS}) AS tok, lang
+            FROM documents WHERE lang IS NOT NULL)
+      GROUP BY 1, 2
+    ),
+    {_bpe_round_sql(1, "words", carry="lang, freq")},
+    {_bpe_round_sql(2, "w1", carry="lang, freq")},
+    {_bpe_round_sql(3, "w2", carry="lang, freq")}
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(len(replace(trim(sym), ' ', '')) * freq) AS BIGINT)
+             AS n_chars,
+           CAST(SUM(len(string_split(trim(sym), ' ')) * freq) AS BIGINT)
+             AS n_symbols,
+           CAST(SUM(len(string_split(trim(sym), ' ')) * freq) AS DOUBLE)
+             / CAST(SUM(len(replace(trim(sym), ' ', '')) * freq) AS DOUBLE)
+             AS compression
+    FROM w3
+    GROUP BY lang
+    """,
+)
+def text_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer-training pipeline end-to-end: train 3 BPE merge
+    rounds on the corpus (same recipe as ``text_bpe_train_merges``),
+    ENCODE every word with the learned rules, and report per-language
+    compression — symbols-per-character after merging, the metric that
+    decides how many merge rounds a production tokenizer buys per
+    language. Output: (lang, word count, char count, symbol count,
+    compression ratio); the ratio divides two exact BIGINTs, so the one
+    double op is bit-identical cross-engine.
+
+    Same 100 TB shape as the trainer: one corpus scan builds the
+    (sym, lang, freq) vocabulary table (cached); training rounds
+    aggregate over it lang-agnostically (freq is additive, so summing
+    per-(sym, lang) rows equals the global pair count); the encode step
+    is three literal replaces + a vocab-sized per-lang aggregate — the
+    corpus is never rescanned. NULL-lang docs are filtered identically
+    on both sides (F.concat/grouping NULL semantics diverge — the
+    scalar_url_parse precedent)."""
+    from . import register_query_cache
+
+    docs = t_cpu(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    words = register_query_cache(
+        docs.select(F.explode(tokens("text")).alias("tok"), "lang")
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("tok", ""), " "), F.lit(" ")
+            ).alias("sym"),
+            "lang",
+        )
+        .groupBy("sym", "lang")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .cache()
+    )
+    cur = words
+    for _ in range(3):
+        top = (
+            cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
+            .filter(F.size("l") >= 2)
+            .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {top.a} {top.b} "),
+                F.lit(f" {top.a}{top.b} "),
+            ),
+        )
+    stripped = F.replace(F.trim(F.col("sym")), F.lit(" "), F.lit(""))
+    enc = cur.select(
+        "lang",
+        "freq",
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_sym"),
+        F.length(stripped).alias("n_chr"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("n_chr") * F.col("freq")).alias("n_chars"),
+            F.sum(F.col("n_sym") * F.col("freq")).alias("n_symbols"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            (
+                F.col("n_symbols").cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("compression"),
+        )
+    )
