@@ -162,8 +162,10 @@ def _load_all() -> None:
 # (src_rate_word_cycle, text_bpe_train_merges), which take the spare
 # slots so the window covers every query that existed when it froze.
 # After this window the cumulative union of CORRECTNESS_r01-r04 covers
-# 193 of the 194 registry queries; text_bpe_compression_by_lang (added
-# after the freeze) fronts the round-5 window.
+# 193 of the 197 registry queries; the four added after the freeze
+# (text_bpe_compression_by_lang, join_asof_tolerance_7d_purchase,
+# join_asof_nearest_purchase, evt_gapfill_linear) front the round-5
+# window.
 GRADE_PRIORITY: list[str] = [
     # round-3 additions + pre-r3 leftovers never yet in a driver window
     "agg_regr_linear_price_qty",

@@ -354,3 +354,125 @@ def evt_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled",
         )
     )
+
+
+@query(
+    "evt_gapfill_linear",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+    spans AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 hour)) AS hour
+      FROM spans
+    ),
+    hv AS (
+      SELECT user_id, hour, value AS hour_value
+      FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    ends AS (
+      SELECT g.user_id, g.hour, hv.hour_value,
+             last_value(hv.hour_value IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.hour
+                     ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN hv.hour_value IS NOT NULL THEN g.hour END
+                        IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.hour
+                     ROWS UNBOUNDED PRECEDING) AS ph,
+             first_value(hv.hour_value IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN hv.hour_value IS NOT NULL THEN g.hour END
+                         IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hour = hv.hour
+    )
+    SELECT user_id,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN hour_value IS NOT NULL THEN hour_value
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+                        / CAST(date_diff('hour', ph, nh) AS DOUBLE)) END
+             AS value,
+           hour_value IS NULL AS interpolated
+    FROM ends
+    """,
+)
+def evt_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample with LINEAR interpolation — the TimescaleDB
+    ``interpolate()`` shape, the companion to evt_gapfill_hourly's LOCF:
+    empty hours get prev + (next - prev) · elapsed/gap instead of a
+    stale carry. Same dense-grid recipe (span sequence explode, last
+    reading per hour); the bracketing readings come from two mirrored
+    ignorenulls windows over ONE (user, hour) sort — last-before and
+    first-after — so the plan stays two user-keyed shuffles + a
+    span-bounded grid explode, independent of event volume. Both grid
+    ends hold real readings by construction (the grid spans first..last
+    event hour), so every gap is interior and prev/next always exist —
+    no NULL-double output. Cross-engine float parity holds without any
+    rounding ladder because each side evaluates the IDENTICAL IEEE
+    expression: exact stored doubles, a fraction of two exact integer
+    hour counts (timestampdiff/date_diff), one multiply, one add."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    wlast = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hv = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("value").alias("hour_value"),
+        )
+    )
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    reading_hour = F.when(F.col("hour_value").isNotNull(), F.col("hour"))
+    ends = grid.join(hv, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(wback).alias("pv"),
+        F.last(reading_hour, ignorenulls=True).over(wback).alias("ph"),
+        F.first("hour_value", ignorenulls=True).over(wfwd).alias("nv"),
+        F.first(reading_hour, ignorenulls=True).over(wfwd).alias("nh"),
+    )
+    frac = F.expr("timestampdiff(HOUR, ph, hour)").cast("double") / F.expr(
+        "timestampdiff(HOUR, ph, nh)"
+    ).cast("double")
+    return ends.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value"),
+        F.col("hour_value").isNull().alias("interpolated"),
+    )

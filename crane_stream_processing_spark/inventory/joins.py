@@ -296,6 +296,88 @@ def join_asof_next_purchase_after_error(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "join_asof_tolerance_7d_purchase",
+    oracle="""
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+           CASE WHEN e.ts - p.ts <= INTERVAL 7 DAY THEN p.value END
+             AS recent_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_tolerance_7d_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J6 as-of with a TOLERANCE bound (the pandas merge_asof
+    ``tolerance=`` knob): each error event paired with the user's most
+    recent purchase at-or-before it, but only if that purchase happened
+    within the last 7 days — staler matches yield NULL (a "recent
+    context" lookup: a week-old purchase is noise, not context). Zero
+    plan change vs the unbounded as-of — the matched row's own
+    timestamp rides inside the carried struct and the bound is one
+    post-carry CASE, so cost stays a single shuffle on user_id. The
+    oracle applies the identical CASE to DuckDB's ASOF JOIN result:
+    both engines NULL out the SAME matched row, so tolerance semantics
+    (not just the join) are hash-checked."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        F.col("value_r").alias("recent_purchase_value"),
+    )
+
+
+@query(
+    "join_asof_nearest_purchase",
+    oracle="""
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+           CASE WHEN b.ts IS NOT NULL
+                     AND (f.ts IS NULL OR e.ts - b.ts <= f.ts - e.ts)
+                THEN b.value ELSE f.value END AS nearest_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON e.user_id = b.user_id AND e.ts >= b.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') f
+      ON e.user_id = f.user_id AND e.ts <= f.ts
+    """,
+)
+def join_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of, NEAREST direction — the third pandas merge_asof mode,
+    completing backward/forward/tolerance/nearest parity: each error
+    event paired with the user's temporally CLOSEST purchase on either
+    side (ties prefer the earlier one). One key shuffle feeding two
+    window frames (running last-before + first-after over the same
+    union) — never a range join. The oracle composes DuckDB's two
+    directional ASOF joins with the same distance CASE, so the choice
+    logic itself is hash-checked, not just each direction."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        F.col("value_r").alias("nearest_purchase_value"),
+    )
+
+
+@query(
     "join_nullsafe_segment",
     oracle="""
     WITH c AS (

@@ -1528,9 +1528,16 @@ def _bpe_round_sql(r: int, src: str, carry: str = "freq") -> str:
     ),
     m{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
     w{r} AS (
-      SELECT replace(sym, ' ' || m{r}.a || ' ' || m{r}.b || ' ',
-                     ' ' || m{r}.a || m{r}.b || ' ') AS sym, {carry}
-      FROM {src}, m{r}
+      -- LEFT JOIN ON TRUE: an exhausted vocabulary (no pairs left before
+      -- the final round) yields an EMPTY m{r}; a plain cross join would
+      -- erase the word table and every later round with it. With the
+      -- left join the words pass through unmerged, mirroring the Spark
+      -- loop's break-on-empty.
+      SELECT CASE WHEN m{r}.a IS NULL THEN sym
+                  ELSE replace(sym, ' ' || m{r}.a || ' ' || m{r}.b || ' ',
+                               ' ' || m{r}.a || m{r}.b || ' ') END AS sym,
+             {carry}
+      FROM {src} LEFT JOIN m{r} ON TRUE
     )"""
 
 
@@ -1600,7 +1607,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple] = []
     cur = words
     for rnd in (1, 2, 3):
-        top = (
+        got = (
             cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
             .filter(F.size("l") >= 2)
             .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
@@ -1608,8 +1615,11 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not got:  # vocabulary exhausted (every word fully merged):
+            break    # oracle's empty m{r} legs emit no rows either
+        top = got[0]
         merges.append((rnd, top.a, top.b, top.a + top.b, int(top.n)))
         cur = cur.withColumn(
             "sym",
@@ -1686,7 +1696,7 @@ def text_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = words
     for _ in range(3):
-        top = (
+        got = (
             cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
             .filter(F.size("l") >= 2)
             .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
@@ -1694,8 +1704,11 @@ def text_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not got:  # exhausted: remaining rounds are no-ops on both sides
+            break
+        top = got[0]
         cur = cur.withColumn(
             "sym",
             F.replace(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["asof_join"]
 
-_RESERVED = ("__t", "__side", "__r", "__rlast", "__tb")
+_RESERVED = ("__t", "__side", "__r", "__rlast", "__rback", "__rfwd", "__tb")
 
 
 def asof_join(
@@ -38,6 +38,7 @@ def asof_join(
     value_cols: Sequence[str],
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Left as-of join.
 
@@ -50,6 +51,23 @@ def asof_join(
     mirror of the same linear union+window recipe (the window orders time
     descending), so it keeps the single-shuffle cost — never a range join.
 
+    ``direction="nearest"``: whichever of the backward and forward
+    candidates lies closer to ``left_ts`` (ties prefer backward, like
+    pandas ``merge_asof``); with a ``tolerance`` each candidate is
+    bounds-checked BEFORE choosing, so an out-of-range backward match
+    never shadows an in-range forward one. Implemented as two window
+    frames over the same key shuffle (one Exchange, two Sorts — still
+    never a range join).
+
+    ``tolerance`` (optional): a Column bounding how far the matched right
+    row may lie from the left timestamp (``F.expr("INTERVAL 7 DAYS")``
+    for timestamps, a numeric literal for numeric ts). A match farther
+    than the tolerance yields NULLs, exactly like pandas
+    ``merge_asof(tolerance=...)``. Implemented as a post-carry filter on
+    the matched row's own timestamp (carried inside the struct), so the
+    single-shuffle linear plan is unchanged — tolerance adds zero extra
+    joins or scans.
+
     NULLs when no matching right row exists (including every left row
     with a NULL join key — equi-join semantics). Ties on the timestamp are
     broken toward the right row (right sorts before left at equal ts), i.e.
@@ -58,8 +76,10 @@ def asof_join(
     lexicographically greatest ``value_cols`` struct wins, so results are
     stable across runs and partitionings.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     value_cols = list(value_cols)
 
@@ -71,6 +91,9 @@ def asof_join(
                 f"left column {c!r} collides with output alias; pick a "
                 f"different suffix"
             )
+    for v in value_cols:
+        if v in _RESERVED:
+            raise ValueError(f"value column {v!r} collides with a reserved name")
 
     lhs = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     # The matched right row travels as ONE struct: last(ignorenulls) must
@@ -83,11 +106,18 @@ def asof_join(
     null_key = F.lit(False)
     for k in on:
         null_key = null_key | F.col(k).isNull()
+    # __tb (the right row's own timestamp) rides FIRST in the struct:
+    # at equal (key, ts) it's equal across tied rows, so the documented
+    # greatest-value-struct tie-break is unchanged, and the tolerance
+    # check below can read the matched row's time after the carry.
     rhs = right.filter(~null_key & F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__r"),
+        F.struct(
+            F.col(right_ts).alias("__tb"),
+            *[F.col(v).alias(v) for v in value_cols],
+        ).alias("__r"),
     )
     # unionByName with missing-column fill keeps left payload columns and
     # leaves __r NULL on left rows (so ignorenulls skips them).
@@ -105,6 +135,57 @@ def asof_join(
     # it must sort BEFORE every (non-null-ts, pre-filtered) right row —
     # desc's default nulls-LAST would put it after all rights and wrongly
     # hand it the earliest right value.
+    if direction == "nearest":
+        # Both candidates from ONE key shuffle: ascending time, backward
+        # candidate = running last non-null __r (same-instant rights sort
+        # before the left row, so distance-0 matches land here), forward
+        # candidate = first non-null __r in the following frame. The
+        # forward frame orders tied-ts rights by __r DESC so first() picks
+        # the greatest struct — the same tie rule last() gives backward.
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("__t").asc_nulls_first(),
+                F.col("__side").asc(),
+                F.col("__r").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("__t").asc_nulls_first(),
+                F.col("__side").asc(),
+                F.col("__r").desc(),
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.select(
+            "*",
+            F.last(F.col("__r"), ignorenulls=True).over(wb).alias("__rback"),
+            F.first(F.col("__r"), ignorenulls=True).over(wf).alias("__rfwd"),
+        )
+        bdist = F.col("__t") - F.col("__rback.__tb")
+        fdist = F.col("__rfwd.__tb") - F.col("__t")
+        bok = F.col("__rback").isNotNull() & (
+            F.lit(True) if tolerance is None else bdist <= tolerance
+        )
+        fok = F.col("__rfwd").isNotNull() & (
+            F.lit(True) if tolerance is None else fdist <= tolerance
+        )
+        use_back = bok & (~fok | (bdist <= fdist))
+        chosen = F.when(
+            # a NULL left timestamp matches nothing: the ascending sort
+            # protects only the backward frame (NULLs first), while the
+            # forward frame would see every right row — guard explicitly.
+            F.col("__t").isNotNull(),
+            F.when(use_back, F.col("__rback")).when(fok, F.col("__rfwd")),
+        )
+        out_cols: list[Column] = [F.col(c) for c in left.columns] + [
+            chosen.getField(v).alias(f"{v}{suffix}") for v in value_cols
+        ]
+        return carried.filter(F.col("__side") == 1).select(*out_cols)
+
     t_order = (
         F.col("__t").asc_nulls_first()
         if direction == "backward"
@@ -118,7 +199,16 @@ def asof_join(
     carried = unioned.select(
         "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rlast")
     )
+    if tolerance is None:
+        keep = F.lit(True)
+    elif direction == "backward":
+        keep = (F.col("__t") - F.col("__rlast.__tb")) <= tolerance
+    else:
+        keep = (F.col("__rlast.__tb") - F.col("__t")) <= tolerance
     out_cols: list[Column] = [F.col(c) for c in left.columns] + [
-        F.col(f"__rlast.{v}").alias(f"{v}{suffix}") for v in value_cols
+        # keep is NULL when no row was carried -> when() yields NULL,
+        # identical to the no-match case.
+        F.when(keep, F.col(f"__rlast.{v}")).alias(f"{v}{suffix}")
+        for v in value_cols
     ]
     return carried.filter(F.col("__side") == 1).select(*out_cols)

@@ -208,7 +208,7 @@ def test_asof_rejects_unknown_direction(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, left, on=["k"], left_ts="t", right_ts="t",
-                  value_cols=["t"], direction="nearest")
+                  value_cols=["t"], direction="sideways")
 
 
 def test_asof_forward_null_left_ts_never_matches(spark):
@@ -235,3 +235,161 @@ def test_asof_forward_null_left_ts_never_matches(spark):
         }
         assert out["L-null-ts"] is None, direction
         assert out["L-real"] == want_real, direction
+
+
+def test_asof_tolerance_bounds_backward_and_forward(spark):
+    """tolerance NULLs a match farther than the bound but keeps the row
+    (left join semantics), in both directions; an exactly-at-bound match
+    survives (<=, matching pandas merge_asof)."""
+    from pyspark.sql import functions as F
+
+    left = _df(
+        spark,
+        [
+            (1, ts("2024-01-10 00:00:00"), "L-near"),
+            (1, ts("2024-01-20 00:00:00"), "L-far"),
+            (1, ts("2024-01-08 00:00:00"), "L-at-bound"),
+        ],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark,
+        [(1, ts("2024-01-06 00:00:00"), 50.0)],
+        "k int, t timestamp, v double",
+    )
+    back = {
+        r.tag: r.v_r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], tolerance=F.expr("INTERVAL 2 DAYS"),
+        ).collect()
+    }
+    assert back["L-at-bound"] == 50.0  # exactly 2 days: inclusive
+    assert back["L-near"] is None  # 4 days back: beyond tolerance
+    assert back["L-far"] is None
+    assert len(back) == 3  # rows survive as NULLs, not dropped
+
+    fleft = _df(
+        spark,
+        [(1, ts("2024-01-01 00:00:00"), "F-ok"), (1, ts("2023-12-01 00:00:00"), "F-far")],
+        "k int, t timestamp, tag string",
+    )
+    fwd = {
+        r.tag: r.v_r
+        for r in asof_join(
+            fleft, right, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], direction="forward",
+            tolerance=F.expr("INTERVAL 7 DAYS"),
+        ).collect()
+    }
+    assert fwd["F-ok"] == 50.0  # 5 days ahead, within bound
+    assert fwd["F-far"] is None  # 36 days ahead, beyond bound
+
+
+def test_asof_tolerance_does_not_fall_back_to_older_match(spark):
+    """merge_asof semantics: tolerance filters THE as-of match — it never
+    substitutes an older in-tolerance... (there is none older) nor skips
+    to a different row; with the nearest match out of bound the result
+    is NULL even though no other candidate exists."""
+    from pyspark.sql import functions as F
+
+    left = _df(spark, [(1, ts("2024-03-01 00:00:00"), "L")],
+               "k int, t timestamp, tag string")
+    right = _df(
+        spark,
+        [
+            (1, ts("2024-01-01 00:00:00"), 1.0),   # 60 days back
+            (1, ts("2024-02-20 00:00:00"), 2.0),   # 10 days back — the match
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        value_cols=["v"], tolerance=F.expr("INTERVAL 5 DAYS"),
+    ).collect()
+    assert out[0].v_r is None  # nearest (2.0) out of bound -> NULL, no fallback
+
+
+def test_asof_rejects_reserved_value_col(spark):
+    import pytest
+
+    left = _df(spark, [(1, ts("2024-01-01 00:00:00"))], "k int, t timestamp")
+    right = _df(
+        spark, [(1, ts("2024-01-01 00:00:00"), 1.0)],
+        "k int, t timestamp, __tb double",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  value_cols=["__tb"])
+
+
+def test_asof_nearest_picks_closer_side_and_prefers_backward_ties(spark):
+    left = _df(
+        spark,
+        [
+            (1, ts("2024-01-10 00:00:00"), "closer-behind"),
+            (1, ts("2024-01-13 00:00:00"), "closer-ahead"),
+            (1, ts("2024-01-12 00:00:00"), "equidistant"),
+            (1, ts("2024-01-01 00:00:00"), "only-ahead"),
+            (2, ts("2024-01-10 00:00:00"), "no-candidates"),
+        ],
+        "k int, t timestamp, tag string",
+    )
+    right = _df(
+        spark,
+        [
+            (1, ts("2024-01-09 00:00:00"), 1.0),  # behind
+            (1, ts("2024-01-15 00:00:00"), 2.0),  # ahead
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = {
+        r.tag: r.v_r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    assert out["closer-behind"] == 1.0   # 1 day back vs 5 ahead
+    assert out["closer-ahead"] == 2.0    # 4 back vs 2 ahead
+    assert out["equidistant"] == 1.0     # 3 == 3: backward preferred
+    assert out["only-ahead"] == 1.0      # no backward candidate: first ahead
+    assert out["no-candidates"] is None
+
+
+def test_asof_nearest_with_tolerance_bounds_both_sides(spark):
+    """nearest + tolerance: the in-bound candidate wins even when the
+    out-of-bound side exists; when both candidates exceed the bound the
+    row keeps NULL. (With a symmetric bound, filtering candidates before
+    choosing equals choosing-then-filtering — the closer candidate is out
+    of bound only if both are; this pins that consistency.)"""
+    from pyspark.sql import functions as F
+
+    left = _df(spark, [(1, ts("2024-01-10 00:00:00"), "L")],
+               "k int, t timestamp, tag string")
+    right = _df(
+        spark,
+        [
+            (1, ts("2024-01-02 00:00:00"), 1.0),  # 8 days back
+            (1, ts("2024-01-13 00:00:00"), 2.0),  # 3 days ahead
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                    value_cols=["v"], direction="nearest",
+                    tolerance=F.expr("INTERVAL 4 DAYS")).collect()
+    assert out[0].v_r == 2.0  # backward out of bound, forward within
+    none = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                     value_cols=["v"], direction="nearest",
+                     tolerance=F.expr("INTERVAL 1 DAY")).collect()
+    assert none[0].v_r is None  # both out of bound
+
+
+def test_asof_nearest_null_left_ts_never_matches(spark):
+    left = _df(spark, [(1, None, "L-null-ts")],
+               "k int, t timestamp, tag string")
+    right = _df(spark, [(1, ts("2024-01-01 00:00:00"), 9.0)],
+                "k int, t timestamp, v double")
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                    value_cols=["v"], direction="nearest").collect()
+    assert out[0].v_r is None

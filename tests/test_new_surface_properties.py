@@ -230,3 +230,44 @@ def test_token_bigrams_edges_and_plan_shape(spark):
     assert out[4] == []
     plan = _optimized_plan(docs.select(token_bigrams("text").alias("g")))
     assert plan.count("split(") == 1
+
+
+def test_bpe_trainer_hand_computed_merges_and_exhaustion(spark, tmp_path):
+    """The 3-round BPE trainer against a corpus small enough to verify by
+    hand — ranks, tiebreaks, merge application, AND the exhaustion path
+    (only two merges possible: the third round must emit nothing, not
+    crash, mirroring the oracle's empty-m3 leg). Corpus 'ab ab abc':
+    words {ab:2, abc:1}; round 1 pairs (a,b):3, (b,c):1 -> merge (a,b);
+    round 2 pairs (ab,c):1 -> merge (ab,c); round 3: no pairs remain."""
+    from crane_stream_processing_spark.inventory import (
+        REGISTRY,
+        release_query_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc", "en", "src", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "bpe_tiny")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    try:
+        rows = sorted(
+            REGISTRY["text_bpe_train_merges"].fn(spark, sf_dir).collect(),
+            key=lambda r: r.round,
+        )
+        assert [(r.round, r.sym_a, r.sym_b, r.merged, r.pair_freq)
+                for r in rows] == [
+            (1, "a", "b", "ab", 3),
+            (2, "ab", "c", "abc", 1),
+        ]
+        comp = REGISTRY["text_bpe_compression_by_lang"].fn(
+            spark, sf_dir
+        ).collect()
+        assert len(comp) == 1 and comp[0].lang == "en"
+        # every word fully merged into one symbol: 3 words, 7 chars
+        assert comp[0].n_words == 3
+        assert comp[0].n_chars == 7
+        assert comp[0].n_symbols == 3
+        assert abs(comp[0].compression - 3 / 7) < 1e-12
+    finally:
+        release_query_caches(spark)
