@@ -337,6 +337,52 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
     assert "might_contain" in plan.lower(), plan[:2000]
 
 
+def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir):
+    """AQE's skew-join split — the 100 TB hot-key path that needs no code:
+    a reduce partition exceeding factor×median AND the byte threshold is
+    split into mapper-chunk reads (SortMergeJoin(skew=true)). The rule
+    gates on runtime shuffle statistics, so this test scopes the
+    thresholds to the local data scale to prove our join shapes ACCEPT
+    the split; no session default changes. Two structural requirements
+    this pins (both bit us while writing it): the skewed shuffle needs
+    MULTIPLE map tasks to split across (a single-file scan is one mapper
+    → unsplittable → rule skips silently; the repartition provides
+    mappers), and the flag only appears in the FINAL adaptive plan of
+    the executed DataFrame — a write() action compiles its own plan
+    instance, so assert after collect() on the same frame."""
+    from crane_stream_processing_spark.inventory import t as _t
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ev = _t(spark, sf_dir, "events").repartition(8)
+        skewkey = F.when(
+            F.col("user_id") % 10 < 9, F.lit(0)
+        ).otherwise(F.col("user_id")).alias("k")
+        left = ev.filter(F.col("user_id") < 100).select(skewkey, "value", "props")
+        right = ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") < 10)
+        ).select(skewkey, "event_id")
+        j = left.join(right, "k")
+        assert len(j.collect()) > 0
+        final = (
+            j._jdf.queryExecution().executedPlan().toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:1200]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_eliminates_join_shuffle(spark, sf_dir):
     """The co-located bucketed fact-fact join: after collect (AQE final
     plan), both scans read bucketed tables and the ONLY Exchange in the
