@@ -146,3 +146,117 @@ def test_task_failure_recovery_batch_and_stream():
     # and >= 1 per streaming microbatch is expected, but scheduling can
     # merge attempts — require at least 2 total to prove both paths faulted
     assert out["n_injected_deaths"] >= 2, out
+
+
+REGISTRY_CHAOS_SCRIPT = r'''
+import json
+import os
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.environ["CRANE_REPO_ROOT"])
+
+MARKERS = tempfile.mkdtemp(prefix="chaos_markers_")
+
+spark = (
+    SparkSession.builder.appName("chaos_registry")
+    .master("local[4, 2]")  # one retry per task
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="chaos_wh_"))
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from crane_stream_processing_spark import inventory  # noqa: E402
+
+SF = os.environ.get("CRANE_CHAOS_SF_DIR", "/root/testdata/sf0.001")
+
+# Representative shapes: shuffle aggregate, window top-k, the new
+# nearest as-of (union + two window frames), iterative localCheckpoint
+# pagerank, LSH banding dedup, and the hash-based k-fold splitter.
+QUERIES = [
+    "q1_pricing_summary",
+    "window_top3_orders_per_customer",
+    "join_asof_nearest_purchase",
+    "graph_pagerank_nation",
+    "dedup_minhash_lsh_jaccard",
+    "curate_kfold_split",
+]
+
+
+def flaky_wrap(df):
+    """Append a passthrough stage that kills the first attempt of every
+    task covering partition 0 — injected AFTER each table scan, so every
+    query's input path faults at least once."""
+    from pyspark import TaskContext
+
+    def flaky(it):
+        tc = TaskContext.get()
+        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            open(os.path.join(MARKERS, f"death_{tc.taskAttemptId()}"), "w").close()
+            raise RuntimeError("chaos: injected task failure")
+        yield from it
+
+    return df.mapInPandas(flaky, df.schema)
+
+
+orig_load = inventory.load_table
+results = {}
+for name in QUERIES:
+    truth = sorted(
+        [tuple(r) for r in inventory.REGISTRY[name].fn(spark, SF).collect()],
+        key=repr,
+    )
+    inventory.load_table = lambda s, d, t: flaky_wrap(orig_load(s, d, t))
+    try:
+        faulted = sorted(
+            [tuple(r) for r in inventory.REGISTRY[name].fn(spark, SF).collect()],
+            key=repr,
+        )
+    finally:
+        inventory.load_table = orig_load
+    inventory.release_query_caches(spark)
+    results[name] = (truth == faulted) and len(truth) > 0
+
+import glob  # noqa: E402
+
+results["n_injected_deaths"] = len(glob.glob(os.path.join(MARKERS, "death_*")))
+print(json.dumps(results))
+spark.stop()
+'''
+
+
+def test_registry_queries_bit_identical_under_task_faults():
+    """The analytic surface itself — not just the app pipelines — must be
+    exactly-once under task death: six representative registry shapes
+    (shuffle agg, window top-k, nearest as-of, iterative pagerank over
+    localCheckpoints, LSH dedup, hash k-fold) re-run with a
+    dying-first-attempt stage injected after EVERY table scan, and each
+    must reproduce its no-fault output bit-identically via lineage
+    recompute. Runs in a subprocess session (task-retry policy is fixed
+    at context construction)."""
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env["CRANE_REPO_ROOT"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", REGISTRY_CHAOS_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, f"chaos subprocess failed:\n{proc.stderr[-4000:]}"
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    deaths = out.pop("n_injected_deaths")
+    bad = {k: v for k, v in out.items() if not v}
+    assert not bad, f"diverged or empty under faults: {bad}"
+    # every query's faulted run must have actually faulted at least once
+    assert deaths >= len(out), f"only {deaths} deaths for {len(out)} queries"
