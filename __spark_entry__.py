@@ -15,7 +15,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crane_stream_processing_spark.inventory import REGISTRY
+from crane_stream_processing_spark.inventory import (
+    REGISTRY,
+    release_query_caches,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,9 +26,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's registered caches / persistent RDDs
+    before building the next one. The grading driver holds ONE session
+    across all 50 graded queries and only ever calls queries()[name] —
+    it cannot call release_query_caches itself — so without this wrapper
+    the cache-owning queries (recursive-CTE edge list, label-coherence
+    rows, BPE vocabulary, iterative localCheckpoints) would pin executor
+    memory for the rest of the graded run. Releasing at the START of the
+    next call (not the end of the current one) keeps each query's cache
+    alive through the driver's collect of that query's result."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_query_caches(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: _released(q.fn) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

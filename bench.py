@@ -163,13 +163,15 @@ def main() -> None:
         except Exception as e:  # one bad query must not void the whole run
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            continue
-        finally:
-            # No query's cache (recursive-CTE edge list, label-coherence
-            # int8 rows, iterative localCheckpoints) may pin memory into
-            # the next query's timing.
             release_query_caches(spark)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        # AFTER the timing capture (the release's py4j sweep must not
+        # contaminate the measured query), BEFORE the next query's t0:
+        # no cache (recursive-CTE edge list, label-coherence int8 rows,
+        # iterative localCheckpoints) may pin memory into the next
+        # query's timing.
+        release_query_caches(spark)
 
     # Steady-state de-noising: re-run the slow tail once and keep the
     # per-query minimum. Run-to-run variance on a shared box lands ±1-3 s
@@ -181,10 +183,10 @@ def main() -> None:
         try:
             force(REGISTRY[name].fn(spark, sf_dir))
         except Exception:
-            continue
-        finally:
             release_query_caches(spark)
+            continue
         timings[name] = min(timings[name], round(time.perf_counter() - t0, 4))
+        release_query_caches(spark)
 
     total = round(sum(timings.values()), 4)
     # One bad streaming suite must not void the whole run's JSON line

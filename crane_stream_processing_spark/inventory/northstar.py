@@ -499,8 +499,10 @@ _SQL_IVF_DOTS = "[" + ", ".join(
     ),
     probes AS (
       SELECT vec_id, embedding,
-             unnest(list_transform(list_slice(list_reverse_sort(dots), 1, 2),
-                                   d -> list_position(dots, d) - 1)) AS cell
+             unnest(list_transform(
+               list_slice(list_sort(list_transform(
+                 dots, (d, i) -> {{'d': -d, 'c': i - 1}})), 1, 2),
+               s -> s.c)) AS cell
       FROM dotted WHERE vec_id < 10
     )
     SELECT query_id, cand_id, cos_sim, rank FROM (
@@ -515,10 +517,14 @@ _SQL_IVF_DOTS = "[" + ", ".join(
 def sim_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN (nprobe=2): each query searches its two nearest
     centroid cells instead of one, recovering boundary-loss recall for ~2×
-    candidate cost. Probe cells come from a row-local sort-slice-position
-    over the centroid-dot array; the oracle re-derives the identical probe
-    list with DuckDB list functions. Corpus side reads the persisted
-    inverted file (_ivf_index)."""
+    candidate cost. Probe cells come from operators.similarity.probe_cells
+    — an INDEX-based top-nprobe (sort (dot, cell) pairs, tie toward the
+    lower cell index) — and the oracle re-derives the identical recipe
+    with a DuckDB two-arg lambda over ('d': -dot, 'c': index) structs,
+    so exactly-tied centroid dots probe the same two DISTINCT cells on
+    both engines (the old value-based list_position recipe collapsed ties
+    to one doubly-joined cell and would hash-diverge). Corpus side reads
+    the persisted inverted file (_ivf_index)."""
     emb = t_cpu(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk_nprobe(
         emb,
@@ -1511,6 +1517,45 @@ _BPE_PAIR_STRUCTS = (
 )
 
 
+def _bpe_train(words, rounds: int = 3):
+    """Run ``rounds`` BPE merge rounds over a delimited-symbol word table
+    (columns: ``sym`` + ``freq`` + any carried extras such as ``lang``).
+    Returns ``(merge_rules, merged_words)``: the learned rules as
+    (round, a, b, merged, pair_freq) tuples and the word table with every
+    rule applied lazily. ONE copy of the parity-critical logic — the
+    (n DESC, a ASC, b ASC) argmax tiebreak, the single-pass delimited
+    replace, the break-on-exhaustion — shared by text_bpe_train_merges
+    and text_bpe_compression_by_lang so a fix to either query cannot
+    silently break the other's cross-engine parity. Each round's
+    ``collect()`` moves ONE row (the merge rule, i.e. the model)."""
+    merges: list[tuple] = []
+    cur = words
+    for rnd in range(1, rounds + 1):
+        got = (
+            cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
+            .filter(F.size("l") >= 2)
+            .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not got:  # vocabulary exhausted (every word fully merged):
+            break    # the oracle's empty m{r} legs pass words through
+        top = got[0]
+        merges.append((rnd, top.a, top.b, top.a + top.b, int(top.n)))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {top.a} {top.b} "),
+                F.lit(f" {top.a}{top.b} "),
+            ),
+        )
+    return merges, cur
+
+
 def _bpe_round_sql(r: int, src: str, carry: str = "freq") -> str:
     """One unrolled BPE training round as oracle CTEs: pair counts over
     the delimited symbol strings of ``src``, the argmax merge rule, and
@@ -1604,31 +1649,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .cache()
     )
-    merges: list[tuple] = []
-    cur = words
-    for rnd in (1, 2, 3):
-        got = (
-            cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
-            .filter(F.size("l") >= 2)
-            .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not got:  # vocabulary exhausted (every word fully merged):
-            break    # oracle's empty m{r} legs emit no rows either
-        top = got[0]
-        merges.append((rnd, top.a, top.b, top.a + top.b, int(top.n)))
-        cur = cur.withColumn(
-            "sym",
-            F.replace(
-                F.col("sym"),
-                F.lit(f" {top.a} {top.b} "),
-                F.lit(f" {top.a}{top.b} "),
-            ),
-        )
+    merges, _ = _bpe_train(words)
     return spark.createDataFrame(
         merges,
         "round int, sym_a string, sym_b string, merged string, pair_freq long",
@@ -1694,29 +1715,7 @@ def text_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .cache()
     )
-    cur = words
-    for _ in range(3):
-        got = (
-            cur.select(F.split(F.trim(F.col("sym")), " ").alias("l"), "freq")
-            .filter(F.size("l") >= 2)
-            .select(F.explode(F.expr(_BPE_PAIR_STRUCTS)).alias("p"), "freq")
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not got:  # exhausted: remaining rounds are no-ops on both sides
-            break
-        top = got[0]
-        cur = cur.withColumn(
-            "sym",
-            F.replace(
-                F.col("sym"),
-                F.lit(f" {top.a} {top.b} "),
-                F.lit(f" {top.a}{top.b} "),
-            ),
-        )
+    _, cur = _bpe_train(words)
     stripped = F.replace(F.trim(F.col("sym")), F.lit(" "), F.lit(""))
     enc = cur.select(
         "lang",

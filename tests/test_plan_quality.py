@@ -445,6 +445,28 @@ def test_query_caches_released_after_execution(spark, sf_dir):
         assert leaked == 0, f"{name}: {leaked} persistent RDDs survive release"
 
 
+def test_driver_contract_releases_previous_query_caches(spark, sf_dir):
+    """The REAL grading driver holds one session and only ever calls
+    queries()[name] — it cannot invoke release_query_caches itself. The
+    contract therefore wraps every query so building the NEXT one
+    releases the previous one's registered caches/persistent RDDs, while
+    the current query's cache stays alive through the driver's collect
+    (round-4 review finding: the round-3 leak fix lived only in bench/
+    driver_check and never reached the driver's own execution path)."""
+    import __spark_entry__ as contract
+
+    release_query_caches(spark)  # clean slate from earlier tests
+    qs = contract.queries()
+    qs["sql_recursive_order_chain"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0, (
+        "edge-list cache should survive until the next contract call"
+    )
+    qs["q1_pricing_summary"](spark, sf_dir)  # building it triggers release
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_registry_wide_driver_safe_output_schemas(spark, sf_dir):
     """The driver canonicalizes both result sets through a pandas
     sort_values over ALL columns; a list/struct/map cell crashes it with
