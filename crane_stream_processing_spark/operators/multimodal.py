@@ -3,10 +3,15 @@
 UDFs over mapInPandas.
 
 The Spark-side plumbing — schema, partition-parallel batching, UDF
-signatures, output contracts — is real and tested. The actual media codecs
-are NOT available in this environment, so the decode step is a clearly
-marked deterministic fake (media_fake_decode) plus a NotImplementedError
-stub (media_decode_real) where a codec library would plug in.
+signatures, output contracts — is real and tested. For UNCOMPRESSED
+formats the decode step is REAL too: RIFF/WAVE PCM audio and 24-bit BMP
+images are parsed from their public specs with stdlib struct + numpy
+(parse_wav_pcm / parse_bmp24, graded end-to-end by the
+mm_wav_codec_roundtrip / mm_bmp_codec_roundtrip registry queries and
+pinned by golden-byte fixtures). COMPRESSED codecs (JPEG/MP3/H.264) are
+not available in this container, so that path remains a clearly marked
+deterministic fake (media_fake_decode) plus a NotImplementedError stub
+(media_decode_real) where PIL/libav would plug in.
 
 Scale: mapInPandas streams Arrow batches through Python — memory is
 bounded by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -39,6 +44,16 @@ __all__ = [
     "sample_frames",
     "CHUNK_SCHEMA",
     "chunk_audio",
+    "WAV_FEATURE_SCHEMA",
+    "BMP_FEATURE_SCHEMA",
+    "encode_wav_pcm16",
+    "parse_wav_pcm",
+    "encode_bmp24",
+    "parse_bmp24",
+    "synthesize_wav",
+    "wav_features",
+    "synthesize_bmp",
+    "bmp_features",
 ]
 
 # The typed envelope for an opaque media blob: payload + metadata columns a
@@ -239,3 +254,280 @@ def chunk_audio(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
             rows = {k: [] for k in rows}
 
     return media.mapInPandas(_chunks, schema=CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real uncompressed codecs (pure stdlib + numpy — no PIL/av needed)
+#
+# The container has no compressed-media libraries, but two ubiquitous
+# UNCOMPRESSED container formats are fully decodable from their public
+# specs with nothing beyond struct + numpy: RIFF/WAVE PCM audio and
+# 24-bit BITMAPINFOHEADER BMP images. These make the decode hook REAL:
+# encode→decode roundtrips run actual byte-level codec work (RIFF chunk
+# walking, fmt parsing, BMP row padding + bottom-up order), graded
+# against closed-form oracles. media_decode_real / NotImplementedError
+# remains only for compressed codecs (JPEG/MP3/H.264).
+# ---------------------------------------------------------------------------
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+    ]
+)
+
+BMP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("row_pad", T.LongType()),
+        T.StructField("file_bytes", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode mono int16 PCM to a WAV container via the STDLIB ``wave``
+    module — an independent, spec-conformant writer, so the hand-written
+    parser below is graded against an implementation it doesn't share a
+    line with."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def parse_wav_pcm(b: bytes) -> dict:
+    """Hand-written RIFF/WAVE PCM parser (the REAL decoder): walks the
+    chunk list (word-aligned sizes per the RIFF spec), validates the PCM
+    format tag, and decodes the data chunk with numpy. Raises on
+    non-RIFF, non-PCM, or truncated input."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = _struct.unpack("<HHI", fmt[:8])
+    bits = _struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n_frames = len(samples) // n_channels
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "bits": int(bits),
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // int(sample_rate),
+        "peak": int(samples.max()) if len(samples) else 0,
+        "sum_abs": int(np.abs(samples).sum()),
+    }
+
+
+def encode_bmp24(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+    rows zero-padded to 4-byte boundaries — the on-disk layout every BMP
+    reader expects."""
+    import struct as _struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    padding = b"\x00" * pad
+    rows = [rgb[y, :, ::-1].tobytes() + padding for y in reversed(range(h))]
+    return header + info + b"".join(rows)
+
+
+def parse_bmp24(b: bytes) -> dict:
+    """Hand-written BMP decoder (the REAL image decoder): validates the
+    'BM' magic, reads the pixel-array offset from the file header (not
+    assumed 54), parses BITMAPINFOHEADER, and numpy-decodes the padded
+    bottom-up BGR rows back to RGB. Supports the uncompressed 24-bit
+    profile; anything else raises."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    _file_size, _r1, _r2, offset = _struct.unpack("<IHHI", b[2:14])
+    hdr_size, w, h, _planes, bpp, comp = _struct.unpack("<IiiHHI", b[14:34])
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    arr = np.frombuffer(b, dtype=np.uint8, offset=offset, count=stride * h)
+    arr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    rgb = arr[:, :, ::-1].astype(np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "row_pad": stride - w * 3,
+        "file_bytes": len(b),
+        "sum_r": int(rgb[:, :, 0].sum()),
+        "sum_g": int(rgb[:, :, 1].sum()),
+        "sum_b": int(rgb[:, :, 2].sum()),
+    }
+
+
+def _pcm_ramp(doc_id: int, n: int):
+    """Deterministic int16 test signal: sample[i] = ((7·id + 13·i) mod
+    512) − 256 — closed-form enough for a SQL oracle, irregular enough to
+    catch byte-order/offset bugs."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 7 + i * 13) % 512) - 256).astype("<i2")
+
+
+def synthesize_wav(docs: DataFrame) -> DataFrame:
+    """doc_id → real WAV payload (stdlib encoder). Rate/length derive
+    from doc_id: rate = 8000·(1 + id mod 3), n = 200 + (id mod 300)."""
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "payload": [
+                        encode_wav_pcm16(
+                            _pcm_ramp(i, 200 + i % 300), 8000 * (1 + i % 3)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(_synth, schema=schema)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode: the UDF sees only payload bytes and
+    must recover every feature by parsing the container."""
+
+    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [parse_wav_pcm(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
+            yield out
+
+    return media.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+
+
+def _rgb_grid(doc_id: int, w: int, h: int):
+    """Deterministic RGB test image: r=(7x+3y+id)%256, g=(5x+11y+2id)%256,
+    b=(x+y+3id)%256."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (x * 7 + y * 3 + doc_id) % 256
+    g = (x * 5 + y * 11 + 2 * doc_id) % 256
+    b = (x + y + 3 * doc_id) % 256
+    return np.stack([r, g, b], axis=-1).astype("uint8")
+
+
+def synthesize_bmp(docs: DataFrame) -> DataFrame:
+    """doc_id → real BMP payload: w = 8 + id mod 9 (exercises every row-pad
+    0..3), h = 4 + id mod 5."""
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/bmp",
+                    "payload": [
+                        encode_bmp24(_rgb_grid(i, 8 + i % 9, 4 + i % 5))
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(_synth, schema=schema)
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL BMP decode (header-driven offset, padding,
+    bottom-up) → per-image channel sums."""
+
+    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [parse_bmp24(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
+            yield out
+
+    return media.mapInPandas(_decode, schema=BMP_FEATURE_SCHEMA)

@@ -66,3 +66,111 @@ def test_frame_sample_partition(media):
 def test_real_decoder_is_explicit_stub(media):
     with pytest.raises(NotImplementedError):
         M.media_decode_real(iter([]))
+
+
+# ---------------------------------------------------------------------------
+# Real uncompressed codecs (WAV PCM / BMP24) — golden-byte spec pins
+# ---------------------------------------------------------------------------
+
+
+def _golden_wav() -> bytes:
+    """Hand-assembled RIFF/WAVE from the spec (NOT via our encoder or the
+    stdlib writer): 3 mono 16-bit samples [100, -200, 300] at 8000 Hz,
+    with an extra non-fmt/data chunk the parser must skip."""
+    import struct
+
+    data = struct.pack("<3h", 100, -200, 300)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size → pad
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + junk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_parser_golden_bytes():
+    f = M.parse_wav_pcm(_golden_wav())
+    assert f == {
+        "sample_rate": 8000,
+        "n_channels": 1,
+        "bits": 16,
+        "n_samples": 3,
+        "duration_ms": 0,
+        "peak": 300,
+        "sum_abs": 600,
+    }
+
+
+def test_wav_parser_rejects_non_pcm():
+    import struct
+
+    bad = _golden_wav().replace(
+        b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16),
+    )
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        M.parse_wav_pcm(bad)
+    with pytest.raises(ValueError, match="RIFF"):
+        M.parse_wav_pcm(b"\x89PNG not audio")
+
+
+def test_wav_roundtrip_stdlib_writer_to_our_parser():
+    import numpy as np
+
+    samples = np.array([0, 32767, -32768, 5], dtype="<i2")
+    f = M.parse_wav_pcm(M.encode_wav_pcm16(samples, 44100))
+    assert f["sample_rate"] == 44100 and f["n_samples"] == 4
+    assert f["peak"] == 32767 and f["sum_abs"] == 0 + 32767 + 32768 + 5
+
+
+def _golden_bmp() -> bytes:
+    """Hand-assembled 2×2 24-bit BMP from the spec: pixels (row-major,
+    top-down logical order) [[red, green], [blue, white]]; stored
+    bottom-up, BGR, rows padded from 6 to 8 bytes; pixel offset read from
+    the file header (set to 54)."""
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    bottom_row = b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00"  # blue, white
+    top_row = b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00"  # red, green
+    return header + info + bottom_row + top_row
+
+
+def test_bmp_parser_golden_bytes():
+    f = M.parse_bmp24(_golden_bmp())
+    # red + green + blue + white, channel-wise
+    assert f == {
+        "width": 2,
+        "height": 2,
+        "row_pad": 2,
+        "file_bytes": 70,
+        "sum_r": 255 + 0 + 0 + 255,
+        "sum_g": 0 + 255 + 0 + 255,
+        "sum_b": 0 + 0 + 255 + 255,
+    }
+
+
+def test_bmp_parser_rejects_unsupported():
+    import struct
+
+    b = bytearray(_golden_bmp())
+    b[28:30] = struct.pack("<H", 8)  # bpp 24 → 8
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        M.parse_bmp24(bytes(b))
+    with pytest.raises(ValueError, match="not a BMP"):
+        M.parse_bmp24(b"GIF89a")
+
+
+def test_bmp_roundtrip_every_padding(spark):
+    import numpy as np
+
+    for w in range(8, 17):  # row_pad cycles 0..3
+        rgb = M._rgb_grid(7, w, 5)
+        f = M.parse_bmp24(M.encode_bmp24(rgb))
+        assert f["width"] == w and f["height"] == 5
+        assert f["row_pad"] == (4 - (w * 3) % 4) % 4
+        assert f["sum_r"] == int(rgb[:, :, 0].astype(np.int64).sum())
