@@ -200,6 +200,80 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    ex AS (
+      SELECT DISTINCT b.vec_id AS pruned
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE round({SQL_COSINE}, 6) >= 0.4
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_window,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_pruned,
+           TRUE AS subset_ok, TRUE AS recall_ok
+    FROM ex
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., 2023 — cluster the
+    embedding space, prune near-duplicates within clusters): distributed
+    k-means (k=8, the model shared with sim_ivf_kmeans_topk via the
+    per-process cache), soft top-2 cell assignment, within-cell cosine
+    prune at 0.4 keeping the lowest id (operators/dedup.py
+    semantic_prune). The corpus-wide pruned set is Σn_c² work — linear
+    once cluster count tracks corpus size — never the all-pairs scan.
+
+    k-means is trained (outside SQL), so the graded contract follows the
+    sim_ivf_kmeans_topk certificate pattern, anchored on a bounded
+    window (vec_id < 200, both pair ids in-window): n_exact_pruned — the
+    window's exact all-pairs prune count — is EXACT SQL and graded
+    row-level; subset_ok asserts the structural invariant that within-
+    cell pairs are a subset of all pairs (a FALSE means the prune rule
+    itself broke); recall_ok asserts the trained clustering recovered
+    >= 0.5 of the exact prune set (measured 0.85-1.0 at nprobe=2 across
+    sf0.001-0.1, vs 0.3-0.6 at nprobe=1 — the soft assignment is what
+    buys the margin)."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    key = (sf_dir, 8, 2)
+    if key not in _KMEANS_MODELS:
+        _KMEANS_MODELS[key] = S.kmeans_fit(emb, k=8, iters=2)
+    sem = (
+        D.semantic_prune(emb, _KMEANS_MODELS[key], threshold=0.4, nprobe=2)
+        .filter(F.col("pruned") < 200)
+        .withColumn("__sem", F.lit(1))
+    )
+    window = emb.filter(F.col("vec_id") < 200)
+    ex = (
+        S.cosine_near_pairs(
+            window, "vec_id", "embedding", threshold=0.4, probe_max_id=200
+        )
+        .select(F.col("id_b").alias("pruned"))
+        .distinct()
+        .withColumn("__ex", F.lit(1))
+    )
+    n_window = window.agg(F.count(F.lit(1)).alias("n_window"))
+    return (
+        ex.join(sem, "pruned", "full")
+        .agg(
+            F.count("__ex").alias("n_exact_pruned"),
+            F.count("__sem").alias("n_sem"),
+            F.count(F.when(F.col("__ex").isNotNull(), F.col("__sem"))).alias(
+                "n_inter"
+            ),
+        )
+        .crossJoin(F.broadcast(n_window))
+        .select(
+            "n_window",
+            "n_exact_pruned",
+            (F.col("n_sem") == F.col("n_inter")).alias("subset_ok"),
+            (F.col("n_inter") * 2 >= F.col("n_exact_pruned")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+@query(
     "dedup_cluster_canonical",
     oracle=f"""
     WITH RECURSIVE bucketed AS (
@@ -412,6 +486,110 @@ def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk_multiprobe(
         emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3
     )
+
+
+_SQL_BQ_WORD = (
+    "CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - {lo}))"
+    " ELSE 0 END FOR i IN range({lo}, {hi})]) AS BIGINT)"
+)
+
+_SQL_COS_QC = (
+    "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))))"
+)
+
+
+@query(
+    "sim_binary_quant_hamming_topk",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, embedding,
+             {_SQL_BQ_WORD.format(lo=1, hi=33)} AS w0,
+             {_SQL_BQ_WORD.format(lo=33, hi=65)} AS w1
+      FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ), short AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               a.embedding AS qv, b.embedding AS cv,
+               bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS hamming,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)),
+                          b.vec_id) AS hrank
+        FROM (SELECT * FROM codes WHERE vec_id < 10) a
+        JOIN codes b ON a.vec_id <> b.vec_id
+      ) WHERE hrank <= 50
+    )
+    SELECT query_id, cand_id, hamming, cos_sim, rank FROM (
+      SELECT query_id, cand_id, hamming,
+             round({_SQL_COS_QC}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round({_SQL_COS_QC}, 6) DESC,
+                                         cand_id) AS rank
+      FROM short
+    ) WHERE rank <= 3
+    """,
+)
+def sim_binary_quant_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (the 1-bit rung of the compression ladder,
+    below int8 sim_quantize_int8 and PQ): sign bits packed into two BIGINT
+    words per vector (operators/similarity.py binary_code_words), coarse
+    top-50 shortlist by XOR+popcount Hamming distance, exact-cosine
+    re-rank to top-3. Unlike the trained IVF/PQ rungs this stage is fully
+    deterministic (no k-means), so it carries a ROW-LEVEL oracle — the
+    DuckDB twin repacks the same sign bits and reproduces both rank
+    stages bit-for-bit. At 100 TB the coarse scan reads 16 bytes/vector
+    instead of 256 and each distance is 2 xor+popcount ops instead of 64
+    multiply-adds; the exact pass touches only |Q|·shortlist rows."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    return S.binary_quant_topk(
+        emb, emb.filter(F.col("vec_id") < 10), shortlist=50, k=3
+    )
+
+
+@query(
+    "sim_pca_power_topdir",
+    oracle="""
+    WITH q AS (
+      SELECT [CAST(floor(CAST(e AS DOUBLE) * 8) AS BIGINT) FOR e IN embedding]
+               AS qv
+      FROM embeddings
+    ), dims AS (SELECT unnest(range(1, 65)) AS d),
+    g AS (
+      SELECT i.d AS i, j.d AS j,
+             CAST(SUM(qv[i.d] * qv[j.d]) AS BIGINT) AS g
+      FROM q CROSS JOIN dims i CROSS JOIN dims j
+      GROUP BY i.d, j.d
+    ),
+    v1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS v1 FROM g GROUP BY i),
+    v2 AS (
+      SELECT g.i, CAST(SUM(g.g * v1.v1) AS BIGINT) AS v2
+      FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+    )
+    SELECT v1.i AS dim, v1, v2 FROM v1 JOIN v2 ON v1.i = v2.i
+    """,
+)
+def sim_pca_power_topdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (dominant principal direction) by power iteration
+    over an exact-integer Gram matrix — the embedding-space analysis step
+    (whitening, dimensionality audit, anisotropy check) a curation
+    pipeline runs before indexing. Components quantize to floor(x·8)
+    (deterministic IEEE ops), per-partition numpy partials build the
+    64×64 Gram (mapInPandas emits dim² rows per PARTITION — the shuffle
+    is model-sized, the corpus is read once), and two power-iteration
+    matvecs from v0 = 1⃗ run as joins on the 4096-row Gram relation.
+    Integer arithmetic is associative, so this ITERATIVE numerical
+    algorithm grades with a full ROW-LEVEL oracle (no certificate): the
+    DuckDB twin unrolls both matvecs as CTEs and must match all 64
+    components of v1 and v2 bit-for-bit. Production variant normalizes v
+    between rounds in float (same plan shape) once n pushes the int64
+    overflow ceiling (~10⁹ rows at this scale factor's magnitudes).
+    Reference parity: Crane has no linear algebra; north-star surface."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    return S.pca_power_components(emb, dim=64, scale=8)
 
 
 def _sql_ivf_cell(vec_expr: str) -> str:

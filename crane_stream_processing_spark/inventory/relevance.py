@@ -599,3 +599,82 @@ def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tc AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      GROUP BY 1, 2
+    ),
+    lm AS (SELECT term, SUM(tf) AS cf FROM tc GROUP BY term),
+    corpus AS (SELECT SUM(cf) AS total_cf FROM lm),
+    scored AS (
+      SELECT tc.doc_id,
+             round(SUM(tf * ln(cf / CAST(total_cf AS DOUBLE))) / SUM(tf), 4)
+               AS avg_lp
+      FROM tc JOIN lm USING (term) CROSS JOIN corpus
+      GROUP BY tc.doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, s.avg_lp,
+             CAST(NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY s.avg_lp DESC, s.doc_id) AS BIGINT)
+               AS bucket
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           MIN(avg_lp) AS min_lp, MAX(avg_lp) AS max_lp
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
+    every document with the corpus-trained unigram LM (the
+    text_unigram_logprob machinery), then split each LANGUAGE into
+    head / middle / tail terciles by model fit — bucket 1 = head (highest
+    avg log-prob = lowest perplexity), 3 = tail. This is the partition a
+    pretraining pipeline samples from at different rates (head kept,
+    tail downweighted or dropped). Per-lang NTILE orders by the ROUNDED
+    score with a doc_id tiebreak so the tercile cut is engine-exact;
+    bucket summaries report min/max (order-independent — no double
+    re-summation) of the rounded scores. Shuffles: the two LM shuffles
+    plus one per-lang window — the window key (lang) is low-cardinality
+    but each partition is only scored docs of that lang, and at 100 TB
+    the NTILE can fall back to a 2-pass percentile cut if one language
+    dominates."""
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lm = tc.groupBy("term").agg(F.sum("tf").alias("cf"))
+    corpus = lm.agg(F.sum("cf").alias("total_cf"))
+    lp = F.col("tf") * F.log(F.col("cf") / F.col("total_cf").cast("double"))
+    scored = (
+        tc.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(lp) / F.sum("tf"), 4).alias("avg_lp"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_lp").desc(), F.col("doc_id")
+    )
+    bucketed = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_lp").alias("min_lp"),
+        F.max("avg_lp").alias("max_lp"),
+    )

@@ -26,6 +26,8 @@ __all__ = [
     "cosine_near_pairs",
     "lsh_ann_topk",
     "lsh_ann_topk_multiprobe",
+    "binary_code_words",
+    "binary_quant_topk",
     "centroid_dots",
     "ivf_centroid",
     "ivf_bucket_corpus",
@@ -37,6 +39,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_topk",
+    "pca_power_components",
 ]
 
 
@@ -323,6 +326,92 @@ def lsh_ann_topk_multiprobe(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).filter(F.col("cn") > 0)
     return _cosine_topk_within(q, c, k, on="bucket", exclude_self=exclude_self)
+
+
+def binary_code_words(vec: Column, dim: int = 64) -> list[Column]:
+    """1-bit (sign) quantization: pack ``dim`` sign bits (component > 0)
+    into ``dim/32`` BIGINT words, 32 bits per word so no word ever touches
+    the sign bit — bit i of word w is set iff vec[32·w + i] > 0. Pure JVM
+    array expressions (zip_with against a literal power-of-two weight
+    array + aggregate), no UDF; at scale the codes are computed in the
+    same single pass that reads the floats and are 16 bytes/vector where
+    the float rows are 256 — the 16× read shrink binary-quantized serving
+    stacks (e.g. faiss IndexBinaryFlat) exploit."""
+    if dim % 32:
+        raise ValueError("dim must be a multiple of 32")
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    zero = F.lit(0).cast("long")
+    words = []
+    for w in range(dim // 32):
+        chunk = F.slice(vec, 1 + 32 * w, 32)
+        bits = F.zip_with(
+            chunk, weights, lambda v, wt: F.when(v > 0, wt).otherwise(zero)
+        )
+        words.append(F.aggregate(bits, zero, lambda acc, x: acc + x))
+    return words
+
+
+def binary_quant_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    shortlist: int = 50,
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Binary-quantization ANN: coarse scan by Hamming distance over the
+    packed sign-bit codes (XOR + popcount per word — ~10× cheaper than a
+    64-float dot and reading 16× fewer bytes), per-query ``shortlist`` by
+    (hamming asc, id asc), exact-cosine re-rank of the shortlist to top-k.
+    Sign-bit codes approximate angular distance (the Goemans–Williamson
+    bound: E[hamming] ∝ angle), so Hamming shortlisting is the standard
+    cheap first stage for cosine search. Everything is deterministic —
+    codes are exact integer expressions, both rank stages tie-break on
+    candidate id — so the whole pipeline is row-level reproducible in SQL
+    (no training, unlike IVF/PQ). The coarse stage is a broadcast
+    nested-loop over the (bounded) query side, identical in shape to the
+    exact baseline but on 2 BIGINTs per vector instead of 64 floats."""
+    qwords = binary_code_words(F.col(vec_col), dim)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2norm(vec_col).alias("qn"),
+            *[wd.alias(f"qw{i}") for i, wd in enumerate(qwords)],
+        ).filter(F.col("qn") > 0)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(vec_col).alias("cn"),
+        *[wd.alias(f"cw{i}") for i, wd in enumerate(qwords)],
+    ).filter(F.col("cn") > 0)
+    joined = q.crossJoin(c)
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("cand_id"))
+    ham = None
+    for i in range(dim // 32):
+        term = F.bit_count(F.col(f"qw{i}").bitwiseXOR(F.col(f"cw{i}")))
+        ham = term if ham is None else ham + term
+    hw = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("cand_id").asc()
+    )
+    short = (
+        joined.withColumn("hamming", ham)
+        .withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= shortlist)
+    )
+    cos = F.round(dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6)
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        short.select("query_id", "cand_id", "hamming", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
@@ -1043,4 +1132,74 @@ def ivfpq_topk(
     )
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
+    )
+
+
+def pca_power_components(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 8,
+) -> DataFrame:
+    """Distributed PCA direction via power iteration over an EXACT-integer
+    Gram matrix: quantize each component to floor(x·scale) (deterministic
+    — float multiply + floor are identical IEEE ops in any engine), build
+    the dim×dim Gram matrix G = QᵀQ with per-partition numpy partials
+    (Arrow-batched mapInPandas: each partition emits one dim² int64
+    partial, the shuffle moves dim²·partitions rows — model-sized,
+    NEVER corpus-sized), then run two unnormalized power-iteration
+    matvecs from v0 = 1⃗ as tiny distributed joins on the 4096-row G.
+    Integer arithmetic is associative, so every value is bit-exact
+    regardless of partitioning — which is what lets an iterative
+    numerical algorithm carry a row-level SQL oracle.
+
+    Returns (dim, v1, v2): v2 converges to the dominant eigendirection
+    (unnormalized). Overflow ceiling: |G| ≤ n·(scale·|x|max)², |v2| ≤
+    dim²·|G|max²… int64-safe through ~10⁹ rows at scale=8; a production
+    run at unbounded n float-normalizes v between rounds (same plan
+    shape, certificate grading instead of row-level)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    qdf = emb.select(q.alias("qv"))
+
+    def _partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                acc += m.T @ m
+        i, j = np.nonzero(np.ones((dim, dim), dtype=bool))
+        yield pd.DataFrame(
+            {"i": i + 1, "j": j + 1, "partial": acc[i, j]}
+        )
+
+    from pyspark.sql import types as T
+
+    gram_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("partial", T.LongType()),
+        ]
+    )
+    g = (
+        qdf.mapInPandas(_partial_gram, schema=gram_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("g"))
+    )
+    v1 = g.groupBy("i").agg(F.sum("g").alias("v1"))  # G · 1⃗
+    v2 = (
+        g.join(F.broadcast(v1.select(F.col("i").alias("j"), "v1")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v1")).alias("v2"))
+    )
+    return (
+        v1.join(v2, "i")
+        .select(F.col("i").alias("dim"), "v1", "v2")
     )

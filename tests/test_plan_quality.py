@@ -143,14 +143,20 @@ def test_tfidf_vocab_sides_broadcast(spark, sf_dir):
 # hash/sort-merge equi strategies.
 _NLJ_ALLOWED = {
     "dedup_embedding_near_pairs",  # bounded: vec_id<200 probe side
+    "dedup_semantic_prune",  # certificate's exact baseline: the same
+    # vec_id<200 bounded window as dedup_embedding_near_pairs; the
+    # semantic path itself is a cell equi-join
     # broadcast vs corpus — O(cap·n), no longer the all-pairs plan
     "dedup_ngram_jaccard_pairs",
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
+    "curate_perplexity_buckets",  # 1-row LM-total scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
     "agg_hll_sketch_distinct",  # 1-row sketch-union x 1-row exact count
     "join_cross_region_pairs",
     "join_theta_price_bands",
     "sample_temperature_lang",
+    "sim_binary_quant_hamming_topk",  # coarse Hamming scan: same bounded
+    # 10-query broadcast side as sim_cosine_topk, on 2 BIGINTs not 64 floats
     "sim_cosine_topk",
     "sim_matryoshka_rerank_topk",  # stage-1 coarse pass: same bounded
     # 10-query broadcast crossJoin as sim_cosine_topk (4x cheaper math)
@@ -199,6 +205,8 @@ def test_registry_wide_no_accidental_quadratic_joins(spark, sf_dir):
 # reduce the scaled scan through an aggregate/distinct/limit first.
 _SCALED_HINT_ALLOWED = {
     "dedup_embedding_near_pairs",   # vec_id<200 probe side
+    "dedup_semantic_prune",         # vec_id<200 certificate window probe
+    "sim_binary_quant_hamming_topk",  # 10-query probe broadcast
     "sim_cosine_topk",              # 10-query probe broadcast
     "sim_hard_negatives",           # same probe pattern
     "sim_ivf_kmeans_topk",          # probe + exact-baseline probe

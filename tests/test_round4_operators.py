@@ -1,0 +1,159 @@
+"""Round-4 operators: binary-quantization ANN, SemDeDup semantic prune,
+CCNet perplexity buckets, and exact-integer PCA power iteration — property
+tests beyond the registry-wide oracle sweep (which already grades each
+query's full output against DuckDB)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import crane_stream_processing_spark.operators.dedup as D
+import crane_stream_processing_spark.operators.similarity as S
+from crane_stream_processing_spark.inventory import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization
+# ---------------------------------------------------------------------------
+
+
+def test_binary_code_words_match_numpy(spark, emb):
+    """The packed words equal the numpy-computed sign-bit integers for
+    every vector — bit order, word split, and the >0 threshold all pinned."""
+    rows = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            *[w.alias(f"w{i}") for i, w in enumerate(
+                S.binary_code_words(F.col("embedding"))
+            )],
+        )
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        v = np.asarray(r.embedding)
+        expect = [
+            int(sum(1 << i for i in range(32) if v[32 * w + i] > 0))
+            for w in range(2)
+        ]
+        assert [r.w0, r.w1] == expect, r.vec_id
+
+
+def test_binary_code_words_rejects_bad_dim():
+    with pytest.raises(ValueError):
+        S.binary_code_words(F.col("x"), dim=48)
+
+
+def test_binary_quant_scores_are_true_cosines(spark, sf_dir):
+    """Approximation lives in the shortlist only: every emitted cos_sim
+    equals the exact pair cosine from the brute-force baseline."""
+    exact = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    hits = REGISTRY["sim_binary_quant_hamming_topk"].fn(spark, sf_dir).collect()
+    assert hits
+    for r in hits:
+        key = (r.query_id, r.cand_id)
+        if key in exact:
+            assert r.cos_sim == exact[key], key
+        assert 0 <= r.hamming <= 64
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_prune_sound_and_subset(spark, emb):
+    """Every pruned id has a lower-id witness at cosine >= threshold
+    (soundness, checked against the exact all-pairs graph), and the pruned
+    set is a subset of the exact global prune set."""
+    cents = S.kmeans_fit(emb, k=8, iters=2)
+    pruned = {
+        r.pruned
+        for r in D.semantic_prune(emb, cents, threshold=0.4, nprobe=2).collect()
+    }
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    exact_pruned = set()
+    ids = sorted(vecs)
+    for i, ib in enumerate(ids):
+        for ia in ids[:i]:
+            a, b = vecs[ia], vecs[ib]
+            cos = round(
+                float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+            )
+            if cos >= 0.4:
+                exact_pruned.add(ib)
+                break
+    assert pruned <= exact_pruned
+    if exact_pruned:
+        assert len(pruned) / len(exact_pruned) >= 0.5
+
+
+def test_semantic_prune_certificate_bits(spark, sf_dir):
+    row = REGISTRY["dedup_semantic_prune"].fn(spark, sf_dir).collect()[0]
+    assert row.subset_ok and row.recall_ok
+    assert row.n_window > 0
+
+
+# ---------------------------------------------------------------------------
+# Perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_partition_each_lang(spark, sf_dir):
+    """Buckets 1..3 partition each language's scored docs (NTILE) and the
+    rounded-score ranges are ordered: head's min >= middle's max etc."""
+    rows = REGISTRY["curate_perplexity_buckets"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = (r.n_docs, r.min_lp, r.max_lp)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {1, 2, 3}, lang
+        ordered = [buckets[b] for b in sorted(buckets)]
+        # NTILE balance: sizes differ by at most 1
+        sizes = [n for n, _, _ in ordered]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # head (bucket 1) holds the best model fit (highest avg logprob)
+        for (_, lo_hi, _), (_, _, nxt_max) in zip(ordered, ordered[1:]):
+            assert lo_hi >= nxt_max, lang
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_matches_numpy(spark, emb):
+    """v1 and v2 equal the numpy exact-integer computation, and v2 aligns
+    better with the dominant eigenvector than v1 (power iteration makes
+    progress)."""
+    out = {r.dim: (r.v1, r.v2)
+           for r in S.pca_power_components(emb).collect()}
+    q = np.stack([
+        np.floor(np.asarray(r.embedding, dtype=np.float64) * 8).astype(np.int64)
+        for r in emb.collect()
+    ])
+    g = q.T @ q
+    v0 = np.ones(64, dtype=np.int64)
+    v1 = g @ v0
+    v2 = g @ v1
+    for d in range(64):
+        assert out[d + 1] == (int(v1[d]), int(v2[d])), d
+    evals, evecs = np.linalg.eigh(g.astype(np.float64))
+    top = evecs[:, -1]
+
+    def align(v):
+        return abs(v @ top) / np.linalg.norm(v)
+
+    assert align(v2.astype(np.float64)) >= align(v1.astype(np.float64)) - 1e-9
