@@ -450,3 +450,54 @@ def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+@query(
+    "join_salted_skew_spend",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS spend
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted_skew_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join — the manual skew-mitigation recipe for when
+    one join key dominates (a single hot customer/user key lands an
+    entire shuffle partition on one task; AQE's skew split only kicks in
+    past its size thresholds and can't split a single key group at all
+    for non-mergeable downstream ops). Fact side gets a deterministic
+    salt (o_orderkey % 8 — uniform, reproducible); the build side
+    explodes into all 8 salt replicas; the join key becomes
+    (custkey, salt) so the hot key's rows spread across 8 tasks. The
+    oracle is the UNSALTED join — salting must be result-invisible, and
+    grading it against the plain SQL pins exactly that. Replication
+    factor trades build-side memory (8×) for per-task balance; at 100 TB
+    you salt ONLY the keys a frequency pre-scan flags (bounded hot set),
+    keeping replication off the long tail. Reference parity: the
+    reference hash-partitions on raw key (server/Crane.go:179-188) and
+    would hot-spot the same way; this query is the mitigation its design
+    lacks."""
+    salt_n = 8
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_cust = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % salt_n).cast("int").alias("salt"),
+    )
+    return (
+        orders.join(
+            salted_cust,
+            (orders.o_custkey == salted_cust.c_custkey)
+            & (orders.salt == salted_cust.salt),
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+    )

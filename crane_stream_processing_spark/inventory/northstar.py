@@ -592,6 +592,44 @@ def sim_pca_power_topdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_power_components(emb, dim=64, scale=8)
 
 
+@query(
+    "sim_embedding_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT [CAST(floor(CAST(e AS DOUBLE) * 8) AS BIGINT) FOR e IN embedding]
+               AS qv
+      FROM embeddings
+    ), dims AS (SELECT unnest(range(1, 65)) AS d),
+    g AS (
+      SELECT i.d AS i, j.d AS j,
+             CAST(SUM(qv[i.d] * qv[j.d]) AS BIGINT) AS g
+      FROM q CROSS JOIN dims i CROSS JOIN dims j
+      GROUP BY i.d, j.d
+    ),
+    s AS (
+      SELECT d.d AS i, CAST(SUM(qv[d.d]) AS BIGINT) AS s
+      FROM q CROSS JOIN dims d GROUP BY d.d
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+    SELECT g.i, g.j,
+           CAST(n.n * g.g - sa.s * sb.s AS BIGINT) AS cov_scaled
+    FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i CROSS JOIN n
+    """,
+)
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered embedding covariance, integer-exact (the whitening /
+    anisotropy-correction input, companion to sim_pca_power_topdir's
+    uncentered Gram): n²·Cov = n·QᵀQ − ssᵀ over floor(x·8)-quantized
+    components — the 1/n divisions cleared so the 64×64 statistic is
+    exact BIGINT arithmetic and grades row-level despite the corpus-wide
+    reduction. One scan feeds both the mapInPandas Gram partials and the
+    column sums; centering joins two broadcast 64-row vectors onto the
+    4096-row Gram relation. At 100 TB nothing here scales with n except
+    the single scan (partials stay dim² per partition)."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    return S.covariance_scaled(emb, dim=64, scale=8)
+
+
 def _sql_ivf_cell(vec_expr: str) -> str:
     dots = ", ".join(
         f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {_sql_plane(row)})"
@@ -753,6 +791,61 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@query(
+    "dedup_shingle_containment_top1",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, list_distinct({SQL_SHINGLES}) AS g
+      FROM (
+        SELECT doc_id, {SQL_TOKS} AS tk FROM documents WHERE doc_id < 100
+      ) WHERE len(tk) >= 3
+    )
+    SELECT id_a, id_b, containment FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g), 6)
+               AS containment,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY round(len(list_intersect(a.g, b.g))::DOUBLE
+                              / len(a.g), 6) DESC, b.doc_id) AS rk
+      FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+    ) WHERE rk = 1
+    """,
+)
+def dedup_shingle_containment_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT (|A∩B| / |A|) — the asymmetric companion to
+    Jaccard, and the right metric for SUB-document duplication (a short
+    doc fully quoted inside a long one scores containment 1.0 but
+    Jaccard ≈ |A|/|B| → 0): for each document in the bounded probe
+    window, its most-containing counterpart (top-1 by rounded score,
+    id tiebreak). Threshold-free so the report shape is stable across
+    corpora with no near-dup mass. Same bounding discipline as
+    dedup_ngram_jaccard_pairs (doc_id < 100 — ground-truth tool; the
+    scale path feeds the same metric from LSH candidate pairs)."""
+    docs = t_cpu(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = docs.filter(F.size(tokens("text")) >= 3)
+    sets_df = docs.select(
+        F.col("doc_id"), tokens("text").alias("toks")
+    ).select("doc_id", F.array_distinct(D.token_shingles(F.col("toks"))).alias("g"))
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    cont = F.round(
+        F.size(F.array_intersect("ga", "gb")).cast("double") / F.size("ga"), 6
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("id_a").orderBy(F.col("containment").desc(), F.col("id_b"))
+    )
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cont.alias("containment"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .drop("rk")
     )
 
 
@@ -1440,6 +1533,48 @@ def mm_bmp_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (54 + stride·h). Arrow-batched mapInPandas, zero shuffle."""
     docs = t(spark, sf_dir, "documents")
     return M.bmp_features(M.synthesize_bmp(docs))
+
+
+@query(
+    "mm_bmp_ahash_fingerprint",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM gx),
+    p AS (SELECT doc_id, y * 8 + x AS cell,
+            (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256
+          + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+          + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
+          FROM g),
+    t AS (SELECT doc_id, SUM(gray) AS total FROM p GROUP BY doc_id)
+    SELECT p.doc_id AS media_id,
+           CAST(SUM(CASE WHEN cell < 32 AND gray * 64 > total
+                         THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
+             AS ahash_w0,
+           CAST(SUM(CASE WHEN cell >= 32 AND gray * 64 > total
+                         THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS BIGINT)
+             AS ahash_w1,
+           CAST(SUM(CASE WHEN gray * 64 > total THEN 1 ELSE 0 END) AS BIGINT)
+             AS bits_set
+    FROM p JOIN t USING (doc_id) GROUP BY p.doc_id
+    """,
+)
+def mm_bmp_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint over the REAL codec path: encode each
+    document's deterministic RGB grid as an actual 24-bit BMP, decode it
+    byte-for-byte (decode_bmp24_pixels — header offset, stride padding,
+    bottom-up BGR), then compute the classic 64-bit average hash (NN
+    8×8 downsample → grayscale → threshold at the mean), all-integer so
+    every bit grades exactly (operators/multimodal.py ahash64). This is
+    image DEDUP plumbing: near-identical images differ by a few bits, so
+    the dedup join is Hamming distance over (ahash_w0, ahash_w1) — the
+    binary-quantization recipe applied to pixels. The oracle re-derives
+    each bit in closed form from the generative pixel formula, so a
+    stride/row-order/threshold bug anywhere in the decode→hash chain
+    flips graded bits. Arrow-batched mapInPandas, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return M.bmp_ahash(M.synthesize_bmp(docs))
 
 
 @query(

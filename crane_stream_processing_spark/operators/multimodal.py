@@ -54,6 +54,10 @@ __all__ = [
     "wav_features",
     "synthesize_bmp",
     "bmp_features",
+    "decode_bmp24_pixels",
+    "AHASH_SCHEMA",
+    "ahash64",
+    "bmp_ahash",
 ]
 
 # The typed envelope for an opaque media blob: payload + metadata columns a
@@ -377,12 +381,13 @@ def encode_bmp24(rgb) -> bytes:
     return header + info + b"".join(rows)
 
 
-def parse_bmp24(b: bytes) -> dict:
-    """Hand-written BMP decoder (the REAL image decoder): validates the
-    'BM' magic, reads the pixel-array offset from the file header (not
-    assumed 54), parses BITMAPINFOHEADER, and numpy-decodes the padded
-    bottom-up BGR rows back to RGB. Supports the uncompressed 24-bit
-    profile; anything else raises."""
+def decode_bmp24_pixels(b: bytes):
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) int64 RGB array —
+    the shared byte-level core of parse_bmp24 and the perceptual-hash
+    path: validates the 'BM' magic, reads the pixel-array offset from the
+    file header (not assumed 54), parses BITMAPINFOHEADER, and
+    numpy-decodes the padded bottom-up BGR rows. Anything but the 24-bit
+    uncompressed profile raises."""
     import struct as _struct
 
     import numpy as np
@@ -400,7 +405,15 @@ def parse_bmp24(b: bytes) -> dict:
     arr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
         arr = arr[::-1]
-    rgb = arr[:, :, ::-1].astype(np.int64)
+    return arr[:, :, ::-1].astype(np.int64)
+
+
+def parse_bmp24(b: bytes) -> dict:
+    """Hand-written BMP decoder (the REAL image decoder) → per-image
+    summary dict; byte-level work in :func:`decode_bmp24_pixels`."""
+    rgb = decode_bmp24_pixels(b)
+    h, w = rgb.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
     return {
         "width": w,
         "height": h,
@@ -531,3 +544,54 @@ def bmp_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_decode, schema=BMP_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash_w0", T.LongType()),
+        T.StructField("ahash_w1", T.LongType()),
+        T.StructField("bits_set", T.LongType()),
+    ]
+)
+
+
+def ahash64(rgb) -> tuple[int, int, int]:
+    """64-bit average hash (aHash) of a decoded RGB array — the classic
+    perceptual image fingerprint (resize to 8×8, grayscale, threshold
+    each cell at the mean): near-identical images differ in a few bits,
+    so image dedup becomes Hamming distance over these codes — the
+    binary-quantization recipe, applied to pixels. All-integer variant:
+    grayscale = r+g+b (unweighted), NN downsample (source index
+    (i·dim)//8), and the mean threshold cleared of its /64 division
+    (bit = gray·64 > total) so every bit is exact integer arithmetic.
+    Bits pack row-major (cell = y·8 + x) into two 32-bit words, never
+    touching the int64 sign bit."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    sy = (np.arange(8, dtype=np.int64) * h) // 8
+    sx = (np.arange(8, dtype=np.int64) * w) // 8
+    gray = rgb[sy][:, sx].sum(axis=2)  # (8, 8) int64, 0..765
+    total = int(gray.sum())
+    bits = (gray * 64 > total).flatten()  # cell = y*8 + x
+    w0 = int(sum(1 << i for i in range(32) if bits[i]))
+    w1 = int(sum(1 << i for i in range(32) if bits[32 + i]))
+    return w0, w1, int(bits.sum())
+
+
+def bmp_ahash(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode → perceptual hash: parse each BMP
+    payload byte-for-byte (decode_bmp24_pixels) and emit its aHash words
+    — the multimodal dedup key. Partition-parallel, zero shuffle."""
+
+    def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [ahash64(decode_bmp24_pixels(bytes(p))) for p in pdf["payload"]]
+            out = pd.DataFrame(rows, columns=["ahash_w0", "ahash_w1", "bits_set"])
+            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
+            yield out
+
+    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)

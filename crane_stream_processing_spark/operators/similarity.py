@@ -40,6 +40,9 @@ __all__ = [
     "pq_adc_topk",
     "ivfpq_topk",
     "pca_power_components",
+    "quantize_floor",
+    "integer_gram",
+    "covariance_scaled",
 ]
 
 
@@ -1135,6 +1138,96 @@ def ivfpq_topk(
     )
 
 
+def quantize_floor(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 8
+) -> DataFrame:
+    """floor(x·scale) integer quantization of a float-array column —
+    deterministic IEEE ops (one double multiply + floor), so any engine
+    reading the same parquet floats produces identical integers. The
+    entry ticket to exact (associative, order-independent) distributed
+    linear algebra over embeddings."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    return emb.select(q.alias("qv"))
+
+
+def integer_gram(qdf: DataFrame, dim: int) -> DataFrame:
+    """Distributed exact-integer Gram matrix G = QᵀQ over a quantized
+    vector column ``qv``: per-partition numpy int64 partials via
+    Arrow-batched mapInPandas — each partition emits exactly dim² rows,
+    so the shuffle moves dim²·partitions rows (model-sized) while the
+    corpus is read once and never re-shuffled. Integer addition is
+    associative: the result is bit-exact under any partitioning."""
+
+    def _partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                acc += m.T @ m
+        i, j = np.nonzero(np.ones((dim, dim), dtype=bool))
+        yield pd.DataFrame({"i": i + 1, "j": j + 1, "partial": acc[i, j]})
+
+    from pyspark.sql import types as T
+
+    gram_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("partial", T.LongType()),
+        ]
+    )
+    return (
+        qdf.mapInPandas(_partial_gram, schema=gram_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("g"))
+    )
+
+
+def covariance_scaled(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 8,
+) -> DataFrame:
+    """Centered covariance (scaled by n² to stay integer-exact): with
+    q = floor(x·scale), emits n²·Cov[i,j] = n·Σq_i q_j − (Σq_i)(Σq_j)
+    — the mean-centering identity with the 1/n divisions cleared, so
+    every value is an exact BIGINT and the whole statistic (the input to
+    embedding whitening / anisotropy correction) grades row-level in any
+    engine. One corpus scan builds both the Gram (integer_gram) and the
+    column sums; the centering join touches only the 4096-row Gram
+    relation against two broadcast 64-row sum vectors."""
+    qdf = quantize_floor(emb, vec_col, scale)
+    g = integer_gram(qdf, dim)
+    sums = (
+        qdf.select(F.posexplode("qv").alias("i0", "q"))
+        .groupBy("i0")
+        .agg(F.sum("q").alias("s"))
+        .select((F.col("i0") + 1).alias("i"), "s")
+    )
+    n = qdf.agg(F.count(F.lit(1)).alias("n"))
+    sa = F.broadcast(sums.select(F.col("i").alias("_si"), F.col("s").alias("s_i")))
+    sb = F.broadcast(sums.select(F.col("i").alias("_sj"), F.col("s").alias("s_j")))
+    return (
+        g.join(sa, g.i == sa._si)
+        .join(sb, g.j == sb._sj)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("g") - F.col("s_i") * F.col("s_j")).alias(
+                "cov_scaled"
+            ),
+        )
+    )
+
+
 def pca_power_components(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1159,40 +1252,7 @@ def pca_power_components(
     dim²·|G|max²… int64-safe through ~10⁹ rows at scale=8; a production
     run at unbounded n float-normalizes v between rounds (same plan
     shape, certificate grading instead of row-level)."""
-    q = F.transform(
-        F.col(vec_col),
-        lambda e: F.floor(e.cast("double") * F.lit(float(scale))).cast("long"),
-    )
-    qdf = emb.select(q.alias("qv"))
-
-    def _partial_gram(batches):
-        import numpy as np
-        import pandas as pd
-
-        acc = np.zeros((dim, dim), dtype=np.int64)
-        for pdf in batches:
-            if len(pdf):
-                m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-                acc += m.T @ m
-        i, j = np.nonzero(np.ones((dim, dim), dtype=bool))
-        yield pd.DataFrame(
-            {"i": i + 1, "j": j + 1, "partial": acc[i, j]}
-        )
-
-    from pyspark.sql import types as T
-
-    gram_schema = T.StructType(
-        [
-            T.StructField("i", T.LongType()),
-            T.StructField("j", T.LongType()),
-            T.StructField("partial", T.LongType()),
-        ]
-    )
-    g = (
-        qdf.mapInPandas(_partial_gram, schema=gram_schema)
-        .groupBy("i", "j")
-        .agg(F.sum("partial").alias("g"))
-    )
+    g = integer_gram(quantize_floor(emb, vec_col, scale), dim)
     v1 = g.groupBy("i").agg(F.sum("g").alias("v1"))  # G · 1⃗
     v2 = (
         g.join(F.broadcast(v1.select(F.col("i").alias("j"), "v1")), "j")

@@ -148,6 +148,7 @@ _NLJ_ALLOWED = {
     # semantic path itself is a cell equi-join
     # broadcast vs corpus — O(cap·n), no longer the all-pairs plan
     "dedup_ngram_jaccard_pairs",
+    "dedup_shingle_containment_top1",  # same doc_id<100 bounded window
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "curate_perplexity_buckets",  # 1-row LM-total scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
@@ -155,6 +156,8 @@ _NLJ_ALLOWED = {
     "join_cross_region_pairs",
     "join_theta_price_bands",
     "sample_temperature_lang",
+    "sim_embedding_covariance",  # 1-row corpus-count scalar broadcast
+    # onto the 4096-row Gram relation (n·G − s·sᵀ centering)
     "sim_binary_quant_hamming_topk",  # coarse Hamming scan: same bounded
     # 10-query broadcast side as sim_cosine_topk, on 2 BIGINTs not 64 floats
     "sim_cosine_topk",

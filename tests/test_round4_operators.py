@@ -157,3 +157,90 @@ def test_pca_power_matches_numpy(spark, emb):
         return abs(v @ top) / np.linalg.norm(v)
 
     assert align(v2.astype(np.float64)) >= align(v1.astype(np.float64)) - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Centered covariance / salted join
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_scaled_matches_numpy(spark, emb):
+    out = {(r.i, r.j): r.cov_scaled
+           for r in S.covariance_scaled(emb).collect()}
+    q = np.stack([
+        np.floor(np.asarray(r.embedding, dtype=np.float64) * 8).astype(np.int64)
+        for r in emb.collect()
+    ])
+    n = q.shape[0]
+    g = q.T @ q
+    s = q.sum(axis=0)
+    expect = n * g - np.outer(s, s)
+    for i in range(64):
+        for j in range(64):
+            assert out[(i + 1, j + 1)] == expect[i, j], (i, j)
+    # symmetry + PSD of the exact statistic (sanity of the identity)
+    assert np.array_equal(expect, expect.T)
+    assert np.linalg.eigvalsh(expect.astype(np.float64)).min() >= -1e-3
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be result-invisible: the salted plan's output equals
+    the plain unsalted join bit-for-bit."""
+    salted = {
+        r.c_mktsegment: (r.n_orders, r.spend)
+        for r in REGISTRY["join_salted_skew_spend"].fn(spark, sf_dir).collect()
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from crane_stream_processing_spark.inventory import dsum
+    plain = {
+        r.c_mktsegment: (r.n_orders, r.spend)
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             dsum("o_totalprice").alias("spend"))
+        .collect()
+    }
+    assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# Containment / perceptual hash
+# ---------------------------------------------------------------------------
+
+
+def test_containment_vs_jaccard_asymmetry(spark, sf_dir):
+    """Containment >= Jaccard for every pair (|A∩B|/|A| >= |A∩B|/|A∪B|),
+    and the top-1 report emits exactly one row per probe doc."""
+    rows = (
+        REGISTRY["dedup_shingle_containment_top1"].fn(spark, sf_dir).collect()
+    )
+    ids = [r.id_a for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(0.0 <= r.containment <= 1.0 for r in rows)
+
+
+def test_ahash_matches_direct_pixel_hash(spark, sf_dir):
+    """The registry query's decode→hash chain equals hashing the
+    generative RGB grid directly (no BMP container in the loop)."""
+    import crane_stream_processing_spark.operators.multimodal as M
+
+    got = {
+        r.media_id: (r.ahash_w0, r.ahash_w1, r.bits_set)
+        for r in REGISTRY["mm_bmp_ahash_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    for doc_id in list(got)[:40]:
+        rgb = M._rgb_grid(doc_id, 8 + doc_id % 9, 4 + doc_id % 5).astype(np.int64)
+        assert got[doc_id] == M.ahash64(rgb), doc_id
+
+
+def test_ahash_flips_on_pixel_change():
+    """A single bright pixel shifts the mean and flips at least its own
+    cell's bit — the hash actually depends on content."""
+    import crane_stream_processing_spark.operators.multimodal as M
+
+    base = np.full((8, 8, 3), 100, dtype=np.int64)
+    base[0, 0] = 101  # break the all-equal degenerate case
+    tweaked = base.copy()
+    tweaked[4, 4] = 255
+    assert M.ahash64(base) != M.ahash64(tweaked)
