@@ -162,15 +162,16 @@ def _load_all() -> None:
 # (src_rate_word_cycle, text_bpe_train_merges), which take the spare
 # slots so the window covers every query that existed when it froze.
 # After this window the cumulative union of CORRECTNESS_r01-r04 covers
-# 193 of the 207 registry queries; the fourteen added after the freeze
+# 193 of the 210 registry queries; the seventeen added after the freeze
 # (text_bpe_compression_by_lang, join_asof_tolerance_7d_purchase,
 # join_asof_nearest_purchase, evt_gapfill_linear,
 # mm_wav_codec_roundtrip, mm_bmp_codec_roundtrip,
 # sim_binary_quant_hamming_topk, dedup_semantic_prune,
 # curate_perplexity_buckets, sim_pca_power_topdir,
 # sim_embedding_covariance, join_salted_skew_spend,
-# dedup_shingle_containment_top1, mm_bmp_ahash_fingerprint) front the
-# round-5
+# dedup_shingle_containment_top1, mm_bmp_ahash_fingerprint,
+# curate_k_anonymity, curate_chunk_overlap, sim_knn_label_eval) front
+# the round-5
 # window.
 GRADE_PRIORITY: list[str] = [
     # round-3 additions + pre-r3 leftovers never yet in a driver window

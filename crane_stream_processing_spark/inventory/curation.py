@@ -794,3 +794,134 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cosc"), 6).alias("min_coherence"),
         F.count_if(F.col("cosc") < 0).alias("n_opposed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS k
+      FROM documents GROUP BY lang, source
+    )
+    SELECT CAST(5 AS BIGINT) AS k_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COALESCE(SUM(CASE WHEN k < 5 THEN 1 END), 0) AS BIGINT)
+             AS cells_below_k,
+           CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(k) AS BIGINT) AS min_k
+    FROM cells
+    """,
+)
+def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source):
+    a released corpus is k-anonymous when every quasi-identifier cell
+    holds >= k rows — smaller cells re-identify their members, so the
+    privacy gate counts sub-threshold cells and the rows exposed in them
+    (the set a release pipeline must suppress or generalize). One
+    groupBy on the quasi-identifier plus a scalar fold over the
+    cell-count relation — the cell table is bounded by identifier
+    cardinality, not corpus size, so the audit costs one scan at any
+    SF. Sweeping k means re-folding the same cell table, not
+    re-scanning."""
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k"))
+    below = F.when(F.col("k") < 5, 1)
+    at_risk = F.when(F.col("k") < 5, F.col("k"))
+    return cells.agg(
+        F.lit(5).cast("long").alias("k_threshold"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum(below), F.lit(0)).cast("long").alias("cells_below_k"),
+        F.coalesce(F.sum(at_risk), F.lit(0)).cast("long").alias("rows_at_risk"),
+        F.min("k").alias("min_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+    ), sized AS (
+      SELECT doc_id, len(tk) AS n,
+             CASE WHEN len(tk) = 0 THEN 0
+                  WHEN len(tk) <= 32 THEN 1
+                  ELSE 1 + CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT)
+             END AS n_chunks
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, n, n_chunks, unnest(range(0, n_chunks)) AS c
+      FROM sized WHERE n_chunks > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_chunks,
+           CAST(c AS BIGINT) AS chunk_idx,
+           CAST(c * 24 + 1 AS BIGINT) AS tok_start,
+           CAST(least(c * 24 + 32, n) AS BIGINT) AS tok_end
+    FROM chunks
+    """,
+)
+def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG / long-context ingestion): split
+    each document into token windows of size 32 with stride 24 (8-token
+    overlap so no boundary sentence is lost), 1 row in → n_chunks rows
+    out with [tok_start, tok_end] spans (1-based, end-inclusive,
+    last chunk clipped). n_chunks = 1 + ceil((n-32)/24) — every token is
+    covered and the final window always reaches token n. Pure array
+    arithmetic + one posexplode of a SIZE-BOUNDED index sequence (no
+    per-token explode): the expansion factor is n/stride ≈ 1.33 rows,
+    not n rows, so the operator is scan-shaped at 100 TB. Companion to
+    curate_pack_sequences (which concatenates; this one splits)."""
+    docs = t(spark, sf_dir, "documents")
+
+    # One tokenization per row, enforced structurally: the let-bound body
+    # derives (n_tokens, n_chunks, chunk-index sequence) from the single
+    # bound token count, and explode(array(struct)) materializes that
+    # struct through a Generate node — downstream projections reference
+    # the generated attribute, so CollapseProject has nothing to
+    # re-inline (the plan-quality sweep pins one split() per node).
+    def body(n: Column) -> Column:
+        nc = (
+            F.when(n == 0, F.lit(0))
+            .when(n <= 32, F.lit(1))
+            .otherwise(1 + F.ceil((n - F.lit(32)) / 24.0))
+            .cast("long")
+        )
+        idx = F.when(
+            nc > 0, F.sequence(F.lit(0).cast("long"), nc - 1)
+        ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            nc.alias("n_chunks"),
+            idx.alias("idx"),
+        )
+
+    from ..functions import let
+
+    staged = docs.select(
+        "doc_id",
+        F.explode(F.array(let(F.size(tokens("text")), body))).alias("s"),
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.n_chunks").alias("n_chunks"),
+        F.explode("s.idx").alias("chunk_idx"),
+    )
+    return exploded.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        "chunk_idx",
+        (F.col("chunk_idx") * 24 + 1).alias("tok_start"),
+        F.least(F.col("chunk_idx") * 24 + 32, F.col("n_tokens")).alias("tok_end"),
+    )

@@ -849,6 +849,80 @@ def dedup_shingle_containment_top1(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "sim_knn_label_eval",
+    oracle=f"""
+    WITH knn AS (
+      SELECT query_id, cand_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({SQL_COSINE}, 6) DESC,
+                                           b.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 50) a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= 3
+    ), votes AS (
+      SELECT k.query_id, e.label AS cand_label, COUNT(*) AS cnt
+      FROM knn k JOIN embeddings e ON k.cand_id = e.vec_id
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT query_id, cand_label AS pred_label FROM (
+        SELECT query_id, cand_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cnt DESC, cand_label) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT p.query_id, q.label AS true_label, p.pred_label,
+           (q.label = p.pred_label) AS correct
+    FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+    """,
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation — the embedding-quality probe a pipeline
+    runs before trusting vectors for semantic dedup or retrieval: for
+    each query (vec_id < 50) take its exact cosine top-3 neighbors,
+    majority-vote their labels (ties → smallest label, so the vote is
+    engine-deterministic), and compare to the query's own label. Low kNN
+    accuracy means the embedding space doesn't respect the labels and
+    every downstream similarity op inherits that noise. Reuses the
+    cosine_topk contract (round-6, id tiebreak) so the neighbor set is
+    the oracle's; the vote is one groupBy + window over |Q|·3 rows.
+    Per-query verdict rows (not just the aggregate) so mispredictions
+    are inspectable."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    hits = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=3)
+    labels = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+    )
+    votes = (
+        hits.join(F.broadcast(labels), "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("cnt").desc(), F.col("cand_label")
+        )
+    )
+    pred = (
+        votes.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
+    )
+
+
 _KMEANS_MODELS: dict[tuple[str, int, int], list[list[float]]] = {}
 
 

