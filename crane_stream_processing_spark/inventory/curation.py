@@ -925,3 +925,84 @@ def curate_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chunk_idx") * 24 + 1).alias("tok_start"),
         F.least(F.col("chunk_idx") * 24 + 32, F.col("n_tokens")).alias("tok_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed contiguous id assignment (the two-pass offset recipe)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_assign_row_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def curate_assign_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based training-example ids by global doc_id order —
+    WITHOUT the global sort a naive ROW_NUMBER() OVER (ORDER BY ...)
+    window would force onto one task. The two-pass recipe every
+    at-scale pipeline uses: (1) range-repartition by the order key, sort
+    within partitions, rank locally; (2) count each partition (a
+    partition-count-sized aggregate), prefix-sum those counts, and add
+    each partition's offset to its local ranks via a broadcast join on
+    spark_partition_id. The answer is IDENTICAL for any range-boundary
+    choice (offsets absorb whatever the sampler picked — range
+    partitioning only needs to keep key ranges disjoint and ordered), so
+    the row-level oracle holds even though the physical split is
+    sampled. Plan (verified): the emit path is one range shuffle + local
+    sort + one Arrow pass; the count pass re-shuffles only the bare
+    doc_id column (the standard two-pass zipWithIndex cost — cheaper
+    than caching the corpus); nothing is global but the
+    partition-count vector (SinglePartition over <= #partitions rows)."""
+    from pyspark.sql import types as TY
+
+    docs = t(spark, sf_dir, "documents")
+    parts = docs.select("doc_id").repartitionByRange(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    ).sortWithinPartitions("doc_id")
+
+    # Per-partition local ranks via one Arrow pass with a running counter
+    # — NOT a window over spark_partition_id(), which would re-shuffle
+    # the whole corpus a second time to cluster by pid (rows are already
+    # exactly there); this keeps the range exchange as the only full-data
+    # shuffle. mapInPandas has no partition-id argument, so the pid rides
+    # along as a codegen column (no shuffle — rows keep their partition).
+    staged = parts.select("doc_id", F.spark_partition_id().alias("pid"))
+
+    def _rank_batches(batches):
+        import pandas as pd
+
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pid": pdf["pid"],
+                    "local_rank": range(seen, seen + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    schema = TY.StructType(
+        [
+            TY.StructField("doc_id", TY.LongType()),
+            TY.StructField("pid", TY.IntegerType()),
+            TY.StructField("local_rank", TY.LongType()),
+        ]
+    )
+    local = staged.mapInPandas(_rank_batches, schema=schema)
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        (F.sum("cnt").over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+        )).alias("off"),
+    ).fillna(0, subset=["off"])
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select("doc_id", (F.col("off") + F.col("local_rank")).alias("row_id"))
+    )

