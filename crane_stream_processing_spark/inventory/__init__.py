@@ -162,7 +162,7 @@ def _load_all() -> None:
 # (src_rate_word_cycle, text_bpe_train_merges), which take the spare
 # slots so the window covers every query that existed when it froze.
 # After this window the cumulative union of CORRECTNESS_r01-r04 covers
-# 193 of the 211 registry queries; the eighteen added after the freeze
+# 193 of the 214 registry queries; the twenty-one added after the freeze
 # (text_bpe_compression_by_lang, join_asof_tolerance_7d_purchase,
 # join_asof_nearest_purchase, evt_gapfill_linear,
 # mm_wav_codec_roundtrip, mm_bmp_codec_roundtrip,
@@ -171,7 +171,8 @@ def _load_all() -> None:
 # sim_embedding_covariance, join_salted_skew_spend,
 # dedup_shingle_containment_top1, mm_bmp_ahash_fingerprint,
 # curate_k_anonymity, curate_chunk_overlap, sim_knn_label_eval,
-# curate_assign_row_ids) front the round-5
+# curate_assign_row_ids, stream_mm_ahash_fingerprint,
+# evt_max_concurrent_sessions, text_zipf_slope) front the round-5
 # window.
 GRADE_PRIORITY: list[str] = [
     # round-3 additions + pre-r3 leftovers never yet in a driver window

@@ -476,3 +476,70 @@ def evt_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
         F.col("hour_value").isNull().alias("interpolated"),
     )
+
+
+@query(
+    "evt_max_concurrent_sessions",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_id, ts AS t0,
+             ts + INTERVAL 1 SECOND * (60 + CAST(floor(value) AS BIGINT)) AS t1
+      FROM events
+    ), deltas AS (
+      SELECT user_id, t0 AS t, 1 AS delta FROM spans
+      UNION ALL
+      SELECT user_id, t1 AS t, -1 AS delta FROM spans
+    ), running AS (
+      SELECT user_id,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM deltas
+    )
+    SELECT user_id,
+           CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+    FROM running GROUP BY user_id
+    """,
+)
+def evt_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics by sweep line: each event opens a
+    session of 60 + floor(value) seconds; the classic +1/-1 boundary
+    sweep (sort boundaries, running sum, max) reports each user's peak
+    number of simultaneously-open sessions — the multi-device
+    concurrency audit, and the shape behind seat licensing / capacity
+    questions that naive self-joins answer in O(n²) per key. End bounds
+    sort BEFORE starts at the same instant (ORDER BY t, delta with
+    delta=-1 < +1), making touching intervals non-overlapping —
+    end-exclusive semantics, identical in both engines. The per-row
+    running sum is order-sensitive only WITHIN a tied (t, delta) group,
+    where all deltas share a sign, so the per-user MAX is deterministic.
+    Partition key = user_id: the sweep never crosses users, so 100 TB
+    parallelizes across the key space with one shuffle."""
+    ev = t(spark, sf_dir, "events")
+    spans = ev.select(
+        "user_id",
+        F.col("ts").alias("t0"),
+        (
+            F.col("ts")
+            + F.make_interval(secs=(60 + F.floor("value")).cast("double"))
+        ).alias("t1"),
+    )
+    deltas = spans.select(
+        "user_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            "user_id", F.col("t1").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.select(
+        "user_id", F.sum("delta").over(w).alias("open_now")
+    )
+    return running.groupBy("user_id").agg(
+        F.max("open_now").cast("long").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )

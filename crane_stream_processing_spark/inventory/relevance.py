@@ -678,3 +678,62 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_lp").alias("min_lp"),
         F.max("avg_lp").alias("max_lp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit (corpus health audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({SQL_TOKS}) AS tok FROM documents
+    ), tc AS (
+      SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tok ASC) AS rnk
+      FROM tc
+    )
+    SELECT lang,
+           COUNT(*) AS n_types,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+             AS fit_r2
+    FROM ranked WHERE rnk <= 200 GROUP BY lang
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language — the corpus-health audit (natural text
+    shows log-frequency ≈ slope·log-rank + b with slope near −1 and high
+    R²; generated/templated/spammy corpora bend away from it): rank each
+    language's token frequencies (count desc, token asc — the cut at
+    rank 200 is engine-exact because ties break lexically), regress
+    ln(freq) on ln(rank) with the built-in regression aggregates over
+    the top-200 types. The regression runs on a vocabulary-bounded
+    relation (200 rows/lang), so the only corpus-sized work is the token
+    count the other text audits already share. Log-bearing outputs are
+    rounded (scale 4) per the module's float discipline — regr_* sums
+    doubles, whose last-ulp summation-order drift the rounding
+    absorbs."""
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    )
+    ranked = tc.withColumn("rnk", rnk).filter(F.col("rnk") <= 200)
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 4).alias("fit_r2"),
+    )

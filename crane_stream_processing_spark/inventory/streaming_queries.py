@@ -623,3 +623,64 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     _run_to_memory(deduped, "stream_dedup_within_watermark", "append")
     return spark.table("stream_dedup_within_watermark")
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+# Oracle is the batch twin's, verbatim: the stream must answer identically.
+_ORACLE_MM_AHASH = """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM gx),
+    p AS (SELECT doc_id, y * 8 + x AS cell,
+            (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256
+          + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+          + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
+          FROM g),
+    t AS (SELECT doc_id, SUM(gray) AS total FROM p GROUP BY doc_id)
+    SELECT p.doc_id AS media_id,
+           CAST(SUM(CASE WHEN cell < 32 AND gray * 64 > total
+                         THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
+             AS ahash_w0,
+           CAST(SUM(CASE WHEN cell >= 32 AND gray * 64 > total
+                         THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS BIGINT)
+             AS ahash_w1,
+           CAST(SUM(CASE WHEN gray * 64 > total THEN 1 ELSE 0 END) AS BIGINT)
+             AS bits_set
+    FROM p JOIN t USING (doc_id) GROUP BY p.doc_id
+"""
+
+
+@query("stream_mm_ahash_fingerprint", oracle=_ORACLE_MM_AHASH)
+def stream_mm_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline AS A STREAM: documents arrive on a file
+    stream, each micro-batch synthesizes real BMP payloads and runs the
+    byte-level decode → perceptual-hash chain (the same Arrow-batched
+    mapInPandas stages as mm_bmp_ahash_fingerprint — mapInPandas is
+    stateless, so it composes with Structured Streaming unchanged),
+    append-mode into the sink, graded against the identical closed-form
+    oracle. Proves the engine's media operators are not batch-only: the
+    ingest shape for a production corpus (media blobs landing
+    continuously, fingerprints emitted incrementally for the dedup
+    index) runs on the same code path. No watermark needed — the
+    pipeline is stateless 1→1."""
+    from ..operators import multimodal as M
+
+    _set_session_confs(spark)
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hashed = M.bmp_ahash(M.synthesize_bmp(docs))
+    _run_to_memory(hashed, "stream_mm_ahash_fingerprint", "append")
+    return spark.table("stream_mm_ahash_fingerprint")

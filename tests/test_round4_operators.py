@@ -317,3 +317,38 @@ def test_chunk_overlap_property():
             assert spans[-1][1] - spans[-1][0] + 1 >= 1
 
     check()
+
+
+def test_max_concurrent_sessions_brute_force(spark, sf_dir):
+    """Sweep-line result equals the brute-force per-user check (for every
+    event, count sessions open at its start instant, end-exclusive)."""
+    got = {
+        r.user_id: (r.max_concurrent, r.n_sessions)
+        for r in REGISTRY["evt_max_concurrent_sessions"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    ).collect()
+    import collections
+    import datetime
+
+    spans = collections.defaultdict(list)
+    for r in ev:
+        t0 = r.ts
+        t1 = t0 + datetime.timedelta(seconds=60 + int(np.floor(r.value)))
+        spans[r.user_id].append((t0, t1))
+    for uid, ss in spans.items():
+        best = 0
+        for t0, _ in ss:
+            open_now = sum(1 for a, b in ss if a <= t0 < b)
+            best = max(best, open_now)
+        assert got[uid] == (best, len(ss)), uid
+
+
+def test_zipf_slope_is_negative_and_fits(spark, sf_dir):
+    rows = REGISTRY["text_zipf_slope"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.zipf_slope < 0, r.lang          # frequency falls with rank
+        assert 0 <= r.fit_r2 <= 1, r.lang
+        assert r.n_types <= 200
