@@ -630,6 +630,85 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.covariance_scaled(emb, dim=64, scale=8)
 
 
+@query(
+    "sim_lsh_recall_at_k",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), exact AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({SQL_COSINE}, 6) DESC,
+                                           b.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ), lsh AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({SQL_COSINE}, 6) DESC,
+                                           b.vec_id) AS rank
+        FROM (SELECT * FROM bucketed WHERE vec_id < 10) a
+        JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ), joined AS (
+      SELECT e.query_id, e.rank AS exact_rank, l.rank AS lsh_rank
+      FROM exact e LEFT JOIN lsh l
+        ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+    ), ks AS (SELECT unnest([1, 3, 5]) AS k)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(CASE WHEN lsh_rank <= k THEN 1 END), 0) AS BIGINT)
+             AS n_hit,
+           round(CAST(COALESCE(SUM(CASE WHEN lsh_rank <= k THEN 1 END), 0)
+                      AS DOUBLE) / COUNT(*), 4) AS recall
+    FROM joined JOIN ks ON exact_rank <= k
+    GROUP BY k
+    """,
+)
+def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN evaluation harness AS A QUERY: recall@{{1,3,5}} of
+    single-probe LSH against the exact brute-force ranking, in one pass
+    — the measurement a pipeline runs before trusting an index
+    configuration (plane count, probe fan-out) at scale. Both rankings
+    are deterministic (fixed seeded planes, round-6 + id tiebreaks), so
+    unlike the trained-index certificates this recall CURVE itself
+    grades row-level: n_exact, n_hit, and the recall ratio must match
+    the oracle exactly. Top-5 is computed once per side; the three k
+    cuts are a 3-row join, not three reruns. (Measured here: recall
+    rises with k since bucket misses concentrate in the tail —
+    the multiprobe variant exists to recover them.)"""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=5).select(
+        "query_id", "cand_id", F.col("rank").alias("exact_rank")
+    )
+    lsh = S.lsh_ann_topk(emb, q, _PLANES, k=5).select(
+        "query_id", "cand_id", F.col("rank").alias("lsh_rank")
+    )
+    joined = exact.join(lsh, ["query_id", "cand_id"], "left")
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k")
+    )
+    hit = F.when(F.col("lsh_rank") <= F.col("k"), 1)
+    return (
+        joined.join(F.broadcast(ks), F.col("exact_rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum(hit), F.lit(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 def _sql_ivf_cell(vec_expr: str) -> str:
     dots = ", ".join(
         f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {_sql_plane(row)})"

@@ -171,6 +171,7 @@ _NLJ_ALLOWED = {
     # exact-baseline crossJoins as sim_pq_adc_topk, nothing unbounded
     "sim_hard_negatives",
     "sim_knn_label_eval",  # 50-query probe broadcast (cosine_topk reuse)
+    "sim_lsh_recall_at_k",  # 10-query probe + 3-row k-cut broadcast join
     "text_bigram_lm_logprob",  # 1-row smoothing-denominator vocab scalar
     "text_bm25_search",
     "text_tfidf_top_terms",
@@ -215,6 +216,7 @@ _SCALED_HINT_ALLOWED = {
     "sim_hard_negatives",           # same probe pattern
     "sim_ivf_kmeans_topk",          # probe + exact-baseline probe
     "sim_knn_label_eval",           # vec_id<50 probe broadcast
+    "sim_lsh_recall_at_k",          # 10-query probe broadcast
     "sim_ivfpq_topk",               # probe, LUT build, exact baseline
     "sim_matryoshka_rerank_topk",   # prefix probe + full-vector probe
     "sim_pq_adc_topk",              # probe + LUT + exact baseline

@@ -352,3 +352,15 @@ def test_zipf_slope_is_negative_and_fits(spark, sf_dir):
         assert r.zipf_slope < 0, r.lang          # frequency falls with rank
         assert 0 <= r.fit_r2 <= 1, r.lang
         assert r.n_types <= 200
+
+
+def test_lsh_recall_curve_monotone_in_k(spark, sf_dir):
+    """Hit counts grow with k, recall stays in [0,1], and n_exact = 10·k
+    on this corpus (every query has >= 5 candidates)."""
+    rows = {r.k: r for r in
+            REGISTRY["sim_lsh_recall_at_k"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[1].n_hit <= rows[3].n_hit <= rows[5].n_hit
+    for k, r in rows.items():
+        assert r.n_exact == 10 * k
+        assert 0.0 <= r.recall <= 1.0
