@@ -543,3 +543,73 @@ def evt_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open_now").cast("long").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
+
+
+@query(
+    "evt_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             ts, event_id, value
+      FROM events
+    ), o AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM b
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS volume
+    FROM o GROUP BY 1, 2
+    """,
+)
+def evt_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (the hypertable/time-series rollup shape — TimescaleDB's
+    continuous aggregate, a market-data candle): per (event_type, hour)
+    the first value, max, min, last value, count, and exact-decimal
+    volume. Open/close are rank-1 picks over (ts, event_id) asc/desc —
+    raw row values with a total-order tiebreak, so the bar is
+    engine-exact even with duplicate timestamps (arg-min/max by bare ts
+    would be nondeterministic there). One shuffle on the (type, bucket)
+    key; both window passes and the final aggregate share it. At 100 TB
+    this is the query a continuous aggregate materializes incrementally;
+    the streaming twin is the tumbling-window family (ST4), already
+    graded in both modes."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wkey = ["event_type", "bucket"]
+    rn_open = F.row_number().over(
+        Window.partitionBy(*wkey).orderBy(F.col("ts"), F.col("event_id"))
+    )
+    rn_close = F.row_number().over(
+        Window.partitionBy(*wkey).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    o = b.withColumn("rn_open", rn_open).withColumn("rn_close", rn_close)
+    return o.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("volume"),
+    ).select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "open", "high", "low", "close", "n_events", "volume",
+    )

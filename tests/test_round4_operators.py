@@ -364,3 +364,21 @@ def test_lsh_recall_curve_monotone_in_k(spark, sf_dir):
     for k, r in rows.items():
         assert r.n_exact == 10 * k
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    """low <= open/close <= high, n_events >= 1, and bar count equals the
+    distinct (type, hour) pairs."""
+    rows = REGISTRY["evt_ohlc_hourly"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high, (r.event_type, r.bar_start)
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_bars = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_bars
