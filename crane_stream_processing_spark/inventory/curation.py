@@ -1006,3 +1006,39 @@ def curate_assign_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.join(F.broadcast(offsets), "pid")
         .select("doc_id", (F.col("off") + F.col("local_rank")).alias("row_id"))
     )
+
+
+@query(
+    "sample_weighted_es_topk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                CHR(0))), 1, 8)) AS BIGINT)
+              + 1) / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key FROM (
+      SELECT doc_id, lang, n_chars,
+             round(-ln(u) * 1000.0 / n_chars, 6) AS es_key,
+             ROW_NUMBER() OVER (
+               ORDER BY round(-ln(u) * 1000.0 / n_chars, 6), doc_id) AS rk
+      FROM d
+    ) WHERE rk <= 50
+    """,
+)
+def sample_weighted_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 50-doc sample WITHOUT replacement
+    (Efraimidis–Spirakis A-Res keys over the deterministic id-hash
+    uniform — operators/sampling.py weighted_topk_es): the draw every
+    'sample k documents proportional to length' request actually wants,
+    where the Bernoulli sampler (sample_weighted_length) can only
+    approximate k in expectation and can never exclude re-selection.
+    Keys are rounded before ranking (ln last-ulp discipline) and the
+    id tiebreak makes the k-cut engine-exact, so the oracle reproduces
+    the sample row-for-row. Plan: TakeOrderedAndProject (per-partition
+    heaps, k rows to the driver) — no global sort at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    return SA.weighted_topk_es(docs, 50, "n_chars", "doc_id").select(
+        "doc_id", "lang", "n_chars", "es_key"
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "weighted_sample",
     "uniform_k",
     "cap_per_group",
+    "weighted_topk_es",
 ]
 
 _HEX_DIGITS = 8  # 32 bits of the digest: plenty for sampling resolution
@@ -179,4 +180,33 @@ def cap_per_group(df: DataFrame, group_col: str, n: int, id_col: str) -> DataFra
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
+    )
+
+
+def weighted_topk_es(
+    df: DataFrame, k: int, weight_col: str, id_col: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, via the
+    Efraimidis–Spirakis A-Res keys (Efraimidis & Spirakis, IPL 2006):
+    each row draws u ∈ (0, 1] and ranks by u^(1/w) descending —
+    equivalently by −ln(u)/w ascending, the form used here (scaled
+    ×1000 into O(1) range and ROUNDED to 6 so the cut is engine-exact
+    despite ln's last-ulp divergence; id tiebreak). Items win
+    proportionally to weight, but each at most once — the property
+    `weighted_sample` (Bernoulli, with-replacement-like independence)
+    can't give. u derives from the id hash (+1 so ln never sees 0), so
+    the draw is deterministic, engine-portable, and stable under
+    re-runs/backfills like every other sampler here. Executes as
+    TakeOrderedAndProject: per-partition k-heaps, merged on the driver
+    — 100 TB in, k rows out, no global sort. Zero/negative weights are
+    excluded (their key is undefined/infinite)."""
+    u = (
+        F.conv(hash_uniform_hex(id_col), 16, 10).cast("long") + 1
+    ) / F.lit(float(16**_HEX_DIGITS))
+    key = F.round(-F.log(u) * 1000.0 / F.col(weight_col), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -382,3 +382,16 @@ def test_ohlc_bars_invariants(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_bars
+
+
+def test_es_weighted_sample_favors_long_docs(spark, sf_dir):
+    """Exactly k distinct winners; the sample's mean length exceeds the
+    corpus mean (weighting works); keys are sorted ascending."""
+    rows = REGISTRY["sample_weighted_es_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == 50
+    keys = [r.es_key for r in rows]
+    assert keys == sorted(keys)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
