@@ -162,7 +162,7 @@ def _load_all() -> None:
 # (src_rate_word_cycle, text_bpe_train_merges), which take the spare
 # slots so the window covers every query that existed when it froze.
 # After this window the cumulative union of CORRECTNESS_r01-r04 covers
-# 193 of the 217 registry queries; the twenty-four added after the freeze
+# 193 of the 218 registry queries; the twenty-five added after the freeze
 # (text_bpe_compression_by_lang, join_asof_tolerance_7d_purchase,
 # join_asof_nearest_purchase, evt_gapfill_linear,
 # mm_wav_codec_roundtrip, mm_bmp_codec_roundtrip,
@@ -173,8 +173,8 @@ def _load_all() -> None:
 # curate_k_anonymity, curate_chunk_overlap, sim_knn_label_eval,
 # curate_assign_row_ids, stream_mm_ahash_fingerprint,
 # evt_max_concurrent_sessions, text_zipf_slope,
-# sim_lsh_recall_at_k, evt_ohlc_hourly, sample_weighted_es_topk)
-# front the round-5
+# sim_lsh_recall_at_k, evt_ohlc_hourly, sample_weighted_es_topk,
+# dedup_minhash_calibration) front the round-5
 # window.
 GRADE_PRIORITY: list[str] = [
     # round-3 additions + pre-r3 leftovers never yet in a driver window

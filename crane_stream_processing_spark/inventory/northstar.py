@@ -148,6 +148,80 @@ def dedup_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_calibration",
+    oracle=_CTE_LSH_BANDS
+    + f""",
+    sets AS (
+      SELECT doc_id, list_distinct(g) AS g FROM sh
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter([sga.mh[i] = sgb.mh[i] FOR i IN range(1, 13)],
+                                 b -> b)) / 12.0, 6) AS est_jaccard,
+           round(len(list_intersect(sa.g, sb.g))::DOUBLE
+                 / len(list_distinct(sa.g || sb.g)), 6) AS exact_jaccard,
+           round(abs(round(len(list_filter([sga.mh[i] = sgb.mh[i]
+                                            FOR i IN range(1, 13)], b -> b))
+                           / 12.0, 6)
+                     - round(len(list_intersect(sa.g, sb.g))::DOUBLE
+                             / len(list_distinct(sa.g || sb.g)), 6)), 6)
+             AS abs_err
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    JOIN sig sga ON sga.doc_id = id_a
+    JOIN sig sgb ON sgb.doc_id = id_b
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the minhash pipeline (companion to
+    sim_lsh_recall_at_k's index calibration): for every LSH candidate
+    pair, the signature-based Jaccard ESTIMATE (matching positions / 12
+    — the unbiased minhash estimator) next to the exact shingle-set
+    Jaccard and their absolute error. This is the measurement that
+    justifies signature width before a 100 TB run: error scales
+    ~1/sqrt(k_sigs), and at scale only the 12-value signatures (not the
+    shingle sets) need to survive past the scan. md5 minhash is
+    engine-identical, so the whole calibration — estimates included —
+    grades row-level. Candidates come from the same banded self-join as
+    dedup_minhash_lsh_jaccard; exact sets are joined back only for the
+    candidate pairs."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
+    exact = D.jaccard_pairs(docs, pairs, "doc_id", "text").select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    staged = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", D.minhash_signature(D.token_shingles(F.col("toks"))).alias("mh")
+    )
+    sa = staged.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mha"))
+    sb = staged.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mhb"))
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("mha", "mhb", lambda x, y: x == y), lambda b: b
+            )
+        )
+        / F.lit(12.0),
+        6,
+    )
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            "exact_jaccard",
+            F.round(
+                F.abs(est - F.col("exact_jaccard")), 6
+            ).alias("abs_err"),
+        )
+    )
+
+
+@query(
     "dedup_simhash_documents",
     oracle=f"""
     WITH tk AS (

@@ -395,3 +395,19 @@ def test_es_weighted_sample_favors_long_docs(spark, sf_dir):
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_minhash_calibration_estimator_properties(spark, sf_dir):
+    """Estimates are multiples of 1/12 in [0,1]; abs_err is consistent
+    with the two reported values; exact matches the graded LSH query."""
+    rows = REGISTRY["dedup_minhash_calibration"].fn(spark, sf_dir).collect()
+    assert rows
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in REGISTRY["dedup_minhash_lsh_jaccard"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert round(r.est_jaccard * 12) == int(round(r.est_jaccard * 12))
+        assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) < 1e-6
+        assert lsh[(r.id_a, r.id_b)] == r.exact_jaccard
