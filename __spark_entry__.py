@@ -17,8 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crane_stream_processing_spark.inventory import (
     REGISTRY,
+    protect_host_caches,
     release_query_caches,
 )
+
+_HOST_SNAPSHOT_TAKEN = False
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,9 +38,18 @@ def _released(fn: Callable) -> Callable:
     rows, BPE vocabulary, iterative localCheckpoints) would pin executor
     memory for the rest of the graded run. Releasing at the START of the
     next call (not the end of the current one) keeps each query's cache
-    alive through the driver's collect of that query's result."""
+    alive through the driver's collect of that query's result.
+
+    The first call snapshots pre-existing persistent RDDs as host-owned
+    (``protect_host_caches``): no registry query has run yet, so anything
+    already cached belongs to the embedding application and must survive
+    every subsequent sweep."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _HOST_SNAPSHOT_TAKEN
+        if not _HOST_SNAPSHOT_TAKEN:
+            protect_host_caches(spark)
+            _HOST_SNAPSHOT_TAKEN = True
         release_query_caches(spark)
         return fn(spark, sf_dir)
 

@@ -28,7 +28,7 @@ from ..catalog import load_table
 
 __all__ = [
     "Query", "REGISTRY", "query", "t", "t_cpu", "dsum", "davg",
-    "register_query_cache", "release_query_caches",
+    "register_query_cache", "release_query_caches", "protect_host_caches",
 ]
 
 
@@ -73,6 +73,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # registry queries in one long-lived session).
 _QUERY_CACHES: list[DataFrame] = []
 
+# Persistent-RDD ids owned by the HOST application (not by registry
+# queries). The release sweep below skips these, so an application that
+# embeds the registry in its own long-lived session keeps its caches.
+_PROTECTED_RDD_IDS: set[int] = set()
+
 
 def register_query_cache(df: DataFrame) -> DataFrame:
     """Record a persisted/cached DataFrame for post-query release."""
@@ -80,12 +85,26 @@ def register_query_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def protect_host_caches(spark: SparkSession) -> None:
+    """Snapshot every currently-persistent RDD id as host-owned so
+    :func:`release_query_caches` never unpersists it. The driver contract
+    (``__spark_entry__._released``) calls this once before the first
+    registry query runs — at that point anything already cached in the
+    session belongs to the host application, not to a registry query."""
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        _PROTECTED_RDD_IDS.update(int(jrdd.id()) for jrdd in jrdds.values())
+    except Exception:  # noqa: BLE001 — a dead session must not mask startup
+        pass
+
+
 def release_query_caches(spark: SparkSession) -> None:
     """Unpersist every registered query cache, then sweep any remaining
     persistent RDDs (localCheckpoint storage from iterative operators —
     pagerank / label propagation — persists at the RDD level, invisible
-    to ``spark.catalog.clearCache``). Safe between queries: nothing in
-    the engine relies on cross-query cached state; index artifacts are
+    to ``spark.catalog.clearCache``) EXCEPT ids recorded by
+    :func:`protect_host_caches`. Safe between queries: nothing in the
+    engine relies on cross-query cached state; index artifacts are
     parquet files on disk, not cached relations."""
     while _QUERY_CACHES:
         try:
@@ -95,7 +114,8 @@ def release_query_caches(spark: SparkSession) -> None:
     try:
         jrdds = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jrdds.values()):
-            jrdd.unpersist()
+            if int(jrdd.id()) not in _PROTECTED_RDD_IDS:
+                jrdd.unpersist()
     except Exception:  # noqa: BLE001
         pass
 
@@ -154,30 +174,49 @@ def _load_all() -> None:
 # (CORRECTNESS_r01.json); round 2 proved TPC-H / dedup / similarity /
 # text (CORRECTNESS_r02.json, 49/50); round 3 proved scalars, setops,
 # eventtime, windows tail, multimodal, udf/udtf, and 11 of 13 stream_*
-# queries (CORRECTNESS_r03.json, 50/50). Round 4 (this list, generated
-# by tools/rotate_priority.py from the accumulated CORRECTNESS files):
-# the exactly-48 never-driver-graded queries — graph_*, sample_*,
-# curate_*, sql_*, udtf_*, the evt_/text_/sim_ tails, and the two
-# remaining stream_* rows — plus the two round-4 additions
-# (src_rate_word_cycle, text_bpe_train_merges), which take the spare
-# slots so the window covers every query that existed when it froze.
-# After this window the cumulative union of CORRECTNESS_r01-r04 covers
-# 193 of the 218 registry queries; the twenty-five added after the freeze
-# (text_bpe_compression_by_lang, join_asof_tolerance_7d_purchase,
-# join_asof_nearest_purchase, evt_gapfill_linear,
-# mm_wav_codec_roundtrip, mm_bmp_codec_roundtrip,
-# sim_binary_quant_hamming_topk, dedup_semantic_prune,
-# curate_perplexity_buckets, sim_pca_power_topdir,
-# sim_embedding_covariance, join_salted_skew_spend,
-# dedup_shingle_containment_top1, mm_bmp_ahash_fingerprint,
-# curate_k_anonymity, curate_chunk_overlap, sim_knn_label_eval,
-# curate_assign_row_ids, stream_mm_ahash_fingerprint,
-# evt_max_concurrent_sessions, text_zipf_slope,
-# sim_lsh_recall_at_k, evt_ohlc_hourly, sample_weighted_es_topk,
-# dedup_minhash_calibration) front the round-5
-# window.
+# queries (CORRECTNESS_r03.json, 50/50); round 4 proved graph_*,
+# sample_*, curate_*, sql_*, udtf_* and the evt_/text_/sim_ tails
+# (CORRECTNESS_r04.json, 50/50). Round 5 (this list, generated by
+# tools/rotate_priority.py from the accumulated CORRECTNESS files):
+# the 25 round-4 post-freeze additions that have never been inside a
+# driver window — as-of tolerance/nearest, salted skew join, linear
+# gapfill, sweep-line concurrency, OHLC, minhash calibration, SemDeDup,
+# binary-quant/PCA/covariance/recall-curve/kNN-eval, shingle
+# containment, the WAV/BMP codec + aHash queries, BPE compression,
+# chunking, row-ids, ES-sampling, perplexity buckets, k-anonymity and
+# Zipf slope — plus a 25-row backfill of historical rows (re-proving
+# the round-4 window's newest families). After this window the
+# cumulative union of CORRECTNESS_r01-r05 covers every query that
+# existed at the round-5 freeze; queries added after this freeze front
+# the round-6 window.
 GRADE_PRIORITY: list[str] = [
-    # round-3 additions + pre-r3 leftovers never yet in a driver window
+    # round-4 post-freeze additions (never driver-graded before r5)
+    "join_asof_tolerance_7d_purchase",
+    "join_asof_nearest_purchase",
+    "join_salted_skew_spend",
+    "evt_gapfill_linear",
+    "evt_max_concurrent_sessions",
+    "evt_ohlc_hourly",
+    "dedup_minhash_calibration",
+    "dedup_semantic_prune",
+    "sim_binary_quant_hamming_topk",
+    "sim_pca_power_topdir",
+    "sim_embedding_covariance",
+    "sim_lsh_recall_at_k",
+    "dedup_shingle_containment_top1",
+    "sim_knn_label_eval",
+    "mm_wav_codec_roundtrip",
+    "mm_bmp_codec_roundtrip",
+    "mm_bmp_ahash_fingerprint",
+    "text_bpe_compression_by_lang",
+    "stream_mm_ahash_fingerprint",
+    "curate_k_anonymity",
+    "curate_chunk_overlap",
+    "curate_assign_row_ids",
+    "sample_weighted_es_topk",
+    "curate_perplexity_buckets",
+    "text_zipf_slope",
+    # backfill: re-prove the newest historical families
     "agg_regr_linear_price_qty",
     "window_percentrank_cumedist_price",
     "scalar_url_parse",
@@ -191,7 +230,6 @@ GRADE_PRIORITY: list[str] = [
     "text_bpe_pair_candidates",
     "stream_append_daily_by_type",
     "stream_dedup_within_watermark",
-    # SQL-surface family (subquery/lateral/recursive/pipe/params/ALL)
     "sql_orders_above_customer_avg",
     "evt_funnel_conversion",
     "evt_retention_cohorts",
@@ -204,33 +242,6 @@ GRADE_PRIORITY: list[str] = [
     "udtf_bigram_top20",
     "variant_props_stats",
     "sql_lateral_top2_orders",
-    "sql_recursive_order_chain",
-    "sql_pipe_priority_revenue",
-    "udf_sql_function_margin",
-    "sql_named_params_revenue",
-    "sql_groupby_all_orders",
-    "udtf_sessionize_table_arg",
-    # sampling / curation pipeline family
-    "sample_stratified_lang",
-    "sample_uniform_k_docs",
-    "sample_cap_per_source",
-    "text_vocab_stats",
-    "text_redact_marker",
-    "sample_weighted_length",
-    "sample_temperature_lang",
-    "curate_shard_assignment",
-    "curate_quality_gate",
-    "curate_mixture_weights",
-    "curate_dq_audit",
-    "curate_kfold_split",
-    "curate_split_leakage_audit",
-    "curate_label_coherence",
-    "text_bm25_search",
-    "curate_decontaminate",
-    "curate_pack_sequences",
-    # round-4 additions (rate-source content grade; iterated BPE trainer)
-    "src_rate_word_cycle",
-    "text_bpe_train_merges",
 ]
 
 

@@ -485,6 +485,7 @@ def evt_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts AS t0,
              ts + INTERVAL 1 SECOND * (60 + CAST(floor(value) AS BIGINT)) AS t1
       FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= -60
     ), deltas AS (
       SELECT user_id, t0 AS t, 1 AS delta FROM spans
       UNION ALL
@@ -514,8 +515,18 @@ def evt_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum is order-sensitive only WITHIN a tied (t, delta) group,
     where all deltas share a sign, so the per-user MAX is deterministic.
     Partition key = user_id: the sweep never crosses users, so 100 TB
-    parallelizes across the key space with one shuffle."""
-    ev = t(spark, sf_dir, "events")
+    parallelizes across the key space with one shuffle.
+
+    NULL/negative pinning (identical on both sides): rows with NULL
+    ts/value are dropped — Spark's Window.orderBy is NULLS FIRST while
+    DuckDB's ORDER BY is NULLS LAST, so a NULL boundary would diverge —
+    and value < -60 is dropped because it would invert the interval
+    (t1 < t0) and break the sweep invariant."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= -60)
+    )
     spans = ev.select(
         "user_id",
         F.col("ts").alias("t0"),

@@ -323,7 +323,13 @@ def parse_wav_pcm(b: bytes) -> dict:
     """Hand-written RIFF/WAVE PCM parser (the REAL decoder): walks the
     chunk list (word-aligned sizes per the RIFF spec), validates the PCM
     format tag, and decodes the data chunk with numpy. Raises on
-    non-RIFF, non-PCM, or truncated input."""
+    non-RIFF, non-PCM, or truncated input (a fmt/data chunk whose
+    declared size overruns the buffer).
+
+    Multichannel semantics: ``n_samples`` / ``duration_ms`` count FRAMES
+    (one per sample instant across all channels), while ``peak`` /
+    ``sum_abs`` span every interleaved channel sample — i.e. a stereo
+    file's sum_abs includes both channels."""
     import struct as _struct
 
     import numpy as np
@@ -336,6 +342,11 @@ def parse_wav_pcm(b: bytes) -> dict:
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
         body = b[pos + 8 : pos + 8 + size]
+        if cid in (b"fmt ", b"data") and len(body) != size:
+            raise ValueError(
+                f"truncated {cid.decode('ascii', 'replace').strip()} chunk: "
+                f"declared {size} bytes, {len(body)} available"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -126,6 +126,40 @@ def test_wav_roundtrip_stdlib_writer_to_our_parser():
     assert f["peak"] == 32767 and f["sum_abs"] == 0 + 32767 + 32768 + 5
 
 
+def test_wav_parser_rejects_truncated_data_chunk():
+    # A data chunk whose declared size overruns the buffer must raise, not
+    # silently yield fewer samples (round-4 ADVICE item).
+    good = M.encode_wav_pcm16([100, 200, 300], 8000)
+    truncated = good[:-2]  # drop one sample; declared size now overruns
+    with pytest.raises(ValueError, match="truncated data chunk"):
+        M.parse_wav_pcm(truncated)
+    # Same for an fmt chunk cut short mid-file.
+    fmt_pos = good.index(b"fmt ")
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        M.parse_wav_pcm(good[: fmt_pos + 8 + 10])
+
+
+def test_wav_parser_multichannel_frame_vs_sample_semantics():
+    # Stereo: n_samples/duration_ms count frames; peak/sum_abs span all
+    # interleaved channel samples (documented semantics).
+    import io
+    import wave
+
+    import numpy as np
+
+    interleaved = np.array([10, -20, 30, -40], dtype="<i2")  # 2 frames
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(1000)
+        w.writeframes(interleaved.tobytes())
+    f = M.parse_wav_pcm(buf.getvalue())
+    assert f["n_channels"] == 2 and f["n_samples"] == 2
+    assert f["duration_ms"] == 2 * 1000 // 1000
+    assert f["peak"] == 30 and f["sum_abs"] == 10 + 20 + 30 + 40
+
+
 def _golden_bmp() -> bytes:
     """Hand-assembled 2×2 24-bit BMP from the spec: pixels (row-major,
     top-down logical order) [[red, green], [blue, white]]; stored

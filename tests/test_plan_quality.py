@@ -165,6 +165,8 @@ _NLJ_ALLOWED = {
     # 10-query broadcast crossJoin as sim_cosine_topk (4x cheaper math)
     "sim_ivf_kmeans_topk",  # recall certificate's exact baseline: 10-query
     # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
+    "sim_ivf_rel_coarse_topk",  # relational coarse quantizer: the 1-row
+    # centroid-matrix broadcast crossJoin (bounded: ONE row) on each side
     "sim_pq_adc_topk",  # same certificate pattern: the PQ path itself is
     # all equi-joins; only the exact baseline crossJoins the 10 queries
     "sim_ivfpq_topk",  # composed IVF x PQ: same bounded LUT-build and
@@ -447,6 +449,8 @@ def test_query_caches_released_after_execution(spark, sf_dir):
     operators must leave ZERO persistent RDDs once the harness releases
     them — a leaked cache pins executor memory across every later query
     of a long-lived session (round-3 verdict item #2)."""
+    from crane_stream_processing_spark import inventory as inv
+
     for name in (
         "sql_recursive_order_chain",
         "curate_label_coherence",
@@ -456,8 +460,12 @@ def test_query_caches_released_after_execution(spark, sf_dir):
             "noop"
         ).save()
         release_query_caches(spark)
-        leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
-        assert leaked == 0, f"{name}: {leaked} persistent RDDs survive release"
+        leaked = [
+            int(j.id())
+            for j in spark.sparkContext._jsc.getPersistentRDDs().values()
+            if int(j.id()) not in inv._PROTECTED_RDD_IDS
+        ]
+        assert not leaked, f"{name}: {leaked} persistent RDDs survive release"
 
 
 def test_driver_contract_releases_previous_query_caches(spark, sf_dir):
@@ -469,17 +477,60 @@ def test_driver_contract_releases_previous_query_caches(spark, sf_dir):
     (round-4 review finding: the round-3 leak fix lived only in bench/
     driver_check and never reached the driver's own execution path)."""
     import __spark_entry__ as contract
+    from crane_stream_processing_spark import inventory as inv
+
+    def unprotected():
+        return [
+            int(j.id())
+            for j in spark.sparkContext._jsc.getPersistentRDDs().values()
+            if int(j.id()) not in inv._PROTECTED_RDD_IDS
+        ]
 
     release_query_caches(spark)  # clean slate from earlier tests
     qs = contract.queries()
     qs["sql_recursive_order_chain"](spark, sf_dir).write.mode(
         "overwrite"
     ).format("noop").save()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0, (
+    assert unprotected(), (
         "edge-list cache should survive until the next contract call"
     )
     qs["q1_pricing_summary"](spark, sf_dir)  # building it triggers release
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert not unprotected()
+
+
+def test_host_caches_survive_contract_release_sweep(spark, sf_dir):
+    """A host application embedding the registry keeps its own cached
+    DataFrames: the contract's first call snapshots pre-existing
+    persistent RDDs as host-owned and every later sweep skips them
+    (round-4 ADVICE: the unscoped sweep silently unpersisted host
+    caches)."""
+    import __spark_entry__ as contract
+    from crane_stream_processing_spark.inventory import protect_host_caches
+
+    release_query_caches(spark)
+    host_df = spark.range(100).persist()
+    host_df.count()  # materialize the cache
+    try:
+        # Direct API: protect, then sweep — the host cache survives.
+        protect_host_caches(spark)
+        release_query_caches(spark)
+        assert host_df.storageLevel.useMemory or host_df.storageLevel.useDisk
+
+        # Contract path: force a fresh first-call snapshot, then run two
+        # queries (the second one's build sweeps the first's caches).
+        contract._HOST_SNAPSHOT_TAKEN = False
+        qs = contract.queries()
+        qs["sql_recursive_order_chain"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        qs["q1_pricing_summary"](spark, sf_dir)
+        ids = {
+            int(j.id())
+            for j in spark.sparkContext._jsc.getPersistentRDDs().values()
+        }
+        assert ids, "host cache must survive the contract's release sweep"
+    finally:
+        host_df.unpersist()
 
 
 def test_registry_wide_driver_safe_output_schemas(spark, sf_dir):
