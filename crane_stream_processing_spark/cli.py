@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("grep", help="distributed regex scan with line numbers")
     g.add_argument("pattern")
     g.add_argument("path")
+    g.add_argument(
+        "--limit",
+        type=int,
+        default=None,
+        help="stop printing after N matches (per-file counts still "
+        "reflect only the printed prefix); guards the client against a "
+        "pattern that matches everything",
+    )
 
     pu = sub.add_parser("put", help="store a table as a new version")
     pu.add_argument("local")
@@ -116,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
             from collections import Counter
 
             matches = grep(spark, a.path, a.pattern)
+            if a.limit is not None:
+                # Plan-level limit, not a driver-side break: CollectLimit
+                # stops the scan after enough partitions produce rows, so
+                # a pattern matching everything costs O(limit), not a
+                # full-corpus scan streamed to the client.
+                matches = matches.limit(a.limit)
             # One distributed scan, streamed to the driver a partition at
             # a time (toLocalIterator): printing means driver
             # materialization either way, but a 100 TB grep's match set

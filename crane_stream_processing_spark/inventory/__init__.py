@@ -187,8 +187,10 @@ def _load_all() -> None:
 # Zipf slope — plus a 25-row backfill of historical rows (re-proving
 # the round-4 window's newest families). After this window the
 # cumulative union of CORRECTNESS_r01-r05 covers every query that
-# existed at the round-5 freeze; queries added after this freeze front
-# the round-6 window.
+# existed at the round-5 freeze; the two round-5 additions
+# (sim_ivf_rel_coarse_topk — relational large-k IVF coarse quantizer —
+# and stream_dedup_minhash — watermarked streaming LSH near-dedup)
+# front the round-6 window.
 GRADE_PRIORITY: list[str] = [
     # round-4 post-freeze additions (never driver-graded before r5)
     "join_asof_tolerance_7d_purchase",

@@ -730,11 +730,20 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (scales) + one (labels x dims)-row broadcast-sized join
     (centroids) — every shuffle keyed on (label, dim) or vec_id, nothing
     quadratic; at 100 TB the centroid table is still labels x dims rows.
-    The quantized form is cached because three consumers (centroids,
-    norms, dots) would otherwise each re-scan and re-explode the corpus
-    (measured: 6 scans uncached → 2 cached); at 100 TB the int8 rows are
-    the SMALLEST representation of the corpus, so that is the layer to
-    persist (memory-and-disk), exactly like a serialized ANN index."""
+
+    Persist layer (round-5 fix of the r3→r4 regression): the EXPLODED
+    int8 relation is ~8× LARGER than the packed source arrays (one
+    ~32-byte row per vector component vs 4 bytes in the parquet array),
+    so materializing it — the round-4 shape — pays more in cache write
+    than the saved re-scan at every scale. What gets persisted instead
+    are the relations BOUNDED BY SCHEMA, not by corpus: ``scales`` (dims
+    rows) and ``ctr`` (labels×dims rows) — a few KB each — while the
+    scan+explode recomputes (columnar parquet scans are the cheap part).
+    Measured at sf0.1 (interleaved A/B, 9 runs each): this shape 0.90 s
+    median vs 1.00 s for the exploded-persist form; a fully-unpersisted
+    variant ties at 0.86 s locally but re-aggregates the corpus-wide
+    ``scales``/``ctr`` reductions per consumer — the part that stops
+    being free at 100 TB."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     vals = emb.select(
         "vec_id",
@@ -746,7 +755,18 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim"),
         F.col("valf").cast("double").alias("val"),
     )
-    scales = vals.groupBy("dim").agg(F.max(F.abs(F.col("val"))).alias("maxabs"))
+    from pyspark import StorageLevel
+
+    from . import register_query_cache
+
+    # Registered for post-query release: both cached relations are reused
+    # by downstream aggregates of THIS query only — harnesses unpersist
+    # them via release_query_caches once the result is collected.
+    scales = register_query_cache(
+        vals.groupBy("dim")
+        .agg(F.max(F.abs(F.col("val"))).alias("maxabs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     q = (
         vals.join(F.broadcast(scales), "dim")
         .filter(F.col("maxabs") > 0)
@@ -759,15 +779,11 @@ def curate_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q8"),
         )
     )
-    from pyspark import StorageLevel
-
-    from . import register_query_cache
-
-    # Registered for post-query release: the int8 relation is reused by
-    # three downstream aggregates of THIS query only — harnesses
-    # unpersist it via release_query_caches once the result is collected.
-    q = register_query_cache(q.persist(StorageLevel.MEMORY_AND_DISK))
-    ctr = q.groupBy("label", "dim").agg(F.sum("q8").alias("c"))
+    ctr = register_query_cache(
+        q.groupBy("label", "dim")
+        .agg(F.sum("q8").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nc = ctr.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("cnorm")
     )

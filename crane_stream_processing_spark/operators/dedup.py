@@ -23,6 +23,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "minhash_signature",
+    "lsh_bands",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash",
@@ -102,27 +103,21 @@ def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Colu
     return let(shingle_col, body)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     df: DataFrame,
     id_col: str,
     content_col: str,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
-    """LSH banding: split each signature into bands, hash each band, and
-    self-join on (band_index, band_hash) — two docs collide iff some band
-    matches entirely. Returns distinct candidate pairs (id_a < id_b).
-
-    The join key (band_idx, band_hash) has cardinality ~n·bands/collision
-    so the shuffle is linear in corpus size; a hot bucket (many identical
-    docs) is an AQE skew-join case, not a crossJoin blow-up.
-
-    Every pipeline stage (tokens → shingles → signature → band structs) is
-    let-bound, so each evaluates exactly once per row no matter how the
-    optimizer collapses the projections — an unprotected inline re-runs
-    tokenization per shingle per seed per band (observed ~8× slowdown on
-    the sf0.1 corpus even with staged select() columns, which
-    CollapseProject merges right back)."""
+    """The shared LSH banding stage: tokens → k-shingles → minhash
+    signature → per-band md5, exploded to one (doc, band_idx, band_hash)
+    row per band. Entirely row-local array expressions (let-bound against
+    re-inlining), so it runs unchanged under Structured Streaming —
+    `stream_dedup_minhash` feeds these rows into a watermarked dedup while
+    :func:`lsh_candidate_pairs` self-joins them for batch candidates.
+    Extra columns of ``df`` (an event-time column, for streaming) pass
+    through untouched."""
     if num_hashes % band_rows != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_rows "
@@ -147,19 +142,57 @@ def lsh_candidate_pairs(
             ]
         )
 
+    passthrough = [c for c in df.columns if c not in (id_col, content_col)]
     staged = (
-        df.select(F.col(id_col).alias("doc"), token_shingles(tokens(content_col)).alias("sh"))
+        df.select(
+            F.col(id_col).alias("doc"),
+            token_shingles(tokens(content_col)).alias("sh"),
+            *passthrough,
+        )
         # <k-token docs have no shingles and therefore no signature; drop
         # them BEFORE banding — an empty signature would hash every short
         # doc into the same md5('') bucket in every band (spurious n²
         # candidates among short docs). Mirrors the oracle's len(tk) >= 3.
         .filter(F.size("sh") > 0)
-        .select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        .select(
+            "doc",
+            minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+            *passthrough,
+        )
     )
-    banded = staged.select(
+    return staged.select(
         "doc",
         F.explode(let(F.col("sig"), band_structs)).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_hash")
+        *passthrough,
+    ).select("doc", "band.band_idx", "band.band_hash", *passthrough)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, hash each band, and
+    self-join on (band_index, band_hash) — two docs collide iff some band
+    matches entirely. Returns distinct candidate pairs (id_a < id_b).
+
+    The join key (band_idx, band_hash) has cardinality ~n·bands/collision
+    so the shuffle is linear in corpus size; a hot bucket (many identical
+    docs) is an AQE skew-join case, not a crossJoin blow-up.
+
+    Every pipeline stage (tokens → shingles → signature → band structs) is
+    let-bound, so each evaluates exactly once per row no matter how the
+    optimizer collapses the projections — an unprotected inline re-runs
+    tokenization per shingle per seed per band (observed ~8× slowdown on
+    the sf0.1 corpus even with staged select() columns, which
+    CollapseProject merges right back)."""
+    # Narrow to the two needed columns so no passthrough columns widen
+    # the band shuffle/self-join.
+    banded = lsh_bands(
+        df.select(id_col, content_col), id_col, content_col, num_hashes, band_rows
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

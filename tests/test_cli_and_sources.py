@@ -337,3 +337,17 @@ def test_cli_grep_streams_matches(spark, tmp_path, capsys):
     out = capsys.readouterr()
     assert out.out.count("alpha") == 2
     assert ": 2 matches" in out.err
+
+
+def test_cli_grep_limit_caps_output(spark, tmp_path, capsys):
+    """--limit bounds the printed match set at the PLAN level (CollectLimit
+    stops the scan early) — the client-side guard against a pattern that
+    matches everything."""
+    from crane_stream_processing_spark.cli import main
+
+    log = tmp_path / "m1.log"
+    log.write_text("".join(f"alpha line {i}\n" for i in range(100)))
+    assert main(["grep", "alpha", str(tmp_path), "--limit", "7"]) == 0
+    out = capsys.readouterr()
+    assert out.out.count("alpha") == 7
+    assert ": 7 matches" in out.err

@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 from crane_stream_processing_spark.catalog import load_table
 from crane_stream_processing_spark.functions import dot
 from crane_stream_processing_spark.operators.similarity import (
+    LITERAL_K_MAX,
     centroid_dots,
+    hyperplanes,
     ivf_ann_topk,
+    ivf_ann_topk_nprobe,
     ivf_centroid,
     kmeans_fit,
 )
@@ -65,3 +68,49 @@ def test_trained_ivf_search_runs(spark, emb):
     rows = out.collect()
     assert all(r.rank <= 3 for r in rows)
     assert len({r.query_id for r in rows}) <= 5
+
+
+def test_relational_coarse_matches_literal(spark, emb):
+    """The broadcast-matrix coarse quantizer must produce BIT-identical
+    results to the literal form at any k, for both nprobe=1 and
+    multi-probe (round-4 verdict item #2: large-k IVF wants the
+    codebook-relation shape)."""
+    cents = hyperplanes(64, 64, seed="crane-ivf64")
+    q = emb.filter(F.col("vec_id") < 10)
+    for fn, kw in ((ivf_ann_topk, {}), (ivf_ann_topk_nprobe, {"nprobe": 3})):
+        lit = sorted(map(tuple, fn(emb, q, cents, k=3, relational=False, **kw).collect()))
+        rel = sorted(map(tuple, fn(emb, q, cents, k=3, relational=True, **kw).collect()))
+        assert lit == rel and lit
+
+
+def test_relational_coarse_plan_shape(spark, emb):
+    """Above LITERAL_K_MAX the auto path must (a) carry the centroid
+    matrix as broadcast DATA — no centroid component may appear as a plan
+    literal — and (b) keep the plan O(1) in k."""
+    cents = hyperplanes(64, 64, seed="crane-ivf64")
+    assert len(cents) > LITERAL_K_MAX
+    q = emb.filter(F.col("vec_id") < 10)
+    auto = ivf_ann_topk(emb, q, cents, k=3)  # relational=None → auto
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert str(cents[40][0]) not in plan, "centroid literal leaked into plan"
+    lit_plan = ivf_ann_topk(
+        emb, q, cents, k=3, relational=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < len(lit_plan) / 5
+
+
+def test_kmeans_large_k_uses_relational_scoring(spark, emb):
+    """k > LITERAL_K_MAX trains through the matrix relation; the model is
+    still a valid k×dim matrix and cells still partition the corpus."""
+    cents = kmeans_fit(emb, k=32, iters=1)
+    assert len(cents) == 32 and len(cents[0]) == 64
+    cells = emb.select(
+        centroid_dots(F.col("embedding"), cents).alias("__d")
+    ).select(ivf_centroid(F.col("__d")).alias("cell"))
+    counts = {
+        r.cell: r.n
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(counts.values()) == emb.count()
+    assert set(counts) <= set(range(32))

@@ -149,6 +149,8 @@ _NLJ_ALLOWED = {
     # broadcast vs corpus — O(cap·n), no longer the all-pairs plan
     "dedup_ngram_jaccard_pairs",
     "dedup_shingle_containment_top1",  # same doc_id<100 bounded window
+    "dedup_lsh_tuning_curve",  # exact all-pairs baseline over the same
+    # doc_id<100 bounded window; the LSH side stays the banded equi-join
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "curate_perplexity_buckets",  # 1-row LM-total scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast

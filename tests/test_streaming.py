@@ -364,6 +364,84 @@ def test_watermark_drops_late_data_across_batches(spark, tdir):
     assert old_rows == [("2026-01-01 00:00:00", "old", 1)]
 
 
+def test_stream_dedup_minhash_state_eviction(spark, tdir):
+    """The streaming minhash-LSH dedup holds BOUNDED state: a band bucket
+    key is evicted once the watermark passes its event time + delay.
+    Proven behaviorally: (1) within the watermark window a same-text
+    document emits NO new buckets (dedup works); (2) after the watermark
+    passes, re-feeding the same text RE-EMITS its buckets — the state
+    that would have suppressed it is gone. An unbounded-state dedup
+    (plain dropDuplicates) would still suppress it."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.operators import dedup as D
+
+    src = os.path.join(tdir, "mh_src")
+    ckpt = os.path.join(tdir, "mh_ckpt")
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely different words appear in this second sentence here"
+
+    _write_lines(
+        src,
+        "a.json",
+        [
+            json.dumps({"doc_id": 1, "text": text, "ts": "2026-01-01 00:00:00"}),
+            # same text one second later: every band bucket already claimed
+            json.dumps({"doc_id": 2, "text": text, "ts": "2026-01-01 00:00:01"}),
+            # advances the watermark past 1 Jan + 2 days once processed
+            json.dumps({"doc_id": 3, "text": other, "ts": "2026-01-11 00:00:00"}),
+        ],
+    )
+
+    emitted: list[tuple] = []
+
+    def run_once():
+        docs = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .json(src)
+        )
+        deduped = (
+            D.lsh_bands(docs, "doc_id", "text")
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark(["band_idx", "band_hash"])
+            .select("band_idx", "band_hash")
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _: emitted.extend(
+                    (r.band_idx, r.band_hash) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1: text emits 4 buckets ONCE; watermark → Jan 9
+    n_batch1 = len(emitted)
+    assert n_batch1 == 8, "4 buckets for text (dup suppressed) + 4 for other"
+
+    _write_lines(
+        src,
+        "b.json",
+        [json.dumps({"doc_id": 9, "text": text, "ts": "2026-01-12 00:00:00"})],
+    )
+    run_once()  # batch 2: text's buckets were EVICTED → they re-emit
+    assert len(emitted) == n_batch1 + 4, (
+        "evicted band buckets must re-emit after the watermark passed them"
+    )
+    from collections import Counter
+
+    counts = Counter(emitted)
+    assert sorted(counts.values()) == [1, 1, 1, 1, 2, 2, 2, 2], (
+        "each of text's 4 buckets exactly twice, other's 4 exactly once"
+    )
+
+
 def test_state_store_introspection(spark, tdir):
     """The checkpoint's state is a queryable dataset (Spark 4 statestore /
     state-metadata sources): after the wordCount app runs, the complete-
