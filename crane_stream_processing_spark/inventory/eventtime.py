@@ -557,6 +557,113 @@ def evt_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_merge_overlapping_sessions",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t0,
+             epoch_us(ts) + (60 + CAST(floor(value) AS BIGINT)) * 1000000 AS t1
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= -60
+    ),
+    flagged AS (
+      SELECT user_id, event_id, t0, t1,
+             CASE WHEN t0 > COALESCE(
+                    MAX(t1) OVER (PARTITION BY user_id
+                                  ORDER BY t0, t1, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING),
+                    -9223372036854775807)
+                  THEN 1 ELSE 0 END AS brk
+      FROM spans
+    ),
+    islands AS (
+      SELECT user_id, t0, t1,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY t0, t1, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(t0) AS s, MAX(t1) AS e
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged_sessions,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us,
+           CAST(MAX(e - s) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def evt_merge_overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per user — the gaps-and-islands sibling of the
+    sweep-line peak (evt_max_concurrent_sessions): merge each user's
+    overlapping/adjacent sessions into maximal covered islands and report
+    island count, total covered time, and the longest island. The classic
+    recipe: order spans by start, an island breaks where a span's start
+    exceeds the running max of all PREVIOUS ends (touching intervals —
+    end-exclusive [a,b)+[b,c) — merge into one island), island id = the
+    running sum of break flags, then two hash aggregates. O(n log n) per
+    user vs the quadratic self-join; one shuffle on user_id.
+
+    Engine-exactness: ALL arithmetic is integer MICROSECONDS
+    (unix_micros / epoch_us — never epoch-seconds doubles), the window
+    order (t0, t1, event_id) is a total order so the running max and
+    running sum are deterministic, and every output is a duration or a
+    count, so session-timezone offsets cancel. Same NULL/negative-span
+    pinning as the sweep line."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= -60)
+    )
+    spans = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t0"),
+        (
+            F.unix_micros("ts")
+            + (60 + F.floor("value")).cast("long") * F.lit(1000000)
+        ).alias("t1"),
+    )
+    worder = ["t0", "t1", "event_id"]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*worder)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(*worder)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = spans.select(
+        "user_id",
+        "event_id",
+        "t0",
+        "t1",
+        F.when(
+            F.col("t0") > F.coalesce(
+                F.max("t1").over(wprev), F.lit(-9223372036854775807)
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "user_id", "t0", "t1", F.sum("brk").over(wrun).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("t0").alias("s"), F.max("t1").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_merged_sessions"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_us"),
+        F.max(F.col("e") - F.col("s")).cast("long").alias("longest_us"),
+    )
+
+
+@query(
     "evt_ohlc_hourly",
     oracle="""
     WITH b AS (

@@ -229,7 +229,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT sa.doc_id AS pa, sb.doc_id AS pb,
              len(list_intersect(sa.g, sb.g)) AS i,
-             len(list_distinct(sa.g || sb.g)) AS u
+             len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)) AS u
       FROM sets sa JOIN sets sb
         ON sa.doc_id < 100 AND sa.doc_id <> sb.doc_id
     ),
@@ -285,11 +285,16 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("pa"), F.col("g").alias("ga")
     )
     b = sets.select(F.col("doc_id").alias("pb"), F.col("g").alias("gb"))
+    # Union size by inclusion-exclusion over DISTINCT sets (|A|+|B|−|A∩B|)
+    # — one array op per pair instead of two; array_union would allocate a
+    # merged array per pair just to take its length.
     pairs = a.join(b, F.col("pa") != F.col("pb")).select(
         F.least("pa", "pb").alias("id_a"),
         F.greatest("pa", "pb").alias("id_b"),
         F.size(F.array_intersect("ga", "gb")).alias("i"),
-        F.size(F.array_union("ga", "gb")).alias("u"),
+        (
+            F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
+        ).alias("u"),
     )
     cand = D.lsh_candidate_pairs(docs, "doc_id", "text").withColumn(
         "c", F.lit(1)
@@ -1871,6 +1876,39 @@ def mm_wav_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Crane has no media path; this is north-star surface)."""
     docs = t(spark, sf_dir, "documents")
     return M.wav_features(M.synthesize_wav(docs))
+
+
+@query(
+    "mm_wav_rms_energy_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id, 200 + (doc_id % 300) AS n FROM documents),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (SELECT doc_id, i // 64 AS win_idx,
+                 ((doc_id * 7 + i * 13) % 512) - 256 AS samp
+          FROM s)
+    SELECT doc_id AS media_id, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(samp * samp) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(samp)) AS BIGINT) AS peak_abs,
+           sqrt(CAST(SUM(samp * samp) AS BIGINT)::DOUBLE / COUNT(*)) AS rms
+    FROM v GROUP BY doc_id, win_idx
+    """,
+)
+def mm_wav_rms_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio FEATURE EXTRACTION over the real codec path — the
+    DSP shape behind silence trimming / energy gating / VAD pre-filters
+    in an audio-curation pipeline: encode each document's deterministic
+    PCM ramp into a real RIFF/WAVE container (stdlib writer), decode it
+    with the hand-written parser (operators/multimodal.py
+    decode_wav_pcm), and emit per 64-frame window the integer-exact
+    energy (sum of squares), peak amplitude, and RMS. 1→n_windows rows
+    per file, Arrow-batched mapInPandas, zero shuffle. The oracle
+    re-derives every window from the closed-form signal; sum_sq/peak are
+    exact BIGINTs and the UNROUNDED rms is bit-identical because IEEE
+    division + correctly-rounded sqrt over equal integer inputs match in
+    any engine — a float column graded with NO rounding ladder."""
+    docs = t(spark, sf_dir, "documents")
+    return M.wav_energy_windows(M.synthesize_wav(docs), window_frames=64)
 
 
 @query(

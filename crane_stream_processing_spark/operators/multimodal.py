@@ -51,6 +51,8 @@ __all__ = [
     "encode_bmp24",
     "parse_bmp24",
     "synthesize_wav",
+    "decode_wav_pcm",
+    "wav_energy_windows",
     "wav_features",
     "synthesize_bmp",
     "bmp_features",
@@ -319,17 +321,14 @@ def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def parse_wav_pcm(b: bytes) -> dict:
-    """Hand-written RIFF/WAVE PCM parser (the REAL decoder): walks the
-    chunk list (word-aligned sizes per the RIFF spec), validates the PCM
-    format tag, and decodes the data chunk with numpy. Raises on
-    non-RIFF, non-PCM, or truncated input (a fmt/data chunk whose
-    declared size overruns the buffer).
-
-    Multichannel semantics: ``n_samples`` / ``duration_ms`` count FRAMES
-    (one per sample instant across all channels), while ``peak`` /
-    ``sum_abs`` span every interleaved channel sample — i.e. a stereo
-    file's sum_abs includes both channels."""
+def decode_wav_pcm(b: bytes):
+    """Hand-written RIFF/WAVE PCM decoder core: walks the chunk list
+    (word-aligned sizes per the RIFF spec), validates the PCM format tag,
+    and numpy-decodes the data chunk. Returns ``(samples, meta)`` where
+    ``samples`` is the int64 array of interleaved channel samples and
+    ``meta`` = (sample_rate, n_channels, bits). Raises on non-RIFF,
+    non-PCM, or truncated input (a fmt/data chunk whose declared size
+    overruns the buffer)."""
     import struct as _struct
 
     import numpy as np
@@ -359,13 +358,26 @@ def parse_wav_pcm(b: bytes) -> dict:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
     samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return samples, (int(sample_rate), int(n_channels), int(bits))
+
+
+def parse_wav_pcm(b: bytes) -> dict:
+    """Aggregate features from the REAL decode (:func:`decode_wav_pcm`).
+
+    Multichannel semantics: ``n_samples`` / ``duration_ms`` count FRAMES
+    (one per sample instant across all channels), while ``peak`` /
+    ``sum_abs`` span every interleaved channel sample — i.e. a stereo
+    file's sum_abs includes both channels."""
+    import numpy as np
+
+    samples, (sample_rate, n_channels, bits) = decode_wav_pcm(b)
     n_frames = len(samples) // n_channels
     return {
-        "sample_rate": int(sample_rate),
-        "n_channels": int(n_channels),
-        "bits": int(bits),
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
         "n_samples": n_frames,
-        "duration_ms": n_frames * 1000 // int(sample_rate),
+        "duration_ms": n_frames * 1000 // sample_rate,
         "peak": int(samples.max()) if len(samples) else 0,
         "sum_abs": int(np.abs(samples).sum()),
     }
@@ -494,6 +506,61 @@ def wav_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+
+
+WAV_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def wav_energy_windows(media: DataFrame, window_frames: int = 64) -> DataFrame:
+    """Windowed audio feature extraction over the REAL decode — the DSP
+    shape every audio-curation pipeline runs (silence trimming, energy
+    gating, VAD pre-filters): decode the payload with the hand-written
+    RIFF parser, split the PCM into fixed ``window_frames`` windows (the
+    trailing partial window kept), and emit per window the integer-exact
+    sum of squares and peak plus RMS. 1→n_windows rows, Arrow-batched
+    mapInPandas, zero shuffle — partition-parallel at any corpus size.
+
+    Exactness: sum_sq and peak_abs are BIGINT (int16² ≤ 2³⁰, so even
+    10⁶-frame windows stay far under 2⁶³); rms = sqrt(sum_sq/n) is left
+    UNROUNDED — on identical exact integer inputs the division and the
+    correctly-rounded IEEE sqrt are bit-identical in every engine, while
+    a round() here would reopen the Python-banker's vs SQL-half-up tie
+    hazard. Mono PCM only (the synthesized corpus); multichannel windows
+    would need a per-channel explode."""
+
+    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "win_idx", "n_frames", "sum_sq", "peak_abs", "rms")}
+            for mid, p in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                samples, (_, n_channels, _) = decode_wav_pcm(bytes(p))
+                if n_channels != 1:
+                    raise ValueError("wav_energy_windows: mono PCM only")
+                for w, start in enumerate(range(0, len(samples), window_frames)):
+                    sl = samples[start : start + window_frames]
+                    ssq = int((sl * sl).sum())
+                    out["media_id"].append(int(mid))
+                    out["win_idx"].append(w)
+                    out["n_frames"].append(len(sl))
+                    out["sum_sq"].append(ssq)
+                    out["peak_abs"].append(int(np.abs(sl).max()))
+                    out["rms"].append(math.sqrt(ssq / len(sl)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=WAV_ENERGY_SCHEMA)
 
 
 def _rgb_grid(doc_id: int, w: int, h: int):

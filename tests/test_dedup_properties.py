@@ -190,3 +190,30 @@ def test_connected_components_random_graph_vs_union_find(spark):
         for r in D.connected_components(pairs, num_partitions=4).collect()
     }
     assert got == {v: lbl for v, lbl in want.items()}
+
+
+def test_lsh_tuning_curve_properties(spark, sf_dir):
+    """The banding-calibration query's invariants: candidate counts never
+    exceed pair counts, rates live in [0, 1], the theoretical S-curve is
+    monotone nondecreasing in the Jaccard bin, and measured rates at the
+    extremes track theory (low bins ≈ 0, a bin-9 population — exact
+    near-dups — must be fully surfaced by the banding)."""
+    from crane_stream_processing_spark.inventory import REGISTRY
+
+    rows = sorted(
+        REGISTRY["dedup_lsh_tuning_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.jaccard_bin,
+    )
+    assert rows, "at least one populated bin"
+    for r in rows:
+        assert 0 <= r.jaccard_bin <= 10
+        assert 0 <= r.n_candidates <= r.n_pairs
+        assert 0.0 <= r.cand_rate <= 1.0
+        assert 0.0 <= r.scurve_rate <= 1.0
+    curves = [r.scurve_rate for r in rows]
+    assert curves == sorted(curves), "S-curve must be monotone in the bin"
+    by_bin = {r.jaccard_bin: r for r in rows}
+    if 0 in by_bin:
+        assert by_bin[0].cand_rate <= 0.05, "unrelated pairs rarely collide"
+    if 9 in by_bin:
+        assert by_bin[9].cand_rate >= 0.9, "near-dup pairs must collide"

@@ -208,3 +208,51 @@ def test_bmp_roundtrip_every_padding(spark):
         assert f["width"] == w and f["height"] == 5
         assert f["row_pad"] == (4 - (w * 3) % 4) % 4
         assert f["sum_r"] == int(rgb[:, :, 0].astype(np.int64).sum())
+
+
+def test_wav_energy_windows_cover_all_samples(spark):
+    """Window features must partition the decoded PCM exactly: window
+    sum_sq totals equal the whole-file energy, frame counts rebuild the
+    file length, and the trailing partial window is kept."""
+    import numpy as np
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    media = M.synthesize_wav(docs)
+    rows = M.wav_energy_windows(media, window_frames=64).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for did, rs in by_id.items():
+        n = 200 + did % 300
+        samples = (((did * 7 + np.arange(n, dtype=np.int64) * 13) % 512) - 256)
+        assert sum(r.n_frames for r in rs) == n
+        assert sum(r.sum_sq for r in rs) == int((samples * samples).sum())
+        assert max(r.peak_abs for r in rs) == int(np.abs(samples).max())
+        idxs = sorted(r.win_idx for r in rs)
+        assert idxs == list(range(len(rs)))
+        last = max(rs, key=lambda r: r.win_idx)
+        assert last.n_frames == (n % 64 or 64)
+        for r in rs:
+            assert abs(r.rms - (r.sum_sq / r.n_frames) ** 0.5) < 1e-12
+
+
+def test_wav_energy_windows_rejects_multichannel(spark):
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([1, 2, 3, 4], dtype="<i2").tobytes())
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(payload))],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    with _pytest.raises(Exception, match="mono PCM only"):
+        M.wav_energy_windows(media).collect()

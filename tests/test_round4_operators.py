@@ -411,3 +411,47 @@ def test_minhash_calibration_estimator_properties(spark, sf_dir):
         assert round(r.est_jaccard * 12) == int(round(r.est_jaccard * 12))
         assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) < 1e-6
         assert lsh[(r.id_a, r.id_b)] == r.exact_jaccard
+
+
+def test_merge_overlapping_sessions_brute_force(spark, sf_dir):
+    """The gaps-and-islands interval union must agree with a driver-side
+    brute-force merge of the same spans on a bounded user sample."""
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.inventory import REGISTRY, t
+
+    out = {
+        r.user_id: r
+        for r in REGISTRY["evt_merge_overlapping_sessions"].fn(spark, sf_dir)
+        .filter(F.col("user_id") < 10).collect()
+    }
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") < 10)
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("value") >= -60)
+        )
+        .select("user_id", F.unix_micros("ts").alias("t0"), "value")
+        .collect()
+    )
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in ev:
+        t1 = r.t0 + (60 + int(r.value // 1)) * 1_000_000
+        spans.setdefault(r.user_id, []).append((r.t0, t1))
+    import math
+
+    for uid, ss in spans.items():
+        ss.sort()
+        islands = []
+        for s, e in ss:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        got = out[uid]
+        assert got.n_merged_sessions == len(islands)
+        assert got.covered_us == sum(e - s for s, e in islands)
+        assert got.longest_us == max(e - s for s, e in islands)
+        assert math.isfinite(got.covered_us)
