@@ -469,6 +469,54 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XML_DIRS: dict[str, tuple[str, object]] = {}
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 XML surface (Spark 4's built-in ``xml`` data source — the
+    format enterprise feeds still arrive in): documents written as XML
+    (free text with quotes/angle-brackets/unicode → exercises XML
+    entity escaping, the hardest text encoding of the source family),
+    read back through the engine's typed XML reader (explicit schema +
+    rowTag + DROPMALFORMED — no inference pass), aggregated per lang;
+    the text-length sum proves the payload survived the entity
+    encode/decode byte-exact. Same fixture-cache pattern as the
+    CSV/JSON/ORC roundtrips; the graded path is the typed XML scan."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
+    import tempfile
+
+    cached = _XML_DIRS.get(sf_dir)
+    if cached is None:
+        src = t(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="crane_xml_")
+        src.write.mode("overwrite").option("rowTag", "doc").option(
+            "rootTag", "docs"
+        ).format("xml").save(path)
+        cached = (path, src.schema)
+        _XML_DIRS[sf_dir] = cached
+    path, schema = cached
+    from ..io import read_xml
+
+    df = read_xml(spark, path, schema, row_tag="doc")
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
 @query(
     "src_rate_word_cycle",
     oracle="""

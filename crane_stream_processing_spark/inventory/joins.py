@@ -501,3 +501,81 @@ def join_salted_skew_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("spend"),
         )
     )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join pruning — the semi-join reduction that
+    makes selective fact-fact joins survive 100 TB: Catalyst injects a
+    bloom filter built from the FILTERED orders side
+    (o_orderpriority = '1-URGENT', ~15% selectivity; note the injector's
+    `isLikelySelective` gate accepts an equality but NOT an IN list)
+    into the lineitem side as a ``might_contain`` predicate (built by a
+    ``bloom_filter_agg`` scalar subquery over the filtered orders keys)
+    evaluated at the scan, so most non-matching fact rows die BEFORE the
+    exchange instead of traveling through the shuffle to be dropped by
+    the join — at cluster scale the difference between a network-bound
+    and a scan-bound join. The injection is a pure optimization
+    (may-contain ⇒ false positives re-checked by the join), so the
+    oracle is the PLAIN join SQL: the pruned plan must be
+    result-identical. Spark gates injection on cluster-scale size
+    thresholds (application side > 10 GiB) and skips it when the
+    creation side would broadcast; this query scopes those knobs down
+    so the sf-scale harness exercises the 100 TB plan shape (where
+    orders is NOT broadcastable and lineitem dwarfs 10 GiB), forces
+    optimization under the scoped confs, and restores them.
+    ``tests/test_plan_quality.py`` asserts ``bloom_filter_agg`` +
+    ``might_contain`` are actually in the optimized plan."""
+    confs = {
+        # Application (pruned) side must look big enough to bother.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # Creation side must look small enough to build the filter from.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        # A broadcastable creation side suppresses injection (the rule
+        # only fires for probable shuffle joins) — mimic the 100 TB
+        # planning inputs where neither side broadcasts.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        orders = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        joined = lineitem.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        # Force plan resolution (bloom injection happens at optimization
+        # time) while the scoped confs are active; the returned DataFrame
+        # carries the already-optimized plan.
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

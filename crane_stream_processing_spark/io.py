@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_parquet", "read_csv", "read_json", "write_table"]
+__all__ = ["read_parquet", "read_csv", "read_json", "read_xml", "write_table"]
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -74,6 +74,27 @@ def read_json(
     _reject_reserved(options, {"mode": "drop_malformed"})
     mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
     return spark.read.schema(schema).options(mode=mode, **options).json(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    row_tag: str = "row",
+    drop_malformed: bool = True,
+    **options: str,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` source) with explicit schema —
+    same discipline as the CSV/JSON readers: no inference pass, malformed
+    records dropped (the reference's log-and-drop, P5)."""
+    _reject_reserved(options, {"mode": "drop_malformed", "rowTag": "row_tag"})
+    mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
+    return (
+        spark.read.schema(schema)
+        .options(rowTag=row_tag, mode=mode, **options)
+        .format("xml")
+        .load(path)
+    )
 
 
 def write_table(

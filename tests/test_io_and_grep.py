@@ -32,6 +32,33 @@ def test_json_roundtrip(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_xml_roundtrip_escaping_and_dropmalformed(spark, tmp_path):
+    """Spark 4 built-in XML source under the same explicit-schema +
+    DROPMALFORMED discipline: entity-escaped text round-trips byte-exact,
+    a structurally broken record is dropped, not surfaced as nulls."""
+    src = spark.createDataFrame(
+        [(1, "a < b & c > d", 1.5), (2, 'quote " and unicode é', 2.5)],
+        "k int, name string, v double",
+    )
+    d = str(tmp_path / "x")
+    src.write.mode("overwrite").option("rowTag", "row").option(
+        "rootTag", "rows"
+    ).format("xml").save(d)
+    back = cio.read_xml(spark, d, SCHEMA, row_tag="row")
+    rows = sorted((r.k, r.name, r.v) for r in back.collect())
+    assert rows == [(1, "a < b & c > d", 1.5), (2, 'quote " and unicode é', 2.5)]
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part.xml"), "w") as f:
+        f.write(
+            "<rows><row><k>1</k><name>ok</name><v>1.0</v></row>"
+            "<row><k>oops</k><name>broken</name><v>zzz</v></row></rows>"
+        )
+    got = cio.read_xml(spark, bad, SCHEMA, row_tag="row").collect()
+    assert [(r.k, r.name, r.v) for r in got] == [(1, "ok", 1.0)]
+
+
 def test_write_partitioned_parquet_prunes(spark, tmp_path):
     out = str(tmp_path / "part")
     df = spark.createDataFrame(

@@ -436,6 +436,28 @@ def test_cogroup_buckets_bound_python_calls(spark, sf_dir):
     assert plan.count("hashpartitioning(bucket") >= 2
 
 
+def test_bloom_runtime_filter_fires(spark, sf_dir):
+    """The runtime bloom filter must actually be injected: the lineitem
+    side carries a bloom_filter_might_contain predicate built from the
+    filtered orders side, and the session confs the query scopes down to
+    trigger injection at sf scale are restored afterwards."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = REGISTRY["join_bloom_runtime_filter"].fn(spark, sf_dir)
+    # Spark 4 renders the build side as bloom_filter_agg(xxhash64(key))
+    # and the application predicate as might_contain(scalar-subquery, …)
+    # — assert both halves in the optimized plan and the predicate's
+    # survival into the physical plan.
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in opt and "might_contain" in opt
+    phys = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "might_contain" in phys
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir):
     """The DPP query's fact scan must carry a runtime dynamicpruning
     expression in its PartitionFilters — the dimension filter, not a
