@@ -187,14 +187,15 @@ def _load_all() -> None:
 # Zipf slope — plus a 25-row backfill of historical rows (re-proving
 # the round-4 window's newest families). After this window the
 # cumulative union of CORRECTNESS_r01-r05 covers every query that
-# existed at the round-5 freeze; the seven round-5 additions
+# existed at the round-5 freeze; the eight round-5 additions
 # (sim_ivf_rel_coarse_topk — relational large-k IVF coarse quantizer;
 # stream_dedup_minhash — watermarked streaming LSH near-dedup;
 # dedup_lsh_tuning_curve — banding S-curve calibration;
 # evt_merge_overlapping_sessions — gaps-and-islands interval union;
 # mm_wav_rms_energy_windows — windowed energy over the real PCM decode;
 # join_bloom_runtime_filter — plan-asserted runtime bloom join pruning;
-# src_xml_roundtrip — Spark 4 built-in XML source surface)
+# src_xml_roundtrip — Spark 4 built-in XML source surface;
+# text_shingle_novelty_deciles — corpus novelty/diminishing-returns curve)
 # front the round-6 window.
 GRADE_PRIORITY: list[str] = [
     # round-4 post-freeze additions (never driver-graded before r5)

@@ -327,6 +327,87 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_shingle_novelty_deciles",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS g FROM toks WHERE len(tk) >= 3),
+    grams AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM sh),
+    firstseen AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    per AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM grams g JOIN firstseen f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT CAST((p.doc_id * 10) // n.nd AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(p.n_novel) AS BIGINT) AS novel_grams,
+           round(CAST(SUM(p.n_novel) AS BIGINT)::DOUBLE
+                 / CAST(SUM(p.n_grams) AS BIGINT), 6) AS novelty_rate
+    FROM per p, n GROUP BY 1
+    """,
+)
+def text_shingle_novelty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY curve — the diminishing-returns measurement behind
+    data-mixing decisions ('is the next shard of this source still adding
+    new content?'): per ingestion decile (doc_id order stands in for
+    arrival order), the fraction of each document's distinct 3-shingles
+    never seen in any earlier document. A shingle is 'novel' exactly in
+    the document that first introduces it (min doc_id — deterministic),
+    so per-decile novel/total counts are exact BIGINTs and the rate is
+    ONE division of exact integers (round 6) — no average-of-doubles
+    drift. Plan shape: explode distinct shingles → min-doc_id hash
+    aggregate (map-side combined) → equi join back on the shingle →
+    two keyed aggregates; the only crossJoin is the 1-row corpus-count
+    scalar used for decile bucketing. Linear in corpus size, every
+    shuffle keyed on the shingle or doc_id — the same keys a 100 TB
+    vocabulary build shuffles on anyway."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D.token_shingles(F.col("toks")))
+        ).alias("g"),
+    )
+    firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(firstseen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    return (
+        per.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.expr("CAST((doc_id * 10) DIV __nd AS BIGINT)").alias("decile"),
+            "n_grams",
+            "n_novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("novel_grams"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "total_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams").cast("double") / F.col("total_grams"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@query(
     "dedup_simhash_documents",
     oracle=f"""
     WITH tk AS (

@@ -177,6 +177,8 @@ _NLJ_ALLOWED = {
     "sim_knn_label_eval",  # 50-query probe broadcast (cosine_topk reuse)
     "sim_lsh_recall_at_k",  # 10-query probe + 3-row k-cut broadcast join
     "text_bigram_lm_logprob",  # 1-row smoothing-denominator vocab scalar
+    "text_shingle_novelty_deciles",  # 1-row corpus-count scalar broadcast
+    # for decile bucketing; everything else is keyed equi joins/aggregates
     "text_bm25_search",
     "text_tfidf_top_terms",
     "text_unigram_logprob",

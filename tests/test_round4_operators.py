@@ -455,3 +455,32 @@ def test_merge_overlapping_sessions_brute_force(spark, sf_dir):
         assert got.covered_us == sum(e - s for s, e in islands)
         assert got.longest_us == max(e - s for s, e in islands)
         assert math.isfinite(got.covered_us)
+
+
+def test_shingle_novelty_conserves_distinct_grams(spark, sf_dir):
+    """Novel counts are a partition of the shingle vocabulary: summing
+    novel_grams over deciles equals the corpus's distinct-shingle count,
+    the first decile has the highest novelty rate, and rates live in
+    (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.functions import tokens
+    from crane_stream_processing_spark.inventory import REGISTRY, t
+    from crane_stream_processing_spark.operators.dedup import token_shingles
+
+    rows = sorted(
+        REGISTRY["text_shingle_novelty_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert rows and all(0.0 < r.novelty_rate <= 1.0 for r in rows)
+    assert rows[0].novelty_rate == max(r.novelty_rate for r in rows), (
+        "the first-ingested decile introduces the most new content"
+    )
+    distinct_grams = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.array_distinct(token_shingles(tokens("text")))).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert sum(r.novel_grams for r in rows) == distinct_grams
