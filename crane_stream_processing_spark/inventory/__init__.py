@@ -187,7 +187,7 @@ def _load_all() -> None:
 # Zipf slope — plus a 25-row backfill of historical rows (re-proving
 # the round-4 window's newest families). After this window the
 # cumulative union of CORRECTNESS_r01-r05 covers every query that
-# existed at the round-5 freeze; the eight round-5 additions
+# existed at the round-5 freeze; the nine round-5 additions
 # (sim_ivf_rel_coarse_topk — relational large-k IVF coarse quantizer;
 # stream_dedup_minhash — watermarked streaming LSH near-dedup;
 # dedup_lsh_tuning_curve — banding S-curve calibration;
@@ -195,7 +195,8 @@ def _load_all() -> None:
 # mm_wav_rms_energy_windows — windowed energy over the real PCM decode;
 # join_bloom_runtime_filter — plan-asserted runtime bloom join pruning;
 # src_xml_roundtrip — Spark 4 built-in XML source surface;
-# text_shingle_novelty_deciles — corpus novelty/diminishing-returns curve)
+# text_shingle_novelty_deciles — corpus novelty/diminishing-returns curve;
+# evt_rate_limit_audit — trailing-window quota audit)
 # front the round-6 window.
 GRADE_PRIORITY: list[str] = [
     # round-4 post-freeze additions (never driver-graded before r5)

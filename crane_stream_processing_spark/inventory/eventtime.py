@@ -557,6 +557,62 @@ def evt_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_rate_limit_audit",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+               AS cnt
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 20 THEN 1 END), 0) AS BIGINT)
+             AS n_throttled,
+           CAST(MAX(cnt) AS BIGINT) AS peak_7d,
+           COALESCE(strftime(MIN(CASE WHEN cnt > 20 THEN ts END),
+                             '%Y-%m-%d'), 'never') AS first_throttle_day
+    FROM c GROUP BY user_id
+    """,
+)
+def evt_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rate-limit audit — the API-throttling / abuse-
+    detection shape: per event, the count of the same user's events in
+    the trailing 7 days (event INCLUDED), then per user the number of
+    events that would exceed a 20-per-window quota, the peak window
+    load, and the first violation day. One RANGE-framed window (ordered
+    by integer microseconds on the Spark side, by timestamp with an
+    interval bound in the oracle — identical inclusive boundary in UTC)
+    plus one hash aggregate; the frame is peer-INCLUSIVE (all events at
+    the same instant count together), which is what makes the audit
+    deterministic without an arrival-order tiebreak. Partitioned on
+    user_id: at 100 TB the sweep parallelizes across users with one
+    shuffle, and window state is O(events in 7 days per user), the same
+    bound the production rate limiter itself must hold."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1000000, 0)
+    )
+    c = ev.select(
+        "user_id", "ts", F.count(F.lit(1)).over(w).alias("cnt")
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("cnt") > 20).alias("n_throttled"),
+        F.max("cnt").alias("peak_7d"),
+        F.coalesce(
+            F.date_format(
+                F.min(F.when(F.col("cnt") > 20, F.col("ts"))), "yyyy-MM-dd"
+            ),
+            F.lit("never"),
+        ).alias("first_throttle_day"),
+    )
+
+
+@query(
     "evt_merge_overlapping_sessions",
     oracle="""
     WITH spans AS (

@@ -484,3 +484,41 @@ def test_shingle_novelty_conserves_distinct_grams(spark, sf_dir):
         .count()
     )
     assert sum(r.novel_grams for r in rows) == distinct_grams
+
+
+def test_rate_limit_audit_brute_force(spark, sf_dir):
+    """The RANGE-framed trailing-window counts must match a driver-side
+    brute force on a bounded user sample, including peer-inclusive ties
+    and the inclusive 7-day lower bound."""
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.inventory import REGISTRY, t
+
+    out = {
+        r.user_id: r
+        for r in REGISTRY["evt_rate_limit_audit"].fn(spark, sf_dir)
+        .filter(F.col("user_id") < 8).collect()
+    }
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 8) & F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("tu"), "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.tu, r.ts))
+    win = 7 * 86400 * 1000000
+    for uid, rows in by_user.items():
+        rows.sort()
+        tus = [tu for tu, _ in rows]
+        cnts = [sum(1 for u in tus if t0 - win <= u <= t0) for t0 in tus]
+        got = out[uid]
+        assert got.n_events == len(rows)
+        assert got.peak_7d == max(cnts)
+        assert got.n_throttled == sum(1 for c in cnts if c > 20)
+        throttle_ts = [ts for (tu, ts), c in zip(rows, cnts) if c > 20]
+        expect_day = (
+            min(throttle_ts).strftime("%Y-%m-%d") if throttle_ts else "never"
+        )
+        assert got.first_throttle_day == expect_day
