@@ -21,7 +21,11 @@ from crane_stream_processing_spark.inventory import (
     release_query_caches,
 )
 
-_HOST_SNAPSHOT_TAKEN = False
+# applicationIds whose host-cache snapshot has been taken. Keyed per
+# SparkContext (a restarted context reuses RDD ids from 0) and only
+# recorded on a SUCCESSFUL snapshot, so a transient failure retries on
+# the next call instead of silently leaving host caches unprotected.
+_HOST_SNAPSHOT_APPS: set[str] = set()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,10 +50,13 @@ def _released(fn: Callable) -> Callable:
     every subsequent sweep."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        global _HOST_SNAPSHOT_TAKEN
-        if not _HOST_SNAPSHOT_TAKEN:
-            protect_host_caches(spark)
-            _HOST_SNAPSHOT_TAKEN = True
+        try:
+            app_id = spark.sparkContext.applicationId
+        except Exception:  # noqa: BLE001 — dead session; fn will surface it
+            app_id = None
+        if app_id is not None and app_id not in _HOST_SNAPSHOT_APPS:
+            if protect_host_caches(spark):
+                _HOST_SNAPSHOT_APPS.add(app_id)
         release_query_caches(spark)
         return fn(spark, sf_dir)
 

@@ -74,9 +74,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _QUERY_CACHES: list[DataFrame] = []
 
 # Persistent-RDD ids owned by the HOST application (not by registry
-# queries). The release sweep below skips these, so an application that
-# embeds the registry in its own long-lived session keeps its caches.
-_PROTECTED_RDD_IDS: set[int] = set()
+# queries), keyed by SparkContext applicationId: RDD ids restart from 0
+# in a fresh context, so a process-global flat set would let stale
+# protected ids from a stopped context shield NEW query caches from the
+# sweep (and leave the new context's real host caches unprotected).
+_PROTECTED_RDD_IDS: dict[str, set[int]] = {}
 
 
 def register_query_cache(df: DataFrame) -> DataFrame:
@@ -85,17 +87,25 @@ def register_query_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-def protect_host_caches(spark: SparkSession) -> None:
-    """Snapshot every currently-persistent RDD id as host-owned so
-    :func:`release_query_caches` never unpersists it. The driver contract
-    (``__spark_entry__._released``) calls this once before the first
-    registry query runs — at that point anything already cached in the
-    session belongs to the host application, not to a registry query."""
+def protect_host_caches(spark: SparkSession) -> bool:
+    """Snapshot every currently-persistent RDD id as host-owned (scoped
+    to this SparkContext's applicationId) so :func:`release_query_caches`
+    never unpersists it. The driver contract
+    (``__spark_entry__._released``) calls this before the first registry
+    query runs in each context — at that point anything already cached in
+    the session belongs to the host application, not to a registry query.
+    Returns True only when the snapshot actually succeeded: a transient
+    py4j failure must NOT count as taken, or the caller would never retry
+    and the very next sweep would destroy unprotected host caches."""
     try:
+        app_id = spark.sparkContext.applicationId
         jrdds = spark.sparkContext._jsc.getPersistentRDDs()
-        _PROTECTED_RDD_IDS.update(int(jrdd.id()) for jrdd in jrdds.values())
+        _PROTECTED_RDD_IDS.setdefault(app_id, set()).update(
+            int(jrdd.id()) for jrdd in jrdds.values()
+        )
+        return True
     except Exception:  # noqa: BLE001 — a dead session must not mask startup
-        pass
+        return False
 
 
 def release_query_caches(spark: SparkSession) -> None:
@@ -103,18 +113,21 @@ def release_query_caches(spark: SparkSession) -> None:
     persistent RDDs (localCheckpoint storage from iterative operators —
     pagerank / label propagation — persists at the RDD level, invisible
     to ``spark.catalog.clearCache``) EXCEPT ids recorded by
-    :func:`protect_host_caches`. Safe between queries: nothing in the
-    engine relies on cross-query cached state; index artifacts are
-    parquet files on disk, not cached relations."""
+    :func:`protect_host_caches` for THIS SparkContext. Safe between
+    queries: nothing in the engine relies on cross-query cached state;
+    index artifacts are parquet files on disk, not cached relations."""
     while _QUERY_CACHES:
         try:
             _QUERY_CACHES.pop().unpersist()
         except Exception:  # noqa: BLE001 — a dead session must not mask release
             pass
     try:
+        protected = _PROTECTED_RDD_IDS.get(
+            spark.sparkContext.applicationId, set()
+        )
         jrdds = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jrdds.values()):
-            if int(jrdd.id()) not in _PROTECTED_RDD_IDS:
+            if int(jrdd.id()) not in protected:
                 jrdd.unpersist()
     except Exception:  # noqa: BLE001
         pass

@@ -635,6 +635,22 @@ _DOCS_SCHEMA = T.StructType(
     ]
 )
 
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents file stream, layout-independent like _stream_events:
+    documents.parquet may be one FILE (stream sf_dir with a filename
+    glob) or a parquet DIRECTORY of part files (stream it directly — the
+    glob would match zero part-*.parquet leaves and the query would
+    silently read an empty stream and grade 0 rows against the oracle)."""
+    import os
+
+    _set_session_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    reader = spark.readStream.schema(_DOCS_SCHEMA)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
 # Oracle is the batch twin's, verbatim: the stream must answer identically.
 _ORACLE_MM_AHASH = """
     WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
@@ -675,12 +691,7 @@ def stream_mm_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is stateless 1→1."""
     from ..operators import multimodal as M
 
-    _set_session_confs(spark)
-    docs = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _stream_docs(spark, sf_dir)
     hashed = M.bmp_ahash(M.synthesize_bmp(docs))
     _run_to_memory(hashed, "stream_mm_ahash_fingerprint", "append")
     return spark.table("stream_mm_ahash_fingerprint")
@@ -726,12 +737,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same banding CTE as dedup_minhash_lsh_jaccard."""
     from ..operators import dedup as D
 
-    _set_session_confs(spark)
-    docs = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _stream_docs(spark, sf_dir)
     staged = docs.select(
         "doc_id",
         "text",

@@ -127,6 +127,20 @@ def lsh_bands(
         )
     n_bands = num_hashes // band_rows
 
+    # Passthrough columns ride the whole pipeline; a name colliding with
+    # an internal alias or an output column would produce duplicate
+    # columns / AMBIGUOUS_REFERENCE downstream — fail loudly instead.
+    reserved = {"doc", "sh", "sig", "band", "band_idx", "band_hash"}
+    clashes = reserved.intersection(
+        c for c in df.columns if c not in (id_col, content_col)
+    )
+    if clashes:
+        raise ValueError(
+            f"lsh_bands: passthrough column(s) {sorted(clashes)} collide "
+            "with internal/output names "
+            "(doc, sh, sig, band, band_idx, band_hash) — rename them first"
+        )
+
     def band_structs(sig: Column) -> Column:
         return F.array(
             *[

@@ -477,6 +477,11 @@ def test_query_caches_released_after_execution(spark, sf_dir):
     of a long-lived session (round-3 verdict item #2)."""
     from crane_stream_processing_spark import inventory as inv
 
+    def protected_ids():
+        return inv._PROTECTED_RDD_IDS.get(
+            spark.sparkContext.applicationId, set()
+        )
+
     for name in (
         "sql_recursive_order_chain",
         "curate_label_coherence",
@@ -489,7 +494,7 @@ def test_query_caches_released_after_execution(spark, sf_dir):
         leaked = [
             int(j.id())
             for j in spark.sparkContext._jsc.getPersistentRDDs().values()
-            if int(j.id()) not in inv._PROTECTED_RDD_IDS
+            if int(j.id()) not in protected_ids()
         ]
         assert not leaked, f"{name}: {leaked} persistent RDDs survive release"
 
@@ -506,10 +511,13 @@ def test_driver_contract_releases_previous_query_caches(spark, sf_dir):
     from crane_stream_processing_spark import inventory as inv
 
     def unprotected():
+        protected = inv._PROTECTED_RDD_IDS.get(
+            spark.sparkContext.applicationId, set()
+        )
         return [
             int(j.id())
             for j in spark.sparkContext._jsc.getPersistentRDDs().values()
-            if int(j.id()) not in inv._PROTECTED_RDD_IDS
+            if int(j.id()) not in protected
         ]
 
     release_query_caches(spark)  # clean slate from earlier tests
@@ -544,7 +552,9 @@ def test_host_caches_survive_contract_release_sweep(spark, sf_dir):
 
         # Contract path: force a fresh first-call snapshot, then run two
         # queries (the second one's build sweeps the first's caches).
-        contract._HOST_SNAPSHOT_TAKEN = False
+        contract._HOST_SNAPSHOT_APPS.discard(
+            spark.sparkContext.applicationId
+        )
         qs = contract.queries()
         qs["sql_recursive_order_chain"](spark, sf_dir).write.mode(
             "overwrite"
