@@ -55,12 +55,29 @@ def force(df: DataFrame) -> None:
 
 
 def shapes(spark, n: int) -> dict:
+    from crane_stream_processing_spark.operators import dedup as D
+    from crane_stream_processing_spark.operators import similarity as S
+
     li = replicate(
         load_table(spark, SF_DIR, "lineitem"), n, ["l_orderkey"]
     )
     orders = replicate(
         load_table(spark, SF_DIR, "orders"), n, ["o_orderkey", "o_custkey"]
     )
+    docs = replicate(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        n,
+        ["doc_id"],
+    )
+    emb = replicate(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"),
+        n,
+        ["vec_id"],
+    )
+    # 256 data-independent centroid directions — far above LITERAL_K_MAX,
+    # so the coarse assignment runs through the broadcast matrix relation
+    # (the round-5 large-k shape; plan stays O(1) in k).
+    cents256 = S.hyperplanes(256, 64, seed="crane-probe-ivf")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -88,6 +105,20 @@ def shapes(spark, n: int) -> dict:
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("s"))
+        ),
+        # Round-5 shapes: the minhash-LSH banding stage (row-local array
+        # pipeline + linear band-bucket count — the dedup scale path) and
+        # the RELATIONAL large-k IVF coarse assignment (k=256 via the
+        # 1-row broadcast centroid matrix).
+        "lsh_band_bucket_count": lambda: force(
+            D.lsh_bands(docs, "doc_id", "text")
+            .groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        "ivf_rel_coarse_assign_k256": lambda: force(
+            S.ivf_bucket_corpus(emb, cents256)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
         ),
     }
 
