@@ -47,7 +47,16 @@ def _released(fn: Callable) -> Callable:
     The first call snapshots pre-existing persistent RDDs as host-owned
     (``protect_host_caches``): no registry query has run yet, so anything
     already cached belongs to the embedding application and must survive
-    every subsequent sweep."""
+    every subsequent sweep.
+
+    CONTRACT NOTE (first-call-only snapshot): the snapshot is taken ONCE
+    per SparkContext — a host that persists a DataFrame AFTER the first
+    registry query has run is outside it and would be swept. Such hosts
+    must call
+    ``crane_stream_processing_spark.inventory.protect_host_caches(spark)``
+    themselves after creating mid-run caches (the function is additive:
+    each call unions the currently-persistent RDD ids into the protected
+    set for the live applicationId)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:

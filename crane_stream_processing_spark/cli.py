@@ -137,11 +137,23 @@ def main(argv: list[str] | None = None) -> int:
             # counts are tallied in the same pass (grep_counts(df)
             # remains the distributed form for counts-only callers).
             counts = Counter()
+            n_printed = 0
             for r in matches.toLocalIterator():
                 print(f"{r.vm}:{r.line_no}: {r.value}")
                 counts[r.vm] += 1
+                n_printed += 1
+            # Under --limit the tallies only cover the printed prefix —
+            # mark them as truncated lower bounds so the summary can't be
+            # misread as a per-file total (round-5 advice).
+            truncated = a.limit is not None and n_printed >= a.limit
             for vm in sorted(counts):
-                print(f"# {vm}: {counts[vm]} matches", file=sys.stderr)
+                if truncated:
+                    print(
+                        f"# {vm}: >= {counts[vm]} matches (limit reached)",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(f"# {vm}: {counts[vm]} matches", file=sys.stderr)
         elif a.cmd == "put":
             from .streaming.sinks import VersionedSink, list_versions
 

@@ -18,6 +18,8 @@ timezone/typing drift between Spark (session-TZ) and DuckDB (naive).
 
 from __future__ import annotations
 
+import atexit
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -29,6 +31,7 @@ from ..catalog import load_table
 __all__ = [
     "Query", "REGISTRY", "query", "t", "t_cpu", "dsum", "davg",
     "register_query_cache", "release_query_caches", "protect_host_caches",
+    "cached_fixture", "register_scratch_dir",
 ]
 
 
@@ -61,6 +64,52 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# Per-process temp fixture directories created by roundtrip/layout queries
+# (rendered CLF logs, partitioned/z-ordered/compacted copies, CSV/JSON/ORC/
+# XML renders, persisted index artifacts), reaped at interpreter exit so
+# repeated gate/bench runs don't leak parquet into /tmp.
+_FIXTURE_CLEANUP: set[str] = set()
+
+
+def _reap_fixture_dirs() -> None:
+    import shutil
+
+    for path in _FIXTURE_CLEANUP:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_reap_fixture_dirs)
+
+
+def register_scratch_dir(path: str) -> str:
+    """Register a per-call scratch directory (streaming sink bases, etc.)
+    for atexit removal — for paths that are NOT memoized but must outlive
+    the builder until the returned lazy DataFrame is materialized."""
+    _FIXTURE_CLEANUP.add(path)
+    return path
+
+
+def cached_fixture(cache: dict, key, build, path_of=None):
+    """Memoize a per-(process, key) temp fixture with LIVENESS
+    re-validation: a tmp-reaper on a long-lived session can delete a
+    memoized directory mid-process, after which a stale cache entry would
+    make every later run fail against a vanished path — so the cached
+    path is ``isdir``-checked on reuse and the fixture rebuilt if gone
+    (round-5 advice). ``build()`` returns the cache value; ``path_of``
+    extracts the directory from it (default: the value itself if a str,
+    else its first element). Built directories are registered for atexit
+    removal."""
+    if path_of is None:
+        path_of = lambda v: v if isinstance(v, str) else v[0]  # noqa: E731
+    val = cache.get(key)
+    if val is not None and os.path.isdir(path_of(val)):
+        return val
+    val = build()
+    cache[key] = val
+    _FIXTURE_CLEANUP.add(path_of(val))
+    return val
 
 
 # Queries that must persist an intermediate DURING their (lazy) execution
@@ -189,30 +238,38 @@ def _load_all() -> None:
 # eventtime, windows tail, multimodal, udf/udtf, and 11 of 13 stream_*
 # queries (CORRECTNESS_r03.json, 50/50); round 4 proved graph_*,
 # sample_*, curate_*, sql_*, udtf_* and the evt_/text_/sim_ tails
-# (CORRECTNESS_r04.json, 50/50). Round 5 (this list, generated by
+# (CORRECTNESS_r04.json, 50/50); round 5 proved the 25 round-4
+# post-freeze additions plus a 25-row backfill (CORRECTNESS_r05.json,
+# 50/50 — cumulative union 218/218). Round 6 (this list, generated by
 # tools/rotate_priority.py from the accumulated CORRECTNESS files):
-# the 25 round-4 post-freeze additions that have never been inside a
-# driver window — as-of tolerance/nearest, salted skew join, linear
-# gapfill, sweep-line concurrency, OHLC, minhash calibration, SemDeDup,
-# binary-quant/PCA/covariance/recall-curve/kNN-eval, shingle
-# containment, the WAV/BMP codec + aHash queries, BPE compression,
-# chunking, row-ids, ES-sampling, perplexity buckets, k-anonymity and
-# Zipf slope — plus a 25-row backfill of historical rows (re-proving
-# the round-4 window's newest families). After this window the
-# cumulative union of CORRECTNESS_r01-r05 covers every query that
-# existed at the round-5 freeze; the nine round-5 additions
-# (sim_ivf_rel_coarse_topk — relational large-k IVF coarse quantizer;
-# stream_dedup_minhash — watermarked streaming LSH near-dedup;
-# dedup_lsh_tuning_curve — banding S-curve calibration;
-# evt_merge_overlapping_sessions — gaps-and-islands interval union;
-# mm_wav_rms_energy_windows — windowed energy over the real PCM decode;
-# join_bloom_runtime_filter — plan-asserted runtime bloom join pruning;
-# src_xml_roundtrip — Spark 4 built-in XML source surface;
-# text_shingle_novelty_deciles — corpus novelty/diminishing-returns curve;
-# evt_rate_limit_audit — trailing-window quota audit)
-# front the round-6 window.
+# the nine round-5 post-freeze additions that have never been inside a
+# driver window —
+# src_xml_roundtrip (Spark 4 built-in XML source surface),
+# join_bloom_runtime_filter (plan-asserted runtime bloom join pruning),
+# evt_rate_limit_audit (trailing-window quota audit),
+# evt_merge_overlapping_sessions (gaps-and-islands interval union),
+# dedup_lsh_tuning_curve (banding S-curve calibration),
+# text_shingle_novelty_deciles (corpus novelty/diminishing-returns),
+# sim_ivf_rel_coarse_topk (relational large-k IVF coarse quantizer),
+# mm_wav_rms_energy_windows (windowed energy over the real PCM decode),
+# stream_dedup_minhash (watermarked streaming LSH near-dedup) —
+# plus a 41-row backfill re-proving the round-5 window's families.
+# A green round-6 window closes the cumulative driver union over every
+# query that existed at the round-5 freeze: 227/227. Round-6
+# post-freeze additions (stream_ivf_ingest — streaming incremental IVF
+# index ingest) front round 7.
 GRADE_PRIORITY: list[str] = [
-    # round-4 post-freeze additions (never driver-graded before r5)
+    # round-5 post-freeze additions (never driver-graded before r6)
+    "src_xml_roundtrip",
+    "join_bloom_runtime_filter",
+    "evt_rate_limit_audit",
+    "evt_merge_overlapping_sessions",
+    "dedup_lsh_tuning_curve",
+    "text_shingle_novelty_deciles",
+    "sim_ivf_rel_coarse_topk",
+    "mm_wav_rms_energy_windows",
+    "stream_dedup_minhash",
+    # backfill: re-prove the round-5 window's families
     "join_asof_tolerance_7d_purchase",
     "join_asof_nearest_purchase",
     "join_salted_skew_spend",
@@ -238,7 +295,6 @@ GRADE_PRIORITY: list[str] = [
     "sample_weighted_es_topk",
     "curate_perplexity_buckets",
     "text_zipf_slope",
-    # backfill: re-prove the newest historical families
     "agg_regr_linear_price_qty",
     "window_percentrank_cumedist_price",
     "scalar_url_parse",
@@ -255,15 +311,6 @@ GRADE_PRIORITY: list[str] = [
     "sql_orders_above_customer_avg",
     "evt_funnel_conversion",
     "evt_retention_cohorts",
-    "graph_triangle_count_brand",
-    "graph_pagerank_nation",
-    "evt_transition_matrix",
-    "graph_shortest_cost_nation",
-    "evt_anomaly_daily_zscore",
-    "evt_ewma_daily_smoothing",
-    "udtf_bigram_top20",
-    "variant_props_stats",
-    "sql_lateral_top2_orders",
 ]
 
 

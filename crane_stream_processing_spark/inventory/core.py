@@ -182,8 +182,9 @@ def src_clf_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import datasource
 
-    log_dir = _CLF_DIRS.get(sf_dir)
-    if log_dir is None:
+    from . import cached_fixture
+
+    def _build_clf() -> str:
         ev = t(spark, sf_dir, "events")
         lines = ev.select(
             F.concat(
@@ -195,7 +196,9 @@ def src_clf_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         log_dir = tempfile.mkdtemp(prefix="crane_clf_")
         lines.repartition(8).write.mode("overwrite").text(log_dir)
-        _CLF_DIRS[sf_dir] = log_dir
+        return log_dir
+
+    log_dir = cached_fixture(_CLF_DIRS, sf_dir, _build_clf)
 
     datasource.register(spark)
     typed = spark.read.format("crane_clf").option("path", log_dir).load()
@@ -234,6 +237,24 @@ def app_grep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_DIRS: dict[str, str] = {}  # per-process partitioned-write fixture cache
 
 
+def _part_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """events written hive-partitioned by event_type, memoized per
+    (process, sf_dir) with liveness re-validation (shared by the
+    partitioned-roundtrip and DPP queries)."""
+    import tempfile
+
+    from .. import catalog
+    from . import cached_fixture
+
+    def _build() -> str:
+        ev = catalog.load_table(spark, sf_dir, "events")
+        part_dir = tempfile.mkdtemp(prefix="crane_part_")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(part_dir)
+        return part_dir
+
+    return cached_fixture(_PART_DIRS, sf_dir, _build)
+
+
 @query(
     "io_partitioned_roundtrip",
     oracle="""
@@ -262,12 +283,7 @@ def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import catalog
     from . import dsum
 
-    part_dir = _PART_DIRS.get(sf_dir)
-    if part_dir is None:
-        ev = catalog.load_table(spark, sf_dir, "events")
-        part_dir = tempfile.mkdtemp(prefix="crane_part_")
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(part_dir)
-        _PART_DIRS[sf_dir] = part_dir
+    part_dir = _part_fixture(spark, sf_dir)
 
     df = spark.read.parquet(part_dir)
     return (
@@ -315,12 +331,7 @@ def io_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import catalog
     from . import dsum
 
-    part_dir = _PART_DIRS.get(sf_dir)
-    if part_dir is None:
-        ev = catalog.load_table(spark, sf_dir, "events")
-        part_dir = tempfile.mkdtemp(prefix="crane_part_")
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(part_dir)
-        _PART_DIRS[sf_dir] = part_dir
+    part_dir = _part_fixture(spark, sf_dir)
 
     fact = spark.read.parquet(part_dir)
     dim = spark.createDataFrame(
@@ -367,14 +378,15 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import dsum
 
-    cached = _CSV_DIRS.get(sf_dir)
-    if cached is None:
+    from . import cached_fixture
+
+    def _build_csv() -> tuple[str, object]:
         src = t(spark, sf_dir, "customer")
         path = tempfile.mkdtemp(prefix="crane_csv_")
         src.write.mode("overwrite").option("header", True).csv(path)
-        cached = (path, src.schema)
-        _CSV_DIRS[sf_dir] = cached
-    path, schema = cached
+        return (path, src.schema)
+
+    path, schema = cached_fixture(_CSV_DIRS, sf_dir, _build_csv)
     # The graded read goes through the engine's own typed CSV surface
     # (explicit schema + DROPMALFORMED), not a raw spark.read.
     from ..io import read_csv
@@ -407,14 +419,15 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
-    cached = _JSON_DIRS.get(sf_dir)
-    if cached is None:
+    from . import cached_fixture
+
+    def _build_json() -> tuple[str, object]:
         src = t(spark, sf_dir, "documents")
         path = tempfile.mkdtemp(prefix="crane_json_")
         src.write.mode("overwrite").json(path)
-        cached = (path, src.schema)
-        _JSON_DIRS[sf_dir] = cached
-    path, schema = cached
+        return (path, src.schema)
+
+    path, schema = cached_fixture(_JSON_DIRS, sf_dir, _build_json)
     from ..io import read_json  # engine's typed JSONL surface
 
     df = read_json(spark, path, schema)
@@ -451,14 +464,15 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import dsum
 
-    cached = _ORC_DIRS.get(sf_dir)
-    if cached is None:
+    from . import cached_fixture
+
+    def _build_orc() -> tuple[str, object]:
         src = t(spark, sf_dir, "orders")
         path = tempfile.mkdtemp(prefix="crane_orc_")
         src.write.mode("overwrite").orc(path)
-        cached = (path, src.schema)
-        _ORC_DIRS[sf_dir] = cached
-    path, schema = cached
+        return (path, src.schema)
+
+    path, schema = cached_fixture(_ORC_DIRS, sf_dir, _build_orc)
     df = spark.read.schema(schema).orc(path)
     return df.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -497,17 +511,30 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)  # fixture memo may skip load_table on this session
     import tempfile
 
-    cached = _XML_DIRS.get(sf_dir)
-    if cached is None:
+    from . import cached_fixture
+    from ..io import read_xml
+
+    def _build_xml() -> tuple[str, object]:
         src = t(spark, sf_dir, "documents")
         path = tempfile.mkdtemp(prefix="crane_xml_")
         src.write.mode("overwrite").option("rowTag", "doc").option(
             "rootTag", "docs"
         ).format("xml").save(path)
-        cached = (path, src.schema)
-        _XML_DIRS[sf_dir] = cached
-    path, schema = cached
-    from ..io import read_xml
+        # XML 1.0 cannot represent control characters (0x00-0x08, 0x0B,
+        # 0x0C, 0x0E-0x1F): a corpus row containing one would be written
+        # but dropped on re-read by DROPMALFORMED while the oracle reads
+        # the original parquet — a SILENT divergence. Fail loudly at
+        # fixture-build time instead (round-5 advice).
+        n_src = src.count()
+        n_back = read_xml(spark, path, src.schema, row_tag="doc").count()
+        if n_back != n_src:
+            raise ValueError(
+                f"XML roundtrip dropped rows ({n_src} -> {n_back}): the "
+                "corpus contains XML-unrepresentable control characters"
+            )
+        return (path, src.schema)
+
+    path, schema = cached_fixture(_XML_DIRS, sf_dir, _build_xml)
 
     df = read_xml(spark, path, schema, row_tag="doc")
     return df.groupBy("lang").agg(
@@ -690,8 +717,9 @@ def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.layout import morton_interleave, write_zordered
 
-    zdir = _ZORDER_DIRS.get(sf_dir)
-    if zdir is None:
+    from . import cached_fixture
+
+    def _build_zorder() -> str:
         orders = t(spark, sf_dir, "orders").withColumn(
             "o_orderday",
             F.datediff(
@@ -700,7 +728,9 @@ def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         zdir = tempfile.mkdtemp(prefix="crane_zorder_")
         write_zordered(orders, zdir, "o_custkey", "o_orderday", num_files=8)
-        _ZORDER_DIRS[sf_dir] = zdir
+        return zdir
+
+    zdir = cached_fixture(_ZORDER_DIRS, sf_dir, _build_zorder)
 
     df = spark.read.parquet(zdir).filter(
         (F.col("o_custkey").between(100, 500))
@@ -748,8 +778,9 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import catalog
     from . import dsum
 
-    evdir = _EVOLVE_DIRS.get(sf_dir)
-    if evdir is None:
+    from . import cached_fixture
+
+    def _build_evolve() -> str:
         ev = catalog.load_table(spark, sf_dir, "events")
         evdir = tempfile.mkdtemp(prefix="crane_evolve_")
         old = ev.filter(F.col("event_id") % 2 == 0).select(
@@ -760,7 +791,9 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         old.write.mode("overwrite").parquet(os.path.join(evdir, "gen=0"))
         new.write.mode("overwrite").parquet(os.path.join(evdir, "gen=1"))
-        _EVOLVE_DIRS[sf_dir] = evdir
+        return evdir
+
+    evdir = cached_fixture(_EVOLVE_DIRS, sf_dir, _build_evolve)
 
     # Hive-style discovery keeps `gen` as a partition column, so the
     # generation count is independent of the evolved column's NULLs —
@@ -809,10 +842,9 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    fx = _COMPACT_FIXTURES.get(sf_dir)
-    if fx is None:
-        import atexit
+    from . import cached_fixture
 
+    def _build_compact() -> tuple[str, int, int]:
         ev = t(spark, sf_dir, "events").select("event_id")
         # every repartition(64) partition must be non-empty or the
         # oracle's 64/4 file-count literals hash-fail opaquely — fail
@@ -836,12 +868,13 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_after = len(_glob.glob(os.path.join(compact, "part-*.parquet")))
         # the compact write has executed eagerly; the 64-file staging dir
         # is garbage now — only the compacted dir is memoized/re-read
+        # (cached_fixture registers the compacted dir for atexit reaping)
         shutil.rmtree(small, ignore_errors=True)
-        # the memoized compacted copy is process-scoped scratch: reap it
-        # on exit so repeated gate/bench runs don't leak parquet into /tmp
-        atexit.register(shutil.rmtree, compact, ignore_errors=True)
-        fx = _COMPACT_FIXTURES[sf_dir] = (compact, n_before, n_after)
-    compact, n_before, n_after = fx
+        return (compact, n_before, n_after)
+
+    compact, n_before, n_after = cached_fixture(
+        _COMPACT_FIXTURES, sf_dir, _build_compact
+    )
 
     return (
         spark.read.parquet(compact)

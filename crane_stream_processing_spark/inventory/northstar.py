@@ -995,17 +995,15 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     matches)."""
     import tempfile
 
-    path = _IVF_INDEX_DIRS.get(sf_dir)
-    if path is None:
-        import atexit
-        import shutil
+    from . import cached_fixture
 
+    def _build() -> str:
         emb = t_cpu(spark, sf_dir, "embeddings")
         path = tempfile.mkdtemp(prefix="crane_ivf_index_")
         S.ivf_bucket_corpus(emb, _CENTROIDS).write.mode("overwrite").parquet(path)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _IVF_INDEX_DIRS[sf_dir] = path
-    return spark.read.parquet(path)
+        return path
+
+    return spark.read.parquet(cached_fixture(_IVF_INDEX_DIRS, sf_dir, _build))
 
 
 @query(
@@ -1445,17 +1443,16 @@ _IVF_CELL_DIRS: dict[tuple[str, int, int], str] = {}
 
 
 def _persisted(spark: SparkSession, cache: dict, key, build) -> DataFrame:
-    import atexit
-    import shutil
     import tempfile
 
-    path = cache.get(key)
-    if path is None:
+    from . import cached_fixture
+
+    def _write() -> str:
         path = tempfile.mkdtemp(prefix="crane_ann_index_")
         build().write.mode("overwrite").parquet(path)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        cache[key] = path
-    return spark.read.parquet(path)
+        return path
+
+    return spark.read.parquet(cached_fixture(cache, key, _write))
 
 
 def _pq_codes(spark: SparkSession, sf_dir: str, pkey, books) -> DataFrame:

@@ -46,7 +46,7 @@ _EVENTS_FIELDS = [
 
 _TS_TYPE_CACHE: dict[str, T.DataType] = {}  # sf_dir → stored type of events.ts
 
-_SENTINEL_DIR: str | None = None  # process-wide cache, see _stream_events_sentinel
+_SENTINEL_DIR: dict[str, str] = {}  # process-wide cache, see _stream_events_sentinel
 
 
 def _events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
@@ -120,9 +120,11 @@ def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _set_session_confs(spark)
 
-    global _SENTINEL_DIR
+    from . import cached_fixture
+
     far_us = 4102444800 * 1_000_000  # 2100-01-01 as epoch µs
-    if _SENTINEL_DIR is None:
+
+    def _build_sentinel() -> str:
         sentinel_dir = tempfile.mkdtemp(prefix="crane_sentinel_")
         spark.createDataFrame(
             [
@@ -133,8 +135,9 @@ def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("ts", F.timestamp_micros("ts")).coalesce(1).write.mode(
             "overwrite"
         ).parquet(sentinel_dir)
-        _SENTINEL_DIR = sentinel_dir
-    sentinel_dir = _SENTINEL_DIR
+        return sentinel_dir
+
+    sentinel_dir = cached_fixture(_SENTINEL_DIR, "sentinel", _build_sentinel)
     real = _stream_events(spark, sf_dir)
     sent = spark.readStream.schema(_events_schema(T.TimestampType())).parquet(
         sentinel_dir
@@ -500,7 +503,9 @@ def stream_versioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
-    base = tempfile.mkdtemp(prefix="crane_vsink_q_")
+    from . import register_scratch_dir
+
+    base = register_scratch_dir(tempfile.mkdtemp(prefix="crane_vsink_q_"))
     sink = VersionedSink(base, "by_type")
 
     import os
@@ -544,7 +549,9 @@ def stream_merge_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
-    base = tempfile.mkdtemp(prefix="crane_msink_q_")
+    from . import register_scratch_dir
+
+    base = register_scratch_dir(tempfile.mkdtemp(prefix="crane_msink_q_"))
     sink = MergeSink(base, "by_type", keys=["event_type"])
 
     with _scoped_stream_partitions(spark):
@@ -751,3 +758,75 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(deduped, "stream_dedup_minhash", "append")
     return spark.table("stream_dedup_minhash")
+
+
+_EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings file stream, layout-independent like _stream_docs:
+    embeddings.parquet may be a single file (glob on the parent) or a
+    parquet directory of part files (stream it directly — the glob on a
+    directory matches zero leaves and silently reads an empty stream)."""
+    import os
+
+    _set_session_confs(spark)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    reader = spark.readStream.schema(_EMBEDDINGS_SCHEMA)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+
+
+def _oracle_stream_ivf_ingest() -> str:
+    # Batch-equivalent grade: the stream must route every vector to the
+    # SAME trained cell the batch coarse quantizer computes — the oracle
+    # re-derives cells from the 64 inlined plane literals (northstar is
+    # loaded before this module).
+    from .northstar import _sql_ivf_cell64
+
+    return f"""
+    SELECT vec_id,
+           CAST({_sql_ivf_cell64('embedding')} AS INTEGER) AS cell
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    """
+
+
+@query("stream_ivf_ingest", oracle=_oracle_stream_ivf_ingest())
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental ANN-index ingest (round-5 verdict item #2 —
+    the production index-maintenance path): embeddings arrive on a file
+    stream and each micro-batch routes every new vector to its TRAINED
+    k=64 IVF cell via the relational coarse quantizer
+    (operators/similarity.py ivf_assign — the 1-row broadcast
+    centroid_matrix relation cross-joined in as a stream-static join,
+    then a row-local F.transform dot fold + argmax). Because the stage
+    is row-local with centroids as broadcast DATA, it composes with
+    Structured Streaming unchanged (the lsh_bands precedent,
+    stream_dedup_minhash above) and the physical plan stays O(1) in k —
+    NO literal-centroid expressions (plan-asserted in
+    tests/test_plan_quality.py). This is how a billion-vector deployment
+    keeps its inverted file fresh: the index build trains once offline
+    (kmeans_fit / ivf_bucket_corpus), and arrivals thereafter are a
+    stateless 1→1 append — no state store, no watermark, no re-scan of
+    history; at 100 TB the ingest cost is one scan of the NEW data only.
+    Graded batch-equivalently: append-mode output (vec_id, cell) must
+    hash-match the batch assignment the oracle re-derives from the same
+    64 plane literals (deterministic first-occurrence argmax tiebreak on
+    both engines)."""
+    from ..operators import similarity as S
+    from .northstar import _CENTROIDS64
+
+    emb = _stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    assigned = S.ivf_assign(emb, _CENTROIDS64)
+    _run_to_memory(assigned, "stream_ivf_ingest", "append")
+    return spark.table("stream_ivf_ingest")

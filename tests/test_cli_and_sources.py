@@ -350,4 +350,20 @@ def test_cli_grep_limit_caps_output(spark, tmp_path, capsys):
     assert main(["grep", "alpha", str(tmp_path), "--limit", "7"]) == 0
     out = capsys.readouterr()
     assert out.out.count("alpha") == 7
-    assert ": 7 matches" in out.err
+    # The per-file summary under a hit limit is a truncated lower bound,
+    # not a total — it must say so (round-5 advice).
+    assert ": >= 7 matches (limit reached)" in out.err
+
+
+def test_cli_grep_limit_not_hit_reports_exact(spark, tmp_path, capsys):
+    """A --limit larger than the match set must NOT mark the summary as
+    truncated — the tallies are exact totals in that case."""
+    from crane_stream_processing_spark.cli import main
+
+    log = tmp_path / "m1.log"
+    log.write_text("alpha one\nbeta two\nalpha three\n")
+    assert main(["grep", "alpha", str(tmp_path), "--limit", "50"]) == 0
+    out = capsys.readouterr()
+    assert out.out.count("alpha") == 2
+    assert ": 2 matches" in out.err
+    assert "limit reached" not in out.err

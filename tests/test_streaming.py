@@ -538,3 +538,74 @@ def test_merge_sink_deterministic_winner(spark, tdir):
             (r.k, r.v, r.tag) for r in read_latest(spark, base, "m").collect()
         }
         assert got == {("x", 2, "hi"), ("y", 5, "only")}
+
+
+def test_stream_ivf_ingest_incremental_and_plan(spark, tdir):
+    """Streaming incremental IVF ingest (round-5 verdict item #2):
+    (1) arrivals are routed to the SAME trained cell the batch coarse
+    quantizer computes (bit-identical dot fold + argmax);
+    (2) a checkpointed restart processes ONLY the new file — the
+    incremental property that makes index maintenance O(new data), not
+    O(corpus); (3) the streaming plan carries the k=64 centroids as
+    broadcast DATA — no centroid component appears as a plan literal."""
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.inventory.northstar import _CENTROIDS64
+    from crane_stream_processing_spark.operators import similarity as S
+
+    src = os.path.join(tdir, "ivf_src")
+    ckpt = os.path.join(tdir, "ivf_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def vec(seed: int) -> list[float]:
+        return [float(((seed * 31 + i * 7) % 19) - 9) / 9.0 for i in range(64)]
+
+    def write_batch(name: str, ids: list[int]) -> None:
+        spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    write_batch("gen=0", [0, 1, 2, 3])
+
+    seen: list[tuple] = []
+
+    def run_once():
+        st = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(os.path.join(src, "*"))
+        assigned = S.ivf_assign(st, _CENTROIDS64)
+        assert assigned.isStreaming
+        # (3) no literal centroids: a centroid component rendered into the
+        # analyzed plan would mean the literal path leaked into streaming
+        plan = assigned._jdf.queryExecution().analyzed().toString()
+        assert str(_CENTROIDS64[40][0]) not in plan
+        q = (
+            assigned.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _: seen.extend((r.vec_id, r.cell) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(v for v, _ in seen) == [0, 1, 2, 3]
+
+    write_batch("gen=1", [10, 11])
+    run_once()  # restart from checkpoint: only gen=1 is new
+    assert sorted(v for v, _ in seen) == [0, 1, 2, 3, 10, 11], (
+        "checkpointed restart must process ONLY the new file"
+    )
+
+    # (1) batch equivalence, bit-identical cells
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in [0, 1, 2, 3, 10, 11]],
+        "vec_id long, embedding array<float>",
+    )
+    expect = {
+        (r.vec_id, r.cell) for r in S.ivf_assign(batch, _CENTROIDS64).collect()
+    }
+    assert set(seen) == expect
+    assert len({c for _, c in seen}) > 1, "fixture should span several cells"
