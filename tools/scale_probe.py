@@ -9,10 +9,12 @@ check": the registry's small-SF bench proves correctness-at-speed, this
 probe proves the SHAPES stay sub-linear when the data actually grows —
 the local stand-in for the 100 TB question. Run from the repo root:
 
-    python tools/scale_probe.py [N ...]      # default: 10 100
+    python tools/scale_probe.py [N ...] [--skew]   # default: 10 100
 
 Prints one JSON line: {"scales": {"10": {shape: sec, ...}, ...},
-"base": {shape: sec at 1x, ...}}.
+"base": {shape: sec at 1x, ...}}; with --skew, adds the Zipf-skewed
+fact-fact join probe (one hot key holding ~20% of rows) with AQE
+skew-split engagement evidence per scale.
 """
 
 from __future__ import annotations
@@ -133,12 +135,120 @@ def time_shapes(spark, n: int) -> dict:
     return out
 
 
+HOT_KEY = 5  # an o_orderkey present in copy 0; KEY_SHIFT % 5 == 0 keeps
+# the mod-5 remap hitting every copy, so the hot key holds ~20% of rows
+# at EVERY replication factor.
+
+
+def skew_probe(spark, n: int) -> dict:
+    """Zipf-skewed fact-fact join probe (round-5 verdict item #3): the
+    uniform replication probe scales key spaces evenly, but the join that
+    grows fastest in its own table (fact-fact) is exactly the one a
+    production hot key breaks. Remap every mod-5 l_orderkey to ONE hot
+    key (~20% of all lineitem rows land in a single shuffle partition)
+    and measure the identical join+agg with AQE's skew-split on, against
+    the uniform-key baseline — recording whether OptimizeSkewedJoin
+    actually engaged (the executed adaptive plan marks the join
+    ``skew=true``).
+
+    Conf scoping mirrors the 100 TB planning inputs: broadcast joins off
+    (at target scale neither fact side broadcasts — and a broadcast join
+    would be skew-immune, hiding the mechanism under test) and the skew
+    thresholds scaled down from the 256 MB production default in
+    proportion to the probe's data volume (the detection RATIO —
+    partition > 5x median — is untouched; only the absolute floor moves,
+    since a local probe can't materialize multi-GB partitions). The
+    fact sides are repartitioned after replication because skew-split
+    divides a reduce partition into MAPPER chunks — a single-file local
+    scan is one mapper and silently unsplittable (the gotcha pinned in
+    tests/test_plan_quality.py::test_aqe_skew_join_splits_skewed_partition),
+    whereas a 100 TB scan always has thousands of map tasks. Both
+    replicated inputs are PERSISTED before timing so the measurement
+    isolates the join's reduce side (the mechanism under test) instead
+    of re-paying the replication scan+shuffle in every variant."""
+    li = replicate(
+        load_table(spark, SF_DIR, "lineitem"), n, ["l_orderkey"]
+    ).repartition(64).persist()
+    orders = replicate(
+        load_table(spark, SF_DIR, "orders"), n, ["o_orderkey", "o_custkey"]
+    ).repartition(64).persist()
+    li.count(), orders.count()  # materialize outside the timers
+    li_skew = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(HOT_KEY)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+
+    def join_agg(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_extendedprice").alias("s"),
+            )
+        )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # 128 reduce partitions → uniform reducers run in ~4 waves on 32
+        # cores, so an unsplit hot partition surfaces as a straggler TAIL
+        # (as it does at cluster scale) instead of hiding inside wave 1
+        "spark.sql.shuffle.partitions": "128",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = {}
+        variants = (
+            ("uniform", li, True),
+            ("zipf_hot20", li_skew, True),
+            # counterfactual: the same hot key with the split DISABLED —
+            # the hot partition serializes on one core, which is what a
+            # production hot key does to an unprotected shuffle join
+            ("zipf_hot20_nosplit", li_skew, False),
+        )
+        for label, fact, split in variants:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", str(split).lower()
+            )
+            df = join_agg(fact)
+            df.collect()  # warm + finalize the adaptive plan
+            t0 = time.perf_counter()
+            df2 = join_agg(fact)
+            df2.collect()
+            out[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
+            plan = df2._jdf.queryExecution().executedPlan().toString()
+            out[f"{label}_skew_split"] = "skew=true" in plan
+        return out
+    finally:
+        li.unpersist()
+        orders.unpersist()
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [10, 100]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_skew = "--skew" in sys.argv[1:] or "--skew-only" in sys.argv[1:]
+    skew_only = "--skew-only" in sys.argv[1:]
+    ns = [int(a) for a in args] or [10, 100]
     spark = get_spark("scale_probe")
-    result = {"base": time_shapes(spark, 1), "scales": {}}
-    for n in ns:
-        result["scales"][str(n)] = time_shapes(spark, n)
+    result: dict = {}
+    if not skew_only:
+        result["base"] = time_shapes(spark, 1)
+        result["scales"] = {str(n): time_shapes(spark, n) for n in ns}
+    if with_skew:
+        result["skew"] = {str(n): skew_probe(spark, n) for n in ns}
     print(json.dumps(result))
     spark.stop()
 
