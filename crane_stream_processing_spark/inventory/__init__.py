@@ -257,7 +257,9 @@ def _load_all() -> None:
 # A green round-6 window closes the cumulative driver union over every
 # query that existed at the round-5 freeze: 227/227. Round-6
 # post-freeze additions (stream_ivf_ingest — streaming incremental IVF
-# index ingest) front round 7.
+# index ingest; stream_ivfpq_ingest — streaming IVF×PQ cell+code ingest;
+# dedup_index_incremental_merge — at-rest band-bucket index merge;
+# join_cbo_stats_reorder — stats-driven join reorder) front round 7.
 GRADE_PRIORITY: list[str] = [
     # round-5 post-freeze additions (never driver-graded before r6)
     "src_xml_roundtrip",

@@ -586,3 +586,108 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame carries the already-optimized plan.
     out._jdf.queryExecution().optimizedPlan()
     return out
+
+
+_CBO_DBS: dict[str, str] = {}  # sf_dir → catalog database with ANALYZEd copies
+
+_CBO_TABLES = {
+    "orders": "o_orderkey, o_custkey, o_totalprice",
+    "customer": "c_custkey, c_nationkey",
+    "nation": "n_nationkey, n_regionkey, n_name",
+    "region": "r_regionkey, r_name",
+}
+
+
+def _cbo_stats_db(spark: SparkSession, sf_dir: str) -> str:
+    """Managed catalog copies of the join tables with ANALYZE TABLE
+    table+column statistics — the metadata CostBasedJoinReorder needs
+    (row counts, NDVs, min/max). Built once per (process, sf_dir) into a
+    dedicated database (name derived from the sf_dir hash so concurrent
+    scales never collide), re-validated via tableExists on reuse. This
+    is the offline step a production deployment schedules after ingest:
+    stats are table metadata, amortized across every query that plans
+    against them."""
+    import hashlib
+
+    db = "crane_cbo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if _CBO_DBS.get(sf_dir) == db and all(
+        spark.catalog.tableExists(f"{db}.{name}") for name in _CBO_TABLES
+    ):
+        return db
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, cols in _CBO_TABLES.items():
+        t(spark, sf_dir, name).write.mode("overwrite").saveAsTable(
+            f"{db}.{name}"
+        )
+        spark.sql(f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    _CBO_DBS[sf_dir] = db
+    return db
+
+
+@query(
+    "join_cbo_stats_reorder",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+)
+def join_cbo_stats_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join REORDERING from column statistics (round-5 verdict
+    optional item — the remaining Catalyst lever for 100 TB multi-join
+    queries): the four-way star is written in the PESSIMAL syntactic
+    order — the two largest tables first (orders ⋈ customer), the
+    selective region filter last — and CostBasedJoinReorder, fed by
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` metadata on
+    managed catalog copies (`_cbo_stats_db`), flips it to the
+    stats-optimal left-deep order: (nation ⋈ filtered region) first —
+    a 25×1-row build — then customer, then orders, so every
+    intermediate stays dimension-sized until the single fact-table
+    probe. Measured on this corpus the optimized relation order is
+    exactly reversed from the syntactic one (plan-asserted in
+    tests/test_plan_quality.py against a stats-blind clone). Reordering
+    is a pure optimization: the result is order-independent, so the
+    oracle is the plain join SQL over the original parquet (the managed
+    copies are byte-identical snapshots of the same tables). Conf
+    isolation: cbo.enabled/joinReorder.enabled live on a
+    ``spark.newSession()`` clone (the `join_bloom_runtime_filter`
+    precedent — the catalog/metastore is shared across sessions of one
+    context, the SQLConf is not); broadcast thresholds are zeroed there
+    because at 100 TB the fact side never broadcasts and join ORDER is
+    what decides the shuffled bytes."""
+    db = _cbo_stats_db(spark, sf_dir)
+    iso = spark.newSession()
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
+        v = spark.conf.get(k, None)
+        if v is not None:
+            iso.conf.set(k, v)
+    iso.conf.set("spark.sql.cbo.enabled", "true")
+    iso.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    o = iso.table(f"{db}.orders")
+    c = iso.table(f"{db}.customer")
+    n = iso.table(f"{db}.nation")
+    r = iso.table(f"{db}.region").filter(F.col("r_name") == "EUROPE")
+    out = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+    out._jdf.queryExecution().optimizedPlan()  # reorder happens here
+    return out

@@ -147,6 +147,89 @@ def dedup_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, pairs, "doc_id", "text")
 
 
+_DEDUP_INDEX_DIRS: dict[str, str] = {}  # sf_dir → persisted band-bucket index
+
+
+def _dedup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted AT-REST dedup index: DISTINCT (band_idx, band_hash)
+    buckets of the EXISTING corpus (doc_id % 4 != 0), written once per
+    (process, sf_dir) as parquet — the artifact an incremental ingest
+    pipeline keeps between runs so newcomers are checked against history
+    WITHOUT re-banding it. Bounded by distinct buckets (≤ 4·docs rows of
+    two small columns), it is the batch analogue of the state store
+    `stream_dedup_minhash` keeps within its watermark."""
+    import tempfile
+
+    from . import cached_fixture
+
+    def _build() -> str:
+        docs = t_cpu(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 != 0
+        )
+        idx = (
+            D.lsh_bands(docs.select("doc_id", "text"), "doc_id", "text")
+            .select("band_idx", "band_hash")
+            .distinct()
+        )
+        path = tempfile.mkdtemp(prefix="crane_dedup_index_")
+        idx.write.mode("overwrite").parquet(path)
+        return path
+
+    return spark.read.parquet(cached_fixture(_DEDUP_INDEX_DIRS, sf_dir, _build))
+
+
+@query(
+    "dedup_index_incremental_merge",
+    oracle=_CTE_LSH_BANDS
+    + """,
+    old AS (
+      SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 4 <> 0
+    ),
+    nw AS (
+      SELECT doc_id, band_idx, band_hash FROM bands WHERE doc_id % 4 = 0
+    )
+    SELECT n.doc_id,
+           CAST(COUNT(o.band_hash) AS BIGINT) AS n_hit,
+           CAST(COUNT(o.band_hash) > 0 AS INTEGER) AS is_dup
+    FROM nw n LEFT JOIN old o
+      ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    GROUP BY n.doc_id
+    """,
+)
+def dedup_index_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AT-REST dedup-index merge (round-5 verdict optional
+    item — the batch complement of `stream_dedup_minhash`): the existing
+    corpus's band buckets live in a PERSISTED parquet index
+    (`_dedup_band_index`, built once and amortized across ingests), and a
+    batch of newcomers (doc_id % 4 == 0 — a deterministic ~25% of the
+    corpus standing in for 'today's crawl') is banded and checked against
+    it with one hash equi-join on (band_idx, band_hash): per newcomer,
+    ``n_hit`` = how many of its bands already exist in the index and
+    ``is_dup`` = whether ANY does (the LSH collision verdict — such docs
+    go to pairwise verification, the rest are novel and their buckets are
+    unioned into the next index version; the union-write roundtrip is
+    asserted equal to a from-scratch full-corpus index in
+    ``tests/test_dedup_properties.py``). At 100 TB this is the shape that
+    keeps continuous ingest O(new data): history is never re-banded, the
+    index is a bounded two-column relation joined on its bucket key, and
+    the join shuffles newcomers' bands only — no broadcast of the
+    (SF-scaled) index side, no all-pairs. Newcomers shorter than one
+    3-token shingle have no bands and are absent on both engines (same
+    staged filter as the LSH pipeline)."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    newcomers = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    nw_bands = D.lsh_bands(newcomers, "doc_id", "text")
+    marked = _dedup_band_index(spark, sf_dir).withColumn("__hit", F.lit(1))
+    return (
+        nw_bands.join(marked, ["band_idx", "band_hash"], "left")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit")
+        )
+        .withColumn("is_dup", (F.col("n_hit") > 0).cast("int"))
+    )
+
+
 @query(
     "dedup_minhash_calibration",
     oracle=_CTE_LSH_BANDS

@@ -830,3 +830,108 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = S.ivf_assign(emb, _CENTROIDS64)
     _run_to_memory(assigned, "stream_ivf_ingest", "append")
     return spark.table("stream_ivf_ingest")
+
+
+# Fixed seeded PQ codebooks for the streaming ingest grade: m=8 subspaces
+# of dsub=8 dims, ksub=16 codes each — seeded md5 pseudo-randoms
+# (similarity.hyperplanes), so the oracle can inline the same literals.
+# A production deployment would pq_fit these offline; the ingest path
+# under test is identical either way (codes ride a broadcast relation).
+_PQ_STREAM_DSUB = 8
+
+
+def _pq_stream_books() -> list[list[list[float]]]:
+    from ..operators import similarity as S
+
+    return [
+        S.hyperplanes(16, _PQ_STREAM_DSUB, seed=f"crane-pq-sub{j}")
+        for j in range(8)
+    ]
+
+
+def _oracle_stream_ivfpq_ingest() -> str:
+    # Batch-equivalent grade, fully row-level: cell from the 64 inlined
+    # ivf planes, per-subspace code from the inlined codebook literals —
+    # argmax(dot − ||c||²/2), first-occurrence (lowest-code) tiebreak on
+    # both engines.
+    from .northstar import _sql_ivf_cell64, _sql_plane
+
+    dsub = _PQ_STREAM_DSUB
+    score_cols = []
+    for j, book in enumerate(_pq_stream_books()):
+        terms = ", ".join(
+            f"list_dot_product(CAST(embedding[{j * dsub + 1}:{j * dsub + dsub}]"
+            f" AS DOUBLE[]), {_sql_plane(vec)})"
+            f" - {sum(x * x for x in vec) / 2.0!r}"
+            for vec in book
+        )
+        score_cols.append(f"[{terms}] AS s{j}")
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, CAST({j} AS INTEGER) AS sub_id,"
+        f" CAST(list_position(s{j}, list_max(s{j})) - 1 AS INTEGER) AS code,"
+        f" cell FROM scored"
+        for j in range(8)
+    )
+    return f"""
+    WITH celled AS (
+      SELECT vec_id, embedding,
+             CAST({_sql_ivf_cell64('embedding')} AS INTEGER) AS cell
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    scored AS (
+      SELECT vec_id, cell, {', '.join(score_cols)} FROM celled
+    )
+    {branches}
+    """
+
+
+@query("stream_ivfpq_ingest", oracle=_oracle_stream_ivfpq_ingest())
+def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF×PQ index ingest — the FULL FAISS-style maintenance
+    path (`stream_ivf_ingest` routes to cells; this also COMPRESSES):
+    each arriving vector gets its coarse cell AND its m=8 product-quantizer
+    codes in one stateless pass, i.e. everything a billion-vector
+    IVF×PQ deployment must write per new vector (the 8-byte code row IS
+    the index entry; the float vector can be discarded). The batch
+    encoder (`pq_encode`) assigns codes with an equi-join + groupBy
+    argmin — a streaming AGGREGATION would need watermark state for what
+    is per-row arithmetic — so the stream uses the row-local twin
+    (`pq_codes_from_matrix`): codebooks ride a 1-row broadcast
+    ``array<array<struct<cvec,off>>>`` relation
+    (`pq_codebook_matrix`, the `centroid_matrix` pattern), scores stage
+    in their own array column, argmax ties break to the lowest code —
+    bit-identical to the batch join path
+    (tests/test_pq.py::test_rowlocal_codes_match_batch_encode). Output
+    grain is the index's own: one (vec_id, sub_id, code, cell) row per
+    subspace via posexplode (stateless generator, append mode, no
+    watermark). Graded row-level against the oracle's inlined plane +
+    codebook literals. At 100 TB: O(new data) per micro-batch, plan
+    O(1) in k·m·ksub, no shuffle before the sink."""
+    from ..operators import similarity as S
+    from .northstar import _CENTROIDS64
+
+    emb = _stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    cmat = F.broadcast(S.centroid_matrix(spark, _CENTROIDS64))
+    pqmat = F.broadcast(S.pq_codebook_matrix(spark, _pq_stream_books()))
+    staged = (
+        emb.crossJoin(cmat)
+        .crossJoin(pqmat)
+        .withColumn("__dots", S.matrix_dots(F.col("embedding"), F.col("__cmat")))
+        .withColumn(
+            "__codes",
+            S.pq_codes_from_matrix(
+                F.col("embedding"), F.col("__pqmat"), _PQ_STREAM_DSUB
+            ),
+        )
+        .select(
+            "vec_id",
+            S.ivf_centroid(F.col("__dots")).alias("cell"),
+            F.posexplode("__codes").alias("sub_id", "code"),
+        )
+    )
+    out = staged.select("vec_id", "sub_id", "code", "cell")
+    _run_to_memory(out, "stream_ivfpq_ingest", "append")
+    return spark.table("stream_ivfpq_ingest")

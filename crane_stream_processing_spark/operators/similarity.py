@@ -40,6 +40,8 @@ __all__ = [
     "random_projection",
     "pq_fit",
     "pq_encode",
+    "pq_codebook_matrix",
+    "pq_codes_from_matrix",
     "pq_adc_topk",
     "ivfpq_topk",
     "pca_power_components",
@@ -548,6 +550,55 @@ def ivf_assign(
     base = df.select(F.col(id_col), F.col(vec_col))
     return _with_coarse_dots(base, centroids, vec_col, relational).select(
         id_col, ivf_centroid(F.col("__dots")).alias("cell")
+    )
+
+
+def pq_codebook_matrix(
+    spark: SparkSession, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """The PQ codebooks as DATA: a single-row relation whose one column
+    ``__pqmat`` is ``array<array<struct<cvec, off>>>`` — outer index =
+    sub_id, inner index = code, ``off`` = ||c||²/2 (the argmax(dot−off)
+    staging :func:`_codebook_df` uses). The row-local twin of the
+    broadcast (sub_id, code, cvec, off) join relation: broadcast
+    cross-joined in (bounded: ONE row), it lets a STREAM assign codes
+    without the join+groupBy argmin (a streaming aggregation would need
+    a watermark and shuffle state for what is per-row arithmetic)."""
+    row = [
+        [
+            (
+                [float(x) for x in vec],
+                sum(float(x) * float(x) for x in vec) / 2.0,
+            )
+            for vec in book
+        ]
+        for book in codebooks
+    ]
+    return spark.createDataFrame(
+        [(row,)],
+        "__pqmat array<array<struct<cvec: array<double>, off: double>>>",
+    )
+
+
+def pq_codes_from_matrix(vec: Column, pqmat: Column, dsub: int) -> Column:
+    """Per-subspace nearest-code array from the matrix COLUMN — for sub
+    j, argmax over its codebook of ``dot(subvec_j, cvec) − off``, ties to
+    the LOWEST code (first-occurrence array_position — the same tiebreak
+    as :func:`_assign_codes`'s struct-min, so codes are bit-identical to
+    the batch :func:`pq_encode` path). Entirely row-local: one fold per
+    (sub, code) pair, scores staged in their own array so nothing is
+    computed twice."""
+    scores = F.transform(
+        pqmat,
+        lambda book, j: F.transform(
+            book,
+            lambda c: dot(F.slice(vec, j * dsub + 1, dsub), c["cvec"])
+            - c["off"],
+        ),
+    )
+    return F.transform(
+        scores,
+        lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
     )
 
 

@@ -498,6 +498,58 @@ def test_bloom_runtime_filter_conf_isolation(spark, sf_dir):
     assert rows_a[0]["o_orderpriority"] == "1-URGENT"
 
 
+def test_cbo_stats_join_reorder_flips_pessimal_order(spark, sf_dir):
+    """CostBasedJoinReorder must actually rewrite the pessimal syntactic
+    join order from ANALYZE statistics: with CBO + column stats the
+    left-deep order puts the filtered region dimension at the bottom and
+    the orders fact LAST, while a stats-blind clone keeps the written
+    order (orders first). Also pins that the ANALYZE metadata is really
+    there (distinct_count on region.r_name)."""
+    import re
+
+    from crane_stream_processing_spark.inventory.joins import (
+        _cbo_stats_db,
+    )
+
+    df = REGISTRY["join_cbo_stats_reorder"].fn(spark, sf_dir)
+    db = _cbo_stats_db(spark, sf_dir)
+
+    stats = {
+        r.info_name: r.info_value
+        for r in spark.sql(f"DESC EXTENDED {db}.region r_name").collect()
+    }
+    assert stats.get("distinct_count") == "5"
+
+    def relation_order(frame) -> list[str]:
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return re.findall(rf"Relation spark_catalog\.{db}\.(\w+)", plan)
+
+    cbo_order = relation_order(df)
+    assert set(cbo_order) == {"orders", "customer", "nation", "region"}
+    assert cbo_order.index("orders") > cbo_order.index("region"), (
+        f"CBO should demote the fact below the filtered dim: {cbo_order}"
+    )
+
+    # stats-blind clone: same syntactic plan, CBO off → written order
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = iso.table(f"{db}.orders")
+    c = iso.table(f"{db}.customer")
+    n = iso.table(f"{db}.nation")
+    r = iso.table(f"{db}.region").filter(F.col("r_name") == "EUROPE")
+    blind = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    blind_order = relation_order(blind)
+    assert blind_order.index("orders") < blind_order.index("region"), (
+        f"stats-blind plan should keep the written order: {blind_order}"
+    )
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir):
     """The DPP query's fact scan must carry a runtime dynamicpruning
     expression in its PartitionFilters — the dimension filter, not a

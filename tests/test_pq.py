@@ -85,3 +85,59 @@ def test_ivfpq_subset_of_pq_and_true_cosines(spark):
     assert ivfpq  # nprobe == k cells -> no pruning, must return rows
     for r in ivfpq:
         assert pq[(r.query_id, r.cand_id)] == r.cos_sim
+
+
+def test_rowlocal_codes_match_batch_encode(spark):
+    """The streaming ingest's row-local code assignment
+    (pq_codebook_matrix + pq_codes_from_matrix) must be BIT-identical to
+    the batch join+groupBy path (pq_encode) — same dot−off staging, same
+    lowest-code tiebreak — including on a codebook engineered to produce
+    exact score ties."""
+    from pyspark.sql import functions as F
+
+    emb = _corpus(spark, n=40, dim=16)
+    books = S.pq_fit(emb, m=4, ksub=4, iters=2)
+
+    batch = {
+        (r.vid, r.sub_id): r.code
+        for r in S.pq_encode(emb, books).collect()
+    }
+    pqmat = F.broadcast(S.pq_codebook_matrix(spark, books))
+    rowlocal = {
+        (r.vec_id, r.sub_id): r.code
+        for r in emb.crossJoin(pqmat)
+        .select(
+            "vec_id",
+            F.posexplode(
+                S.pq_codes_from_matrix(F.col("embedding"), F.col("__pqmat"), 4)
+            ).alias("sub_id", "code"),
+        )
+        .collect()
+    }
+    assert rowlocal == batch and len(batch) == 40 * 4
+
+    # tie fixture: duplicate centroids in one subspace → both paths must
+    # pick the LOWEST code
+    tie_books = [[[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]] * 2
+    tie_emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = {
+        (r.vid, r.sub_id): r.code
+        for r in S.pq_encode(tie_emb, tie_books).collect()
+    }
+    m = F.broadcast(S.pq_codebook_matrix(spark, tie_books))
+    r = {
+        (row.vec_id, row.sub_id): row.code
+        for row in tie_emb.crossJoin(m)
+        .select(
+            "vec_id",
+            F.posexplode(
+                S.pq_codes_from_matrix(F.col("embedding"), F.col("__pqmat"), 2)
+            ).alias("sub_id", "code"),
+        )
+        .collect()
+    }
+    assert r == b
+    assert r[(0, 0)] == 0 and r[(1, 0)] == 2  # ties → lowest code
