@@ -503,6 +503,26 @@ def join_salted_skew_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isolated_session(spark: SparkSession) -> SparkSession:
+    """A ``newSession`` clone for queries that must scope optimizer confs
+    without leaking them to concurrently-planned queries on the caller's
+    session (bloom injection thresholds, CBO switches). newSession
+    inherits builder-time confs only, so the runtime knobs that shape
+    harness parallelism/replanning parity are carried over explicitly,
+    and the engine's semantics confs (UTC, rule exclusions) are
+    re-established directly — one definition shared by every
+    isolated-session query so the carry-over set cannot drift."""
+    from ..catalog import ensure_engine_confs
+
+    iso = spark.newSession()
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
+        v = spark.conf.get(k, None)
+        if v is not None:
+            iso.conf.set(k, v)
+    ensure_engine_confs(iso)
+    return iso
+
+
 @query(
     "join_bloom_runtime_filter",
     oracle="""
@@ -547,13 +567,7 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``might_contain`` are actually in the optimized plan;
     ``test_bloom_runtime_filter_conf_isolation`` (same file) interleaves
     two invocations with a caller-session broadcast plan mid-window."""
-    iso = spark.newSession()
-    # newSession inherits builder-time confs only; carry over the two
-    # runtime knobs that shape harness parallelism/replanning parity.
-    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
-        v = spark.conf.get(k, None)
-        if v is not None:
-            iso.conf.set(k, v)
+    iso = _isolated_session(spark)
     confs = {
         # Application (pruned) side must look big enough to bother.
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
@@ -606,11 +620,19 @@ def _cbo_stats_db(spark: SparkSession, sf_dir: str) -> str:
     scales never collide), re-validated via tableExists on reuse. This
     is the offline step a production deployment schedules after ingest:
     stats are table metadata, amortized across every query that plans
-    against them."""
+    against them. Hygiene: the key is the REALPATH of sf_dir (a trailing
+    slash or relative spelling must not mint a second database), and the
+    database's warehouse directory is registered for atexit removal like
+    every other fixture (the catalog entries themselves live in the
+    in-memory/derby metastore of the owning process)."""
     import hashlib
+    import os
 
-    db = "crane_cbo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    if _CBO_DBS.get(sf_dir) == db and all(
+    from . import register_scratch_dir
+
+    key = os.path.realpath(sf_dir)
+    db = "crane_cbo_" + hashlib.md5(key.encode()).hexdigest()[:10]
+    if _CBO_DBS.get(key) == db and all(
         spark.catalog.tableExists(f"{db}.{name}") for name in _CBO_TABLES
     ):
         return db
@@ -623,7 +645,17 @@ def _cbo_stats_db(spark: SparkSession, sf_dir: str) -> str:
         spark.sql(
             f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS FOR COLUMNS {cols}"
         )
-    _CBO_DBS[sf_dir] = db
+    try:
+        loc = next(
+            r.info_value
+            for r in spark.sql(f"DESCRIBE DATABASE {db}").collect()
+            if r.info_name == "Location"
+        )
+        if loc.startswith("file:"):
+            register_scratch_dir(loc[len("file:"):])
+    except Exception:  # noqa: BLE001 — cleanup registration is best-effort
+        pass
+    _CBO_DBS[key] = db
     return db
 
 
@@ -666,11 +698,7 @@ def join_cbo_stats_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     because at 100 TB the fact side never broadcasts and join ORDER is
     what decides the shuffled bytes."""
     db = _cbo_stats_db(spark, sf_dir)
-    iso = spark.newSession()
-    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
-        v = spark.conf.get(k, None)
-        if v is not None:
-            iso.conf.set(k, v)
+    iso = _isolated_session(spark)
     iso.conf.set("spark.sql.cbo.enabled", "true")
     iso.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -238,6 +238,14 @@ def skew_probe(spark, n: int) -> dict:
 
 
 def main() -> None:
+    known_flags = {"--skew", "--skew-only"}
+    unknown = [
+        a for a in sys.argv[1:] if a.startswith("--") and a not in known_flags
+    ]
+    if unknown:
+        raise SystemExit(
+            f"unknown flag(s) {unknown}; valid: {sorted(known_flags)}"
+        )
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     with_skew = "--skew" in sys.argv[1:] or "--skew-only" in sys.argv[1:]
     skew_only = "--skew-only" in sys.argv[1:]
