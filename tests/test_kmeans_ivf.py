@@ -114,3 +114,24 @@ def test_kmeans_large_k_uses_relational_scoring(spark, emb):
     }
     assert sum(counts.values()) == emb.count()
     assert set(counts) <= set(range(32))
+
+
+def test_arrow_coarse_assign_matches_relational(spark, emb):
+    """The Arrow/numpy fast-path quantizer must agree with the relational
+    (graded) path corpus-wide at large k: same argmax, same low-index
+    tiebreak; BLAS accumulation-order ulps never flip a real argmax."""
+    from crane_stream_processing_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+
+    for k in (64, 256):
+        cents = hyperplanes(k, 64, seed="crane-ivf-arrow")
+        rel = {
+            (r.vec_id, r.cell) for r in ivf_assign(emb, cents).collect()
+        }
+        fast = {
+            (r.vec_id, r.cell)
+            for r in ivf_assign_arrow(emb, cents).collect()
+        }
+        assert fast == rel and len(fast) == emb.count()

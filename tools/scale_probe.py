@@ -122,6 +122,14 @@ def shapes(spark, n: int) -> dict:
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
         ),
+        # Round-6: the Arrow/numpy fast path for the same coarse stage —
+        # one BLAS matmul per Arrow batch instead of per-row interpreted
+        # HOF folds (cells asserted identical in tests/test_kmeans_ivf.py)
+        "ivf_arrow_coarse_assign_k256": lambda: force(
+            S.ivf_assign_arrow(emb, cents256)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
     }
 
 
