@@ -141,3 +141,45 @@ def test_rowlocal_codes_match_batch_encode(spark):
     }
     assert r == b
     assert r[(0, 0)] == 0 and r[(1, 0)] == 2  # ties → lowest code
+
+
+def test_arrow_encode_matches_batch_encode(spark):
+    """The Arrow/numpy bulk encoder must agree with the join+groupBy
+    path code-for-code — same argmax(dot − off) staging, same
+    lowest-code tiebreak, including engineered exact ties."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    emb = _corpus(spark, n=50, dim=16, seed=11)
+    books = S.pq_fit(emb, m=4, ksub=4, iters=2)
+    batch = {
+        (r.vid, r.sub_id): r.code for r in S.pq_encode(emb, books).collect()
+    }
+    fast = {
+        (r.vid, r.sub_id): r.code
+        for r in S.pq_encode_arrow(emb, books).collect()
+    }
+    assert fast == batch and len(fast) == 50 * 4
+
+    tie_books = [[[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]] * 2
+    tie_emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = {
+        (r.vid, r.sub_id): r.code
+        for r in S.pq_encode(tie_emb, tie_books).collect()
+    }
+    f = {
+        (r.vid, r.sub_id): r.code
+        for r in S.pq_encode_arrow(tie_emb, tie_books).collect()
+    }
+    assert f == b and f[(0, 0)] == 0 and f[(1, 0)] == 2
+
+
+def test_arrow_encode_rejects_misfactored_dim(spark):
+    import pytest as _pytest
+
+    emb = _corpus(spark, n=4, dim=16)
+    books3 = [[[0.0] * 3] * 4] * 4  # m*dsub = 12 != 16
+    with _pytest.raises(Exception, match="m\\*dsub|12"):
+        S.pq_encode_arrow(emb, books3).collect()

@@ -130,6 +130,14 @@ def shapes(spark, n: int) -> dict:
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
         ),
+        "pq_arrow_encode_m8": lambda: force(
+            S.pq_encode_arrow(
+                emb,
+                [S.hyperplanes(16, 8, seed=f"crane-pq-sub{j}") for j in range(8)],
+            )
+            .groupBy("code")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
     }
 
 
