@@ -23,6 +23,7 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "cosine_topk",
+    "cosine_topk_arrow",
     "cosine_near_pairs",
     "lsh_ann_topk",
     "lsh_ann_topk_multiprobe",
@@ -166,6 +167,96 @@ def cosine_topk(
         l2norm(vec_col).alias("cn"),
     ).filter(F.col("cn") > 0)
     return _cosine_topk_within(q, c, k, exclude_self=exclude_self)
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Arrow/numpy FAST PATH for exact brute-force cosine top-k — the
+    third dense stage after :func:`ivf_assign_arrow` /
+    :func:`pq_encode_arrow`: the (small, driver-collected — same
+    boundedness contract as :func:`cosine_topk`'s broadcast) query set
+    becomes one numpy matrix, each corpus Arrow batch scores all pairs
+    as a single ``V @ Qᵀ`` matmul and emits only its LOCAL top-k per
+    query, and a final window keeps the global top-k — so the full
+    |Q|·|corpus| pair relation never exists as rows (the relational
+    path materializes and window-sorts all of it). Scoring contract is
+    the shared one (6-decimal round, score desc, cand_id tiebreak,
+    optional self-pair filter), applied identically in the local and
+    global selections; output rows asserted identical to
+    :func:`cosine_topk` in tests/test_ann_recall.py. Use the relational
+    path where the oracle grades bit-exact folds; use this for the
+    production exact baseline / final re-rank at scale."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2norm(vec_col).alias("qn"),
+        )
+        .filter(F.col("qn") > 0)
+        .collect()
+    )
+    if not qrows:
+        empty = "query_id long, cand_id long, cos_sim double, rank int"
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r.qvec, dtype=np.float64) for r in qrows])
+    qn = np.asarray([r.qn for r in qrows], dtype=np.float64)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = np.sqrt((vecs * vecs).sum(axis=1))
+            keep = cn > 0
+            if not keep.any():
+                continue
+            vecs, cn = vecs[keep], cn[keep]
+            cids = pdf[id_col].values[keep].astype(np.int64)
+            sims = np.round(
+                (vecs @ qmat.T) / np.outer(cn, qn), 6
+            )  # n × |Q|
+            if exclude_self:
+                self_mask = cids[:, None] == qids[None, :]
+                sims = np.where(self_mask, -np.inf, sims)
+            frames = []
+            for j in range(len(qids)):
+                order = np.lexsort((cids, -sims[:, j]))[:k]
+                order = order[np.isfinite(sims[order, j])]
+                if len(order) == 0:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "cand_id": cids[order],
+                            "cos_sim": sims[order, j],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, cand_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def matryoshka_topk(

@@ -138,6 +138,11 @@ def shapes(spark, n: int) -> dict:
             .groupBy("code")
             .agg(F.count(F.lit(1)).alias("n"))
         ),
+        "cosine_arrow_topk_q32": lambda: force(
+            S.cosine_topk_arrow(
+                emb, emb.filter(F.col("vec_id") < 32), k=5
+            )
+        ),
     }
 
 
