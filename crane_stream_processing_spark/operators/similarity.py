@@ -700,6 +700,7 @@ def ivf_assign_arrow(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Arrow/numpy FAST PATH for the coarse quantizer — (id, cell) like
     :func:`ivf_assign`, but each Arrow batch is scored as ONE dense
@@ -718,7 +719,17 @@ def ivf_assign_arrow(
     to the relational path in tests/test_kmeans_ivf.py). Use the
     relational path where BIT-exact oracle parity is graded; use this
     for production throughput. NULL ids/vectors are filtered (a NULL
-    embedding has no cell on any path)."""
+    embedding has no cell on any path).
+
+    ``exact_fold=True`` removes even the ulp caveat: dots are computed
+    with ``np.add.accumulate`` over the elementwise products — a STRICT
+    sequential left fold, the identical association order as Catalyst's
+    ``aggregate`` fold and DuckDB's ``list_dot_product`` — so every dot
+    is bit-for-bit equal to the relational path (asserted in
+    tests/test_kmeans_ivf.py, including a catastrophic-cancellation
+    fixture where the association ORDER decides the argmax). Costs one
+    n×k×dim temporary per batch (vectorized, memory-bound: slower than
+    the matmul, still far from the interpreted path)."""
     import numpy as np
     import pandas as pd
 
@@ -732,7 +743,13 @@ def ivf_assign_arrow(
             vecs = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            cells = np.argmax(vecs @ mat, axis=1).astype("int32")
+            if exact_fold:
+                # products: n × k × dim, folded strictly left-to-right
+                prods = vecs[:, None, :] * mat.T[None, :, :]
+                dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+            else:
+                dots = vecs @ mat
+            cells = np.argmax(dots, axis=1).astype("int32")
             yield pd.DataFrame({id_col: pdf[id_col].values, "cell": cells})
 
     base = df.select(id_col, vec_col).filter(

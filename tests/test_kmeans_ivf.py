@@ -135,3 +135,47 @@ def test_arrow_coarse_assign_matches_relational(spark, emb):
             for r in ivf_assign_arrow(emb, cents).collect()
         }
         assert fast == rel and len(fast) == emb.count()
+
+
+def test_arrow_exact_fold_matches_relational_bitwise(spark, emb):
+    """exact_fold=True must reproduce the relational path's cells via a
+    strict sequential left fold (np.add.accumulate) — asserted on the
+    corpus at k=256 AND on a catastrophic-cancellation fixture where the
+    association ORDER of the dot decides the argmax, so any reordering
+    (pairwise/BLAS) would pick the other cell."""
+    import numpy as np
+
+    from crane_stream_processing_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+
+    cents = hyperplanes(256, 64, seed="crane-ivf-arrow")
+    rel = {(r.vec_id, r.cell) for r in ivf_assign(emb, cents).collect()}
+    exact = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign_arrow(emb, cents, exact_fold=True).collect()
+    }
+    assert exact == rel
+
+    # numpy-level: the accumulate fold IS the Python sequential fold
+    rng = np.random.default_rng(5)
+    v, c = rng.normal(size=64), rng.normal(size=64)
+    acc = 0.0
+    for a, b in zip(v, c):
+        acc = acc + a * b
+    assert acc == np.add.accumulate(v * c)[-1]
+
+    # cancellation fixture: sequential fold of v.c0 loses the +1.0
+    # (1e16 + 1.0 == 1e16), so fold-dots are (0.0, 0.5) -> cell 1, while
+    # mathematically exact dots are (1.0, 0.5) -> cell 0. The relational
+    # path and exact_fold must AGREE on cell 1.
+    tie_cents = [[1.0, 1.0, 1.0], [0.0, 0.5, 0.0]]
+    fx = spark.createDataFrame(
+        [(0, [1e16, 1.0, -1e16])], "vec_id long, embedding array<double>"
+    )
+    rel_cell = ivf_assign(fx, tie_cents).collect()[0].cell
+    exact_cell = ivf_assign_arrow(
+        fx, tie_cents, exact_fold=True
+    ).collect()[0].cell
+    assert rel_cell == exact_cell == 1
