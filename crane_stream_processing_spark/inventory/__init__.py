@@ -258,12 +258,14 @@ def _load_all() -> None:
 # query that existed at the round-5 freeze: 227/227. This list was
 # generated by tools/rotate_priority.py AT THE ROUND-6 ROTATION and
 # deliberately left frozen afterwards — re-running the tool now would
-# front the four round-6 post-freeze additions instead of backfill; per
+# front the five round-6 post-freeze additions instead of backfill; per
 # the established freeze discipline they are DEFERRED to front round 7
 # (stream_ivf_ingest — streaming incremental IVF index ingest;
 # stream_ivfpq_ingest — streaming IVF×PQ cell+code ingest;
 # dedup_index_incremental_merge — at-rest band-bucket index merge;
-# join_cbo_stats_reorder — stats-driven join reorder).
+# join_cbo_stats_reorder — stats-driven join reorder;
+# sim_ivf_arrow_coarse_topk — the exact-fold Arrow fast path graded
+# under the row-level hash gate).
 GRADE_PRIORITY: list[str] = [
     # round-5 post-freeze additions (never driver-graded before r6)
     "src_xml_roundtrip",

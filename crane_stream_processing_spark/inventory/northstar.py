@@ -1226,6 +1226,62 @@ def sim_ivf_rel_coarse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_arrow_coarse_topk",
+    oracle=f"""
+    WITH celled AS (
+      SELECT vec_id, embedding, {_sql_ivf_cell64('embedding')} AS cell FROM embeddings
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC, b.vec_id) AS rank
+      FROM (SELECT * FROM celled WHERE vec_id < 10) a
+      JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_arrow_coarse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW production fast path under the correctness gate: the
+    corpus-side coarse assignment — the bulk stage that dominates a
+    billion-vector index build — runs through
+    ``ivf_assign_arrow(exact_fold=True)`` (one vectorized
+    ``np.add.accumulate`` fold per Arrow batch, 13× the interpreted
+    relational path at 100× data and 280× via plain matmul when ulps
+    don't matter, DESIGN.md), and the result must hash-match the SAME
+    row-level oracle as `sim_ivf_rel_coarse_topk` — DuckDB re-deriving
+    every cell from the 64 inlined plane literals. This is only
+    possible because the exact fold is the IDENTICAL association order
+    as Catalyst's ``aggregate`` and DuckDB's ``list_dot_product``
+    (bitwise-proven in tests/test_kmeans_ivf.py on a cancellation
+    fixture where the order decides the argmax) — i.e. the fast path is
+    graded as CORRECT, not merely benchmarked as fast. The query side
+    (10 vectors) buckets relationally — bit-identical cells by the same
+    argument — and the within-cell search is the shared deterministic
+    cosine top-k."""
+    from ..functions import l2norm
+
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    cells = S.ivf_assign_arrow(emb, _CENTROIDS64, exact_fold=True)
+    bucketed = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cvec"),
+            l2norm("embedding").alias("cn"),
+        )
+        .filter(F.col("cn") > 0)
+        .join(cells.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+    )
+    return S.ivf_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        _CENTROIDS64,
+        k=3,
+        bucketed=bucketed,
+    )
+
+
+@query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH sets AS (

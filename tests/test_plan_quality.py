@@ -169,6 +169,9 @@ _NLJ_ALLOWED = {
     # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
     "sim_ivf_rel_coarse_topk",  # relational coarse quantizer: the 1-row
     # centroid-matrix broadcast crossJoin (bounded: ONE row) on each side
+    "sim_ivf_arrow_coarse_topk",  # same 1-row centroid-matrix crossJoin,
+    # but only on the 10-query side (the corpus side assigns via the
+    # Arrow exact-fold mapInPandas — no join at all)
     "sim_pq_adc_topk",  # same certificate pattern: the PQ path itself is
     # all equi-joins; only the exact baseline crossJoins the 10 queries
     "sim_ivfpq_topk",  # composed IVF x PQ: same bounded LUT-build and
