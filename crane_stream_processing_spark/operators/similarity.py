@@ -1243,6 +1243,7 @@ def pq_encode_arrow(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Arrow/numpy FAST PATH for the PQ encoder — (vid, sub_id, code)
     like :func:`pq_encode`, but each Arrow batch scores every
@@ -1257,7 +1258,11 @@ def pq_encode_arrow(
     where bit-exact oracle parity is graded; use this for bulk index
     builds (DESIGN.md measures the speedup at 100× data). NULL
     ids/vectors filtered, mis-sized vectors raise (same contract as the
-    join path's slice)."""
+    join path's slice). ``exact_fold=True`` computes each sub-dot with
+    the strict sequential ``np.add.accumulate`` fold (the
+    :func:`ivf_assign_arrow` contract) — bit-identical scores to the
+    join path's ``dot() − off`` Catalyst fold, for contexts where
+    exactness is contractual."""
     import numpy as np
     import pandas as pd
 
@@ -1279,7 +1284,13 @@ def pq_encode_arrow(
                     f"m*dsub = {m * dsub}"
                 )
             subs = vecs.reshape(len(vecs), m, dsub)
-            scores = np.einsum("nmd,mkd->nmk", subs, books) - offs
+            if exact_fold:
+                # products: n × m × ksub × dsub, folded left-to-right
+                prods = subs[:, :, None, :] * books[None, :, :, :]
+                dots = np.add.accumulate(prods, axis=3)[..., -1]
+            else:
+                dots = np.einsum("nmd,mkd->nmk", subs, books)
+            scores = dots - offs
             codes = scores.argmax(axis=2).astype("int32")
             yield pd.DataFrame(
                 {

@@ -183,3 +183,33 @@ def test_arrow_encode_rejects_misfactored_dim(spark):
     books3 = [[[0.0] * 3] * 4] * 4  # m*dsub = 12 != 16
     with _pytest.raises(Exception, match="m\\*dsub|12"):
         S.pq_encode_arrow(emb, books3).collect()
+
+
+def test_arrow_encode_exact_fold_matches_batch(spark):
+    """exact_fold=True must reproduce the join path's codes through the
+    strict sequential fold — including the cancellation fixture where
+    the association order of the sub-dot decides the argmax."""
+    emb = _corpus(spark, n=40, dim=16, seed=3)
+    books = S.pq_fit(emb, m=4, ksub=4, iters=2)
+    batch = {
+        (r.vid, r.sub_id): r.code for r in S.pq_encode(emb, books).collect()
+    }
+    exact = {
+        (r.vid, r.sub_id): r.code
+        for r in S.pq_encode_arrow(emb, books, exact_fold=True).collect()
+    }
+    assert exact == batch
+
+    # one subspace (dsub=3): the fold of v.c0 loses the +1.0
+    # (1e16 + 1.0 == 1e16) -> dot 0.0, score 0.0 - 1.5 = -1.5; exact
+    # math would give 1.0 - 1.5 = -0.5. c1 scores -0.6 - 0.18 = -0.78,
+    # strictly BETWEEN them — so the association order decides the
+    # argmax: fold -> code 1, exact math -> code 0. The join path and
+    # exact_fold must agree on the fold's answer.
+    cbooks = [[[1.0, 1.0, 1.0], [0.0, -0.6, 0.0]]]
+    fx = spark.createDataFrame(
+        [(0, [1e16, 1.0, -1e16])], "vec_id long, embedding array<double>"
+    )
+    b = S.pq_encode(fx, cbooks).collect()[0].code
+    e = S.pq_encode_arrow(fx, cbooks, exact_fold=True).collect()[0].code
+    assert b == e == 1
