@@ -265,7 +265,9 @@ def _load_all() -> None:
 # dedup_index_incremental_merge — at-rest band-bucket index merge;
 # join_cbo_stats_reorder — stats-driven join reorder;
 # sim_ivf_arrow_coarse_topk — the exact-fold Arrow fast path graded
-# under the row-level hash gate).
+# under the row-level hash gate;
+# pipeline_curate_end2end — the full quality-gate→dedup→report
+# curation pipeline as one composed graded query).
 GRADE_PRIORITY: list[str] = [
     # round-5 post-freeze additions (never driver-graded before r6)
     "src_xml_roundtrip",

@@ -433,6 +433,130 @@ def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curate_end2end",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, text, {SQL_TOKS} AS tk FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, lang, n_chars, text,
+             len(tk) AS nw,
+             list_sum(list_transform(tk, t -> strlen(t))) AS sum_len,
+             len(list_filter(tk, t -> t IN ('a','the'))) AS n_stop,
+             len(list_distinct(tk)) AS n_distinct
+      FROM toks WHERE len(tk) > 0
+    ),
+    gated AS (
+      SELECT *,
+             (nw BETWEEN 25 AND 80)
+             AND (sum_len::DOUBLE / nw >= 3.0 AND sum_len::DOUBLE / nw <= 7.0)
+             AND (n_stop::DOUBLE / nw <= 0.35)
+             AND (n_distinct::DOUBLE / nw >= 0.55) AS ok
+      FROM sig
+    ),
+    passed AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS h FROM gated WHERE ok
+    ),
+    winners AS (SELECT h, MIN(doc_id) AS doc_id FROM passed GROUP BY h),
+    surv AS (
+      SELECT p.lang, COUNT(*) AS n_unique,
+             CAST(SUM(p.n_chars) AS BIGINT) AS kept_chars
+      FROM passed p
+      JOIN winners w ON p.h = w.h AND p.doc_id = w.doc_id
+      GROUP BY p.lang
+    ),
+    gate AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM gated GROUP BY lang
+    )
+    SELECT g.lang, g.n_docs, g.n_pass,
+           CAST(COALESCE(s.n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(g.n_pass - COALESCE(s.n_unique, 0) AS BIGINT)
+             AS n_dup_removed,
+           CAST(COALESCE(s.kept_chars, 0) AS BIGINT) AS kept_chars
+    FROM gate g LEFT JOIN surv s ON g.lang = s.lang
+    """,
+)
+def pipeline_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation PIPELINE as one graded query — the composition
+    proof that the pieces a user would chain (quality gate → exact
+    dedup → per-language yield report) actually compose in one lazy
+    plan with no driver round-trips: documents flow through the SAME
+    four Gopher-style rules as `curate_quality_gate` (one let-bound
+    tokenization per row), passers are exact-deduped by content md5
+    (min-doc_id winner, the `dedup_exact_documents` recipe — the
+    shuffle moves 32-byte hashes, never bodies), and the survivors
+    reduce to the per-language curation yield: docs seen, gate passes,
+    unique survivors, duplicates removed, kept characters. Scale shape:
+    one corpus scan + one map-side-combinable gate rollup + one md5
+    hash-shuffle + a #langs-row join — exactly the plan a 100 TB
+    curation run wants (no stage reads the corpus twice; the winner
+    join carries only hash/id/lang/n_chars columns)."""
+    from ..functions import let, md5_hex
+
+    docs = t(spark, sf_dir, "documents")
+    sig = let(
+        tokens("text"),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_words"),
+            F.aggregate(
+                tk, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).alias("sum_len"),
+            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias("n_stop"),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+        ),
+    )
+    # The staged signals feed TWO consumers (the gate rollup and the
+    # dedup branch) — an ordinary projection would let CollapseProject
+    # re-inline the tokenization into both (the multi-consumer let trap,
+    # DESIGN.md): F.inline is a Generate, the barrier CollapseProject
+    # cannot cross, so the struct evaluates once per row and both
+    # branches read real attributes.
+    staged = docs.select(
+        "doc_id", "lang", "n_chars", "text", F.inline(F.array(sig))
+    ).filter(F.col("n_words") > 0)
+    nw = F.col("n_words")
+    mwl = F.col("sum_len").cast("double") / nw
+    sf_ = F.col("n_stop").cast("double") / nw
+    dfr = F.col("n_distinct").cast("double") / nw
+    ok = (
+        nw.between(25, 80)
+        & (mwl >= 3.0) & (mwl <= 7.0)
+        & (sf_ <= 0.35)
+        & (dfr >= 0.55)
+    )
+    gate = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(ok).alias("n_pass"),
+    )
+    passed = staged.filter(ok).select(
+        "doc_id", "lang", "n_chars", md5_hex("text").alias("h")
+    )
+    winners = passed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    surv = (
+        passed.join(winners, ["h", "doc_id"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+    return gate.join(surv, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "n_pass",
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+        (F.col("n_pass") - F.coalesce(F.col("n_unique"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup_removed"),
+        F.coalesce(F.col("kept_chars"), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@query(
     "curate_mixture_weights",
     oracle=f"""
     WITH lt AS (
