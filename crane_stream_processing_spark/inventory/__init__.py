@@ -267,7 +267,10 @@ def _load_all() -> None:
 # sim_ivf_arrow_coarse_topk — the exact-fold Arrow fast path graded
 # under the row-level hash gate;
 # pipeline_curate_end2end — the full quality-gate→dedup→report
-# curation pipeline as one composed graded query).
+# curation pipeline as one composed graded query;
+# src_binaryfile_scan — binaryFile multimodal ingest source;
+# io_dynamic_partition_overwrite — incremental-backfill partition
+# overwrite).
 GRADE_PRIORITY: list[str] = [
     # round-5 post-freeze additions (never driver-graded before r6)
     "src_xml_roundtrip",

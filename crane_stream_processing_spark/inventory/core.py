@@ -544,6 +544,135 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DYNPO_DIRS: dict[str, str] = {}
+
+
+@query(
+    "io_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT event_type, value FROM events WHERE event_type <> 'error'
+      UNION ALL
+      SELECT event_type, value * 2 AS value FROM events
+      WHERE event_type = 'error'
+    ) GROUP BY event_type
+    """,
+)
+def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the incremental-backfill write
+    pattern a long-lived 100 TB table lives by: re-computing one
+    partition (here the 'error' slice, values doubled by a corrected
+    pipeline) and writing it with ``mode("overwrite")`` +
+    ``partitionOverwriteMode=dynamic`` replaces ONLY the partitions the
+    new data touches — static overwrite mode would silently TRUNCATE
+    the whole table to the one slice, the classic production data-loss
+    footgun this query pins shut. The fixture builds the base
+    hive-partitioned copy and then performs the surgical overwrite (its
+    own copy — the shared partitioned fixture of the DPP queries stays
+    pristine); the graded aggregate over the post-state proves both
+    halves: untouched partitions read back exactly the source rows, the
+    overwritten partition holds exactly the recomputed ones. The mode is
+    a per-WRITE option, so nothing session-global changes."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table
+    import tempfile
+
+    from .. import catalog
+    from . import cached_fixture, dsum
+
+    def _build_dynpo() -> str:
+        ev = catalog.load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        d = tempfile.mkdtemp(prefix="crane_dynpo_")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+        corrected = ev.filter(F.col("event_type") == "error").withColumn(
+            "value", F.col("value") * 2
+        )
+        corrected.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("event_type").parquet(d)
+        return d
+
+    path = cached_fixture(_DYNPO_DIRS, sf_dir, _build_dynpo)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+_BINFILE_DIRS: dict[str, str] = {}
+
+
+@query(
+    "src_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 ``binaryFile`` source — the ingest entry point for MULTIMODAL
+    corpora (media blobs land as opaque files; the engine reads them as
+    ``binary`` content plus typed envelope metadata, exactly the brief's
+    multimodal-column contract and the upstream of the WAV/BMP decode
+    operators): a bounded fixture of 50 per-document files is scanned
+    with an explicit ``pathGlobFilter`` (pushed to the file LISTING —
+    non-matching files are never opened), the document key is recovered
+    from the filename, and the graded row proves the BYTE-EXACT envelope
+    — file size equals the text's utf-8 byte length and the content md5
+    equals the oracle's md5 over the original table — i.e. nothing
+    re-encoded, truncated, or reordered between the filesystem and the
+    DataFrame. At 100 TB this scan parallelizes per file (each blob one
+    task, no splitting mid-file) which is precisely what opaque media
+    wants; fixture is process-memoized with liveness revalidation like
+    every other source fixture."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table
+    import tempfile
+
+    from . import cached_fixture
+
+    def _build_binfiles() -> str:
+        # bounded fixture: 50 rows by literal id filter — the collect
+        # moves a fixed-size artifact, not SF-scaled data
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()
+        )
+        d = tempfile.mkdtemp(prefix="crane_binfile_")
+        for r in rows:
+            with open(os.path.join(d, f"doc_{r.doc_id}.txt"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        return d
+
+    path = cached_fixture(_BINFILE_DIRS, sf_dir, _build_binfiles)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 @query(
     "src_rate_word_cycle",
     oracle="""
