@@ -270,7 +270,8 @@ def _load_all() -> None:
 # curation pipeline as one composed graded query;
 # src_binaryfile_scan — binaryFile multimodal ingest source;
 # io_dynamic_partition_overwrite — incremental-backfill partition
-# overwrite).
+# overwrite; io_batch_cdc_merge — CDC upsert-as-rewrite for plain
+# parquet).
 GRADE_PRIORITY: list[str] = [
     # round-5 post-freeze additions (never driver-graded before r6)
     "src_xml_roundtrip",

@@ -608,6 +608,95 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_CDC_DIRS: dict[str, str] = {}
+
+
+@query(
+    "io_batch_cdc_merge",
+    oracle="""
+    WITH cdc_u AS (
+      SELECT event_id, value * 3 AS value FROM events WHERE event_id % 7 = 0
+    ),
+    cdc_d AS (
+      SELECT event_id FROM events WHERE event_id % 11 = 0
+    ),
+    cdc_i AS (
+      SELECT event_id + 1000000000 AS event_id,
+             CAST(event_id % 100 AS DOUBLE) AS value
+      FROM events WHERE event_id % 13 = 0
+    ),
+    merged AS (
+      SELECT e.event_id, COALESCE(u.value, e.value) AS value
+      FROM events e
+      LEFT JOIN cdc_u u ON e.event_id = u.event_id
+      WHERE e.event_id NOT IN (SELECT event_id FROM cdc_d)
+      UNION ALL
+      SELECT event_id, value FROM cdc_i
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM merged
+    """,
+)
+def io_batch_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (upsert-as-rewrite) — how a plain-parquet 100 TB
+    table applies a change feed without a transactional table format:
+    deletes drop via LEFT ANTI join on the key, updates take the CDC
+    value via LEFT join + coalesce, inserts append — one key-shuffled
+    pass over base ∪ changes, then the merged state is REWRITTEN to
+    parquet (at scale: only the partitions the keys touch, composing
+    with `io_dynamic_partition_overwrite`'s mode) and the graded
+    aggregate reads the POST-STATE back, proving row counts, the exact
+    decimal value total, and an id checksum against the oracle's
+    relational merge. The synthetic feed derives deterministically from
+    the table itself (mod-7 updates ×3, mod-11 deletes, mod-13 inserts
+    at key+1e9); a key hit by both update and delete is DELETED on both
+    engines (the delete filter applies regardless of the update join).
+    Delete semantics use an ANTI JOIN, never ``NOT IN`` (a NULL in the
+    subquery would silently empty a NOT IN result — the oracle's keys
+    are provably non-NULL so its NOT IN is safe)."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table
+    import tempfile
+
+    from .. import catalog
+    from . import cached_fixture, dsum
+
+    def _build_cdc() -> str:
+        ev = catalog.load_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        )
+        upd = ev.filter(F.col("event_id") % 7 == 0).select(
+            "event_id", (F.col("value") * 3).alias("__uval")
+        )
+        dels = ev.filter(F.col("event_id") % 11 == 0).select("event_id")
+        ins = ev.filter(F.col("event_id") % 13 == 0).select(
+            (F.col("event_id") + 1_000_000_000).alias("event_id"),
+            (F.col("event_id") % 100).cast("double").alias("value"),
+        )
+        merged = (
+            ev.join(dels, "event_id", "left_anti")
+            .join(upd, "event_id", "left")
+            .select(
+                "event_id",
+                F.coalesce(F.col("__uval"), F.col("value")).alias("value"),
+            )
+            .unionByName(ins)
+        )
+        d = tempfile.mkdtemp(prefix="crane_cdc_")
+        merged.write.mode("overwrite").parquet(d)
+        return d
+
+    path = cached_fixture(_CDC_DIRS, sf_dir, _build_cdc)
+    return spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("total_value"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+
+
 _BINFILE_DIRS: dict[str, str] = {}
 
 
