@@ -240,40 +240,39 @@ def _load_all() -> None:
 # sample_*, curate_*, sql_*, udtf_* and the evt_/text_/sim_ tails
 # (CORRECTNESS_r04.json, 50/50); round 5 proved the 25 round-4
 # post-freeze additions plus a 25-row backfill (CORRECTNESS_r05.json,
-# 50/50 — cumulative union 218/218). Round 6 (this list, generated by
+# 50/50 — cumulative union 218/218). Round 6 fronted the nine round-5
+# post-freeze additions + 41 backfill (CORRECTNESS_r06.json, 50/50 —
+# cumulative union 227/227: every query that existed at the round-5
+# freeze has a green driver row). Round 7 (this list, generated by
 # tools/rotate_priority.py from the accumulated CORRECTNESS files):
-# the nine round-5 post-freeze additions that have never been inside a
+# the nine round-6 post-freeze additions that have never been inside a
 # driver window —
-# src_xml_roundtrip (Spark 4 built-in XML source surface),
-# join_bloom_runtime_filter (plan-asserted runtime bloom join pruning),
-# evt_rate_limit_audit (trailing-window quota audit),
-# evt_merge_overlapping_sessions (gaps-and-islands interval union),
-# dedup_lsh_tuning_curve (banding S-curve calibration),
-# text_shingle_novelty_deciles (corpus novelty/diminishing-returns),
-# sim_ivf_rel_coarse_topk (relational large-k IVF coarse quantizer),
-# mm_wav_rms_energy_windows (windowed energy over the real PCM decode),
-# stream_dedup_minhash (watermarked streaming LSH near-dedup) —
-# plus a 41-row backfill re-proving the round-5 window's families.
-# A green round-6 window closes the cumulative driver union over every
-# query that existed at the round-5 freeze: 227/227. This list was
-# generated by tools/rotate_priority.py AT THE ROUND-6 ROTATION and
-# deliberately left frozen afterwards — re-running the tool now would
-# front the five round-6 post-freeze additions instead of backfill; per
-# the established freeze discipline they are DEFERRED to front round 7
-# (stream_ivf_ingest — streaming incremental IVF index ingest;
-# stream_ivfpq_ingest — streaming IVF×PQ cell+code ingest;
-# dedup_index_incremental_merge — at-rest band-bucket index merge;
-# join_cbo_stats_reorder — stats-driven join reorder;
-# sim_ivf_arrow_coarse_topk — the exact-fold Arrow fast path graded
-# under the row-level hash gate;
-# pipeline_curate_end2end — the full quality-gate→dedup→report
-# curation pipeline as one composed graded query;
-# src_binaryfile_scan — binaryFile multimodal ingest source;
-# io_dynamic_partition_overwrite — incremental-backfill partition
-# overwrite; io_batch_cdc_merge — CDC upsert-as-rewrite for plain
-# parquet).
+# io_dynamic_partition_overwrite (incremental-backfill partition
+# overwrite), io_batch_cdc_merge (CDC upsert-as-rewrite for plain
+# parquet), src_binaryfile_scan (binaryFile multimodal ingest source),
+# join_cbo_stats_reorder (ANALYZE-fed stats-driven join reorder),
+# dedup_index_incremental_merge (at-rest band-bucket index merge),
+# sim_ivf_arrow_coarse_topk (the exact-fold Arrow fast path graded
+# under the row-level hash gate),
+# stream_ivf_ingest (streaming incremental IVF index ingest),
+# stream_ivfpq_ingest (streaming IVF×PQ cell+code ingest),
+# pipeline_curate_end2end (the composed gate→dedup→report pipeline) —
+# plus a 41-row backfill re-proving the round-6 window's families.
+# A green round-7 window closes the cumulative driver union over the
+# FULL registry as of the round-6 freeze: 236/236. Round-7 post-freeze
+# additions are deferred to front round 8 per the freeze discipline.
 GRADE_PRIORITY: list[str] = [
-    # round-5 post-freeze additions (never driver-graded before r6)
+    # round-6 post-freeze additions (never driver-graded before r7)
+    "io_dynamic_partition_overwrite",
+    "io_batch_cdc_merge",
+    "src_binaryfile_scan",
+    "join_cbo_stats_reorder",
+    "dedup_index_incremental_merge",
+    "sim_ivf_arrow_coarse_topk",
+    "stream_ivf_ingest",
+    "stream_ivfpq_ingest",
+    "pipeline_curate_end2end",
+    # backfill: re-prove the round-6 window's families
     "src_xml_roundtrip",
     "join_bloom_runtime_filter",
     "evt_rate_limit_audit",
@@ -283,7 +282,6 @@ GRADE_PRIORITY: list[str] = [
     "sim_ivf_rel_coarse_topk",
     "mm_wav_rms_energy_windows",
     "stream_dedup_minhash",
-    # backfill: re-prove the round-5 window's families
     "join_asof_tolerance_7d_purchase",
     "join_asof_nearest_purchase",
     "join_salted_skew_spend",
@@ -316,15 +314,6 @@ GRADE_PRIORITY: list[str] = [
     "evt_scd2_user_history",
     "evt_gapfill_hourly",
     "sim_matryoshka_rerank_topk",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    "text_entropy_char",
-    "text_bpe_pair_candidates",
-    "stream_append_daily_by_type",
-    "stream_dedup_within_watermark",
-    "sql_orders_above_customer_avg",
-    "evt_funnel_conversion",
-    "evt_retention_cohorts",
 ]
 
 
