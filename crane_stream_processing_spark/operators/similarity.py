@@ -195,6 +195,14 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    def round_half_up6(x):
+        # F.round is BigDecimal HALF_UP (ties away from zero); np.round is
+        # half-to-even. They differ only on exact decimal midpoints at the
+        # 7th place (dyadic rationals — reachable with small-integer
+        # fixture vectors), but "row-identical to cosine_topk" must hold
+        # there too, so emulate HALF_UP vectorized.
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
     qrows = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -224,8 +232,8 @@ def cosine_topk_arrow(
                 continue
             vecs, cn = vecs[keep], cn[keep]
             cids = pdf[id_col].values[keep].astype(np.int64)
-            sims = np.round(
-                (vecs @ qmat.T) / np.outer(cn, qn), 6
+            sims = round_half_up6(
+                (vecs @ qmat.T) / np.outer(cn, qn)
             )  # n × |Q|
             if exclude_self:
                 self_mask = cids[:, None] == qids[None, :]
@@ -248,8 +256,15 @@ def cosine_topk_arrow(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    local = corpus.select(id_col, vec_col).mapInPandas(
-        local_topk, "query_id long, cand_id long, cos_sim double"
+    local = (
+        corpus.select(id_col, vec_col)
+        # match ivf_assign_arrow/pq_encode_arrow: drop NULL rows before the
+        # kernel (np.stack would crash on a NULL embedding, whereas the
+        # relational path silently drops them via the cn > 0 filter).
+        .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .mapInPandas(
+            local_topk, "query_id long, cand_id long, cos_sim double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -1304,6 +1319,78 @@ def pq_encode_arrow(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     )
     return base.mapInPandas(enc, "vid long, sub_id int, code int")
+
+
+def ivfpq_encode_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Arrow/numpy FAST PATH for the FULL IVF×PQ index entry — the fused
+    production twin of ``stream_ivfpq_ingest``'s relational stage: ONE
+    ``mapInPandas`` pass computes the coarse cell (the
+    :func:`ivf_assign_arrow` matmul) AND the m per-subspace PQ codes
+    (the :func:`pq_encode_arrow` einsum) per vector, emitting the same
+    exploded (vec_id, sub_id, code, cell) grain — so a `foreachBatch`
+    ingest needs no per-micro-batch join to stitch cell onto codes (a
+    join would put a shuffle inside every micro-batch for what is
+    per-row arithmetic). Same tiebreak contracts as the two kernels it
+    fuses (``np.argmax`` first maximum == low-index cell / lowest-code);
+    ``exact_fold=True`` computes every dot with the strict sequential
+    ``np.add.accumulate`` fold, making cells AND codes bit-identical to
+    the graded relational stream (asserted, including the end-to-end
+    foreachBatch path, in tests/test_ann_ingest.py). NULL ids/vectors
+    filtered (same contract as both kernels); mis-sized vectors raise."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # dim × k
+    books = np.asarray(codebooks, dtype=np.float64)  # m × ksub × dsub
+    m, _ksub, dsub = books.shape
+    offs = 0.5 * (books * books).sum(axis=2)  # m × ksub
+    sub_ids = np.arange(m, dtype="int32")
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if vecs.shape[1] != m * dsub:
+                raise ValueError(
+                    f"ivfpq_encode_arrow: vector dim {vecs.shape[1]} != "
+                    f"m*dsub = {m * dsub}"
+                )
+            subs = vecs.reshape(len(vecs), m, dsub)
+            if exact_fold:
+                cprods = vecs[:, None, :] * cmat.T[None, :, :]
+                cdots = np.add.accumulate(cprods, axis=2)[:, :, -1]
+                prods = subs[:, :, None, :] * books[None, :, :, :]
+                dots = np.add.accumulate(prods, axis=3)[..., -1]
+            else:
+                cdots = vecs @ cmat
+                dots = np.einsum("nmd,mkd->nmk", subs, books)
+            cells = np.argmax(cdots, axis=1).astype("int32")
+            codes = (dots - offs).argmax(axis=2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, m),
+                    "sub_id": np.tile(sub_ids, len(vecs)),
+                    "code": codes.reshape(-1),
+                    "cell": np.repeat(cells, m),
+                }
+            )
+
+    base = df.select(id_col, vec_col).filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    return base.mapInPandas(
+        enc, f"{id_col} long, sub_id int, code int, cell int"
+    )
 
 
 def pq_adc_topk(

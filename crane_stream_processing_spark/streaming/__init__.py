@@ -14,12 +14,20 @@ at-least-once-with-duplicates (SURVEY.md §2.9 ST1-ST3).
   periodic-trigger query with checkpointing (ST4/ST9)
 - :mod:`.monitor` — delivery accounting: in-plan observed metrics + a
   progress listener (the acker's books without its replay duty)
+- :mod:`.ann_ingest` — the production ANN-index ingest: Arrow kernels in
+  foreachBatch + a batch-id-idempotent parquet sink (exactly-once on
+  plain parquet)
 """
 
 from .sources import file_lines, kafka_lines, rate_lines, socket_lines
 from .sinks import MergeSink, VersionedSink, read_latest, read_versions, list_versions
 from .engine import start_app, stop_app
 from .monitor import ProgressRecorder, with_observed_metrics
+from .ann_ingest import (
+    ivfpq_index_sink,
+    read_ivfpq_index,
+    start_ivfpq_ingest_arrow,
+)
 
 __all__ = [
     "file_lines",
@@ -35,4 +43,7 @@ __all__ = [
     "stop_app",
     "ProgressRecorder",
     "with_observed_metrics",
+    "ivfpq_index_sink",
+    "start_ivfpq_ingest_arrow",
+    "read_ivfpq_index",
 ]
