@@ -233,10 +233,33 @@ def main(argv: list[str] | None = None) -> int:
             spark.sql(a.statement).show(a.limit, truncate=False)
         elif a.cmd == "start":
             from .streaming.engine import start_app
+            from .streaming.monitor import ProgressRecorder
 
-            q = start_app(spark, a.app, a.source, a.store, period=a.period)
-            q.processAllAvailable()
-            q.stop()
+            # The reference client prints per-node delivery counts after a
+            # run (client/client.go:87-89); the analog here is the
+            # listener's throughput ledger, printed at stop.
+            rec = ProgressRecorder()
+            spark.streams.addListener(rec)
+            try:
+                q = start_app(spark, a.app, a.source, a.store, period=a.period)
+                q.processAllAvailable()
+                q.stop()
+                # listener events are delivered async — bounded wait for
+                # the ledger before printing (same contract as the tests)
+                import time as _time
+
+                for _ in range(40):
+                    if rec.progress and rec.terminated:
+                        break
+                    _time.sleep(0.25)
+            finally:
+                spark.streams.removeListener(rec)
+            for qname, rate in sorted(rec.rates().items()):
+                print(
+                    f"# {qname}: {rec.total_input_rows(qname)} rows in, "
+                    f"{rate:.0f} rows/s",
+                    file=sys.stderr,
+                )
             print(f"{a.app}: processed available data; results under "
                   f"{a.store}/{a.app.lower()}_result")
     finally:

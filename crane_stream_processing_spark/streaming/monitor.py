@@ -51,11 +51,22 @@ class ProgressRecorder(StreamingQueryListener):
     ``spark.streams.addListener(rec)``; detach with ``removeListener``."""
 
     def __init__(self) -> None:
+        self.started: list[dict] = []
         self.progress: list[dict] = []
+        self.idle: list[dict] = []
         self.terminated: list[str] = []
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (listener API)
-        pass
+        # The acker's "registered topology" ledger: which queries ran,
+        # under which run incarnation (restarts mint a new runId for the
+        # same query id — the pair distinguishes replay from first run).
+        self.started.append(
+            {
+                "id": str(event.id),
+                "run_id": str(event.runId),
+                "query": event.name,
+            }
+        )
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
@@ -65,6 +76,9 @@ class ProgressRecorder(StreamingQueryListener):
                 "batch_id": p.batchId,
                 "num_input_rows": p.numInputRows,
                 "processed_rows_per_sec": p.processedRowsPerSecond,
+                # phase timings (triggerExecution et al.) — the latency
+                # axis of the flow-rate record (tools/flow_rate.py)
+                "duration_ms": dict(p.durationMs or {}),
                 # per stateful operator: rows held and bytes used — the
                 # state-growth ledger the class doc promises
                 "state": [
@@ -80,12 +94,26 @@ class ProgressRecorder(StreamingQueryListener):
         )
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
+        # Idle ticks are the "no in-flight tuples" signal (source drained
+        # faster than the trigger period) — counted per query so a
+        # backpressure dashboard can tell starved from busy.
+        self.idle.append({"id": str(event.id), "timestamp": event.timestamp})
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         self.terminated.append(str(event.id))
 
     # -- convenience ----------------------------------------------------
+    def rates(self) -> dict[str, float]:
+        """Latest processed-rows-per-second per query name — the one-line
+        throughput summary the CLI prints after `crane start` (mirroring
+        the reference client's per-node match-count printout,
+        client/client.go:87-89, as rows/s instead of match counts)."""
+        out: dict[str, float] = {}
+        for p in self.progress:
+            if p["query"] is not None and p["processed_rows_per_sec"] is not None:
+                out[p["query"]] = float(p["processed_rows_per_sec"])
+        return out
+
     def total_input_rows(self, query_name: str | None = None) -> int:
         return sum(
             p["num_input_rows"]

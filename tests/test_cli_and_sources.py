@@ -174,6 +174,23 @@ def test_file_source_throttle_batches_per_file(spark, tmp_path):
     assert len(batches) >= 3  # one micro-batch per file, throttle honored
 
 
+def test_cli_start_prints_throughput_ledger(spark, tmp_path, capsys):
+    """`crane start` runs an app to completion AND prints the listener's
+    delivery ledger (rows in + rows/s per query) — the CLI analog of the
+    reference client's per-node match-count printout."""
+    import os
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    (src / "f1.txt").write_text("a b a\nc a b\n")
+    store = str(tmp_path / "store")
+    assert main(
+        ["--store", store, "start", "wordCount", str(src), "--period", "1 seconds"]
+    ) == 0
+    err = capsys.readouterr().err
+    assert "crane_wordCount" in err and "rows/s" in err
+
+
 def test_cli_delete_and_store_roundtrip(spark, tmp_path):
     """S8 parity: delete removes every version + manifest; store lists
     only names with committed versions."""

@@ -225,8 +225,44 @@ def test_observed_metrics_and_listener(spark, tdir):
         assert sum(rec.observed_series("v_sum", "acct")) == 10
         assert max(rec.observed_series("k_distinct", "acct")) == 3
         assert rec.terminated
+        # the started ledger (query id + run incarnation) is recorded,
+        # and the CLI-facing rates() summary reports this query
+        assert any(s["query"] == "obs_q" and s["run_id"] for s in rec.started)
+        assert rec.rates().get("obs_q", 0.0) >= 0.0
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_progress_recorder_idle_and_rates_accounting():
+    """Listener accounting logic without wall-clock: idle ticks are
+    ledgered per query id, and rates() keeps the LATEST rows/s per query
+    name (stub events — the live-path coverage is the test above)."""
+    from types import SimpleNamespace
+
+    from crane_stream_processing_spark.streaming import ProgressRecorder
+
+    rec = ProgressRecorder()
+    rec.onQueryIdle(SimpleNamespace(id="qid-1", timestamp="t0"))
+    rec.onQueryIdle(SimpleNamespace(id="qid-1", timestamp="t1"))
+    assert [e["timestamp"] for e in rec.idle] == ["t0", "t1"]
+
+    def prog(name, rate, batch):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                name=name,
+                batchId=batch,
+                numInputRows=10,
+                processedRowsPerSecond=rate,
+                durationMs={"triggerExecution": 5},
+                stateOperators=[],
+                observedMetrics={},
+            )
+        )
+
+    rec.onQueryProgress(prog("q_a", 100.0, 0))
+    rec.onQueryProgress(prog("q_a", 250.0, 1))  # latest wins
+    rec.onQueryProgress(prog("q_b", None, 0))  # no rate yet → omitted
+    assert rec.rates() == {"q_a": 250.0}
 
 
 def test_streaming_wordcount_end_to_end(spark, tdir):

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Streaming flow-rate record: achieved throughput and batch latency as a
+function of offered rate (lines/s) and trigger period — the axes of the
+reference's own streaming evaluation (MP4 report Fig. 2: flow rate on x,
+delivery health on y; the reference's spout tops out at 10-100 lines/s
+before tuples drop, server/Crane.go:63-99). Here nothing drops — the rate
+source is replayable and backpressure is declarative — so the health
+signal is KEEPING UP: per-batch trigger execution time staying under the
+trigger period (no backlog growth).
+
+Run from the repo root (wall-clock-bound by design, so it is a tools/
+record like scale_probe.py, not a graded registry row):
+
+    python tools/flow_rate.py [--rates 1000,10000,100000,500000]
+                              [--periods 0.5,1,2] [--duration 12]
+
+Prints one JSON line:
+  {"<rate>@<period>s": {"input_rows_per_sec": ..., "processed_rows_per_sec":
+   ..., "mean_batch_ms": ..., "max_batch_ms": ..., "kept_up": true}, ...}
+
+The pipeline under measurement is the wordcount aggregation (P1/A1 — the
+reference's flagship app) over the rate source's deterministic word cycle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crane_stream_processing_spark.session import get_spark  # noqa: E402
+from crane_stream_processing_spark.streaming import (  # noqa: E402
+    ProgressRecorder,
+)
+from crane_stream_processing_spark.streaming.sources import rate_lines  # noqa: E402
+
+
+def measure(spark, rate: int, period_s: float, duration_s: float) -> dict:
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    name = f"flow_{rate}_{str(period_s).replace('.', '_')}"
+    try:
+        counts = rate_lines(spark, rate).groupBy("value").count()
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("noop")
+            .queryName(name)
+            .trigger(processingTime=f"{period_s} seconds")
+            .start()
+        )
+        time.sleep(duration_s)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(rec)
+    # skip the first batch (cold plan/codegen) like every warm measurement
+    rows = [p for p in rec.progress if p["query"] == name][1:]
+    rows = [p for p in rows if p["num_input_rows"] > 0]
+    if not rows:
+        return {"batches": 0}
+    batch_ms = [
+        p["duration_ms"].get("triggerExecution", 0) for p in rows
+    ]
+    total_rows = sum(p["num_input_rows"] for p in rows)
+    total_sec = sum(batch_ms) / 1000.0
+    return {
+        "batches": len(rows),
+        "input_rows_per_sec": round(
+            sum(p["num_input_rows"] for p in rows)
+            / max(len(rows) * period_s, 1e-9),
+            1,
+        ),
+        "processed_rows_per_sec": round(total_rows / max(total_sec, 1e-9), 1),
+        "mean_batch_ms": round(sum(batch_ms) / len(batch_ms), 1),
+        "max_batch_ms": max(batch_ms),
+        # keeping up = the mean batch finishes inside its trigger period
+        "kept_up": sum(batch_ms) / len(batch_ms) <= period_s * 1000.0,
+    }
+
+
+def _csv_arg(flag: str, default: list) -> list:
+    for i, a in enumerate(sys.argv):
+        if a == flag and i + 1 < len(sys.argv):
+            return [type(default[0])(x) for x in sys.argv[i + 1].split(",")]
+    return default
+
+
+def main() -> None:
+    rates = _csv_arg("--rates", [1000, 10000, 100000, 500000])
+    periods = _csv_arg("--periods", [0.5, 1.0, 2.0])
+    duration = _csv_arg("--duration", [12.0])[0]
+    spark = get_spark("flow_rate")
+    out = {}
+    for rate in rates:
+        for period in periods:
+            out[f"{rate}@{period}s"] = measure(spark, rate, period, duration)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
