@@ -9,12 +9,17 @@ check": the registry's small-SF bench proves correctness-at-speed, this
 probe proves the SHAPES stay sub-linear when the data actually grows —
 the local stand-in for the 100 TB question. Run from the repo root:
 
-    python tools/scale_probe.py [N ...] [--skew]   # default: 10 100
+    python tools/scale_probe.py [N ...] [--skew] [--ingest] [--io]
 
 Prints one JSON line: {"scales": {"10": {shape: sec, ...}, ...},
 "base": {shape: sec at 1x, ...}}; with --skew, adds the Zipf-skewed
 fact-fact join probe (one hot key holding ~20% of rows) with AQE
-skew-split engagement evidence per scale.
+skew-split engagement evidence per scale; with --ingest, the streaming
+IVF×PQ ingest throughput both ways (relational HOF scoring vs Arrow
+foreachBatch, rows/s); with --io, the CDC-merge + dynamic-partition-
+overwrite maintenance shapes (wall-clock linearity + proof that
+untouched partitions are not rewritten). Each --X flag has an
+--X-only twin that skips the base shape suite.
 """
 
 from __future__ import annotations
@@ -258,8 +263,221 @@ def skew_probe(spark, n: int) -> dict:
                 spark.conf.set(k, v)
 
 
+def _scratch(prefix: str) -> str:
+    import tempfile
+
+    from crane_stream_processing_spark.inventory import register_scratch_dir
+
+    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix))
+
+
+def ingest_probe(spark, n: int) -> dict:
+    """Streaming IVF×PQ ingest throughput BOTH WAYS (round-6 verdict #2):
+    the graded relational path (broadcast codebook relations + interpreted
+    Catalyst HOF scoring — ~1 ms/row, the known `stream_ivfpq_ingest`
+    profile) vs the production Arrow foreachBatch path
+    (`ivfpq_encode_arrow`: one fused matmul+einsum per Arrow batch,
+    bit-identical entries under exact_fold — tests/test_ann_ingest.py),
+    plus the Arrow path with the real batch-id-idempotent parquet sink so
+    the end-to-end deployment number is on record. This mirrors the ONE
+    measurement the reference's own evaluation centers on — spout ingest
+    lines/s (server/Crane.go:63-99; MP4 report §5: 10-100 lines/s ceiling
+    before tuple drops). Each variant drains the same replicated
+    embeddings directory through a fresh availableNow pass; rows/s =
+    vectors ingested / wall-clock (micro-batch machinery included — that
+    is the deployment cost). Compute-only variants sink to noop so the
+    relational-vs-Arrow delta is scoring cost, not sink IO."""
+    import shutil
+
+    from crane_stream_processing_spark.inventory.northstar import _CENTROIDS64
+    from crane_stream_processing_spark.inventory.streaming_queries import (
+        _PQ_STREAM_DSUB,
+        _pq_stream_books,
+    )
+    from crane_stream_processing_spark.operators import similarity as S
+    from crane_stream_processing_spark.streaming import start_ivfpq_ingest_arrow
+
+    emb = replicate(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"),
+        n,
+        ["vec_id"],
+    )
+    src_dir = _scratch("crane_ingestprobe_src_")
+    emb.write.mode("overwrite").parquet(src_dir)
+    n_vec = spark.read.parquet(src_dir).count()
+    books = _pq_stream_books()
+
+    def stream_src():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(src_dir)
+            .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        )
+
+    def run_relational() -> None:
+        cmat = F.broadcast(S.centroid_matrix(spark, _CENTROIDS64))
+        pqmat = F.broadcast(S.pq_codebook_matrix(spark, books))
+        staged = (
+            stream_src()
+            .crossJoin(cmat)
+            .crossJoin(pqmat)
+            .withColumn("__dots", S.matrix_dots(F.col("embedding"), F.col("__cmat")))
+            .withColumn(
+                "__codes",
+                S.pq_codes_from_matrix(
+                    F.col("embedding"), F.col("__pqmat"), _PQ_STREAM_DSUB
+                ),
+            )
+            .select(
+                "vec_id",
+                S.ivf_centroid(F.col("__dots")).alias("cell"),
+                F.posexplode("__codes").alias("sub_id", "code"),
+            )
+        )
+        ck = _scratch("crane_ingestprobe_ck_")
+        q = (
+            staged.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+
+    def run_arrow(exact_fold: bool) -> None:
+        def fb(bdf, _bid):
+            S.ivfpq_encode_arrow(
+                bdf, _CENTROIDS64, books, exact_fold=exact_fold
+            ).write.mode("overwrite").format("noop").save()
+
+        ck = _scratch("crane_ingestprobe_ck_")
+        q = (
+            stream_src()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+
+    def run_arrow_parquet() -> None:
+        ck = _scratch("crane_ingestprobe_ck_")
+        out_dir = _scratch("crane_ingestprobe_out_")
+        q = start_ivfpq_ingest_arrow(
+            stream_src(), _CENTROIDS64, books, out_dir, ck, exact_fold=True
+        )
+        q.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    variants = {
+        "relational_hof": run_relational,
+        "arrow_blas": lambda: run_arrow(False),
+        "arrow_exact_fold": lambda: run_arrow(True),
+        "arrow_parquet_sink": run_arrow_parquet,
+    }
+    out: dict = {"n_vectors": n_vec}
+    for label, fn in variants.items():
+        fn()  # warm: codegen/JIT/scan cache (fresh checkpoint per run)
+        t0 = time.perf_counter()
+        fn()
+        sec = time.perf_counter() - t0
+        out[f"{label}_sec"] = round(sec, 3)
+        out[f"{label}_rows_per_sec"] = round(n_vec / sec, 1)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+def io_probe(spark, n: int) -> dict:
+    """Table-maintenance shapes at N× (round-6 verdict #4): the round-6 IO
+    queries are graded at sf0.1 but their 100 TB claim is about SHAPE —
+    (a) dynamic partition overwrite must rewrite ONLY the touched
+    partition (bytes written scale with the changed slice, proven here by
+    untouched partitions' files keeping their mtimes), and (b) the CDC
+    upsert-as-rewrite (anti-join deletes + left-join updates + union
+    inserts, `io_batch_cdc_merge`) must stay wall-clock linear in table
+    size for a fixed change fraction. The probe replicates events N×,
+    hive-partitions it by event_type, then times both maintenance ops."""
+    import shutil
+
+    ev = replicate(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        ),
+        n,
+        ["event_id", "user_id"],
+    )
+    base = _scratch("crane_ioprobe_")
+    t0 = time.perf_counter()
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    base_write_sec = time.perf_counter() - t0
+
+    def tree_mtimes(skip_part: str) -> dict:
+        out = {}
+        for root, _dirs, files in os.walk(base):
+            if skip_part in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = tree_mtimes("event_type=error")
+    corrected = (
+        spark.read.parquet(base)
+        .filter(F.col("event_type") == "error")
+        .withColumn("value", F.col("value") * 2)
+    )
+    t0 = time.perf_counter()
+    corrected.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("event_type").parquet(base)
+    overwrite_sec = time.perf_counter() - t0
+    untouched_rewritten = tree_mtimes("event_type=error") != before
+
+    tbl = spark.read.parquet(base).select("event_id", "value")
+    upd = tbl.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", (F.col("value") * 3).alias("__uval")
+    )
+    dels = tbl.filter(F.col("event_id") % 11 == 0).select("event_id")
+    ins = tbl.filter(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + KEY_SHIFT * 1000).alias("event_id"),
+        (F.col("event_id") % 100).cast("double").alias("value"),
+    )
+    merged = (
+        tbl.join(dels, "event_id", "left_anti")
+        .join(upd, "event_id", "left")
+        .select(
+            "event_id", F.coalesce(F.col("__uval"), F.col("value")).alias("value")
+        )
+        .unionByName(ins)
+    )
+    out_dir = _scratch("crane_ioprobe_cdc_")
+    t0 = time.perf_counter()
+    merged.write.mode("overwrite").parquet(out_dir)
+    cdc_sec = time.perf_counter() - t0
+    n_rows = spark.read.parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "base_write_sec": round(base_write_sec, 3),
+        "dyn_overwrite_sec": round(overwrite_sec, 3),
+        "untouched_partitions_rewritten": untouched_rewritten,
+        "cdc_merge_rewrite_sec": round(cdc_sec, 3),
+        "cdc_post_rows": n_rows,
+    }
+
+
 def main() -> None:
-    known_flags = {"--skew", "--skew-only"}
+    sections = {
+        "skew": skew_probe,
+        "ingest": ingest_probe,
+        "io": io_probe,
+    }
+    known_flags = {f"--{s}" for s in sections} | {
+        f"--{s}-only" for s in sections
+    }
     unknown = [
         a for a in sys.argv[1:] if a.startswith("--") and a not in known_flags
     ]
@@ -268,16 +486,20 @@ def main() -> None:
             f"unknown flag(s) {unknown}; valid: {sorted(known_flags)}"
         )
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    with_skew = "--skew" in sys.argv[1:] or "--skew-only" in sys.argv[1:]
-    skew_only = "--skew-only" in sys.argv[1:]
+    wanted = {
+        s for s in sections
+        if f"--{s}" in sys.argv[1:] or f"--{s}-only" in sys.argv[1:]
+    }
+    only = any(a.endswith("-only") for a in sys.argv[1:] if a.startswith("--"))
     ns = [int(a) for a in args] or [10, 100]
     spark = get_spark("scale_probe")
     result: dict = {}
-    if not skew_only:
+    if not only:
         result["base"] = time_shapes(spark, 1)
         result["scales"] = {str(n): time_shapes(spark, n) for n in ns}
-    if with_skew:
-        result["skew"] = {str(n): skew_probe(spark, n) for n in ns}
+    for s in sections:
+        if s in wanted:
+            result[s] = {str(n): sections[s](spark, n) for n in ns}
     print(json.dumps(result))
     spark.stop()
 
