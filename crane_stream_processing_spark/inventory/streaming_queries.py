@@ -935,3 +935,62 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = staged.select("vec_id", "sub_id", "code", "cell")
     _run_to_memory(out, "stream_ivfpq_ingest", "append")
     return spark.table("stream_ivfpq_ingest")
+
+
+@query("stream_ivfpq_arrow_idempotent_sink", oracle=_oracle_stream_ivfpq_ingest())
+def stream_ivfpq_arrow_idempotent_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION ingest path itself under the row-level hash gate
+    (round-6 verdict items #2+#3 as one graded query): the same
+    embeddings stream as `stream_ivfpq_ingest`, but encoded by the fused
+    Arrow kernel (`similarity.ivfpq_encode_arrow`, exact_fold — one
+    matmul+einsum per Arrow batch, ~26× the interpreted relational
+    scoring in tools/scale_probe.py --ingest) inside ``foreachBatch``,
+    writing PARQUET partitioned by ``__batch_id`` with dynamic partition
+    overwrite (`streaming.ann_ingest`). After the bounded drain, the
+    first batch is deliberately REPLAYED through the sink — the exact
+    at-least-once window (failure between sink write and offset commit;
+    the duplicate-version hazard the reference's SDFS append carries,
+    server/sdfs.go:276-283) — and the graded result is the POST-REPLAY
+    table read back from disk. It must hash-match the SAME oracle as the
+    relational stream: identical cells and codes (exact_fold's strict
+    sequential dots == Catalyst == DuckDB) AND exactly one copy of every
+    row (the replay overwrote its own partition instead of appending).
+    At 100 TB this is the deployment contract: O(new data) per
+    micro-batch, retryable batch writes, plain parquet."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ann_ingest import (
+        ivfpq_index_sink,
+        read_ivfpq_index,
+        start_ivfpq_ingest_arrow,
+    )
+    from .northstar import _CENTROIDS64
+
+    emb = _stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    books = _pq_stream_books()
+    out_dir = tempfile.mkdtemp(prefix="crane_ivfpq_sink_")
+    ckpt = tempfile.mkdtemp(prefix="crane_ivfpq_ckpt_")
+    with _scoped_stream_partitions(spark):
+        q = start_ivfpq_ingest_arrow(
+            emb, _CENTROIDS64, books, out_dir, ckpt, exact_fold=True
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # Forced replay of batch 0 (availableNow with no file cap drains the
+    # whole table as one batch): re-running the idempotent sink must
+    # overwrite partition __batch_id=0, not duplicate it.
+    batch0 = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    )
+    ivfpq_index_sink(out_dir, _CENTROIDS64, books, exact_fold=True)(batch0, 0)
+    from . import register_scratch_dir
+
+    register_scratch_dir(out_dir)
+    return read_ivfpq_index(spark, out_dir)
