@@ -760,6 +760,82 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_minhash")
 
 
+def _oracle_stream_dedup_index_ingest() -> str:
+    # The same batch banding CTE: the persisted index must hold exactly
+    # the batch pipeline's (doc_id, band_idx, band_hash) rows — once
+    # each, despite the forced replay.
+    from .northstar import _CTE_LSH_BANDS
+
+    return _CTE_LSH_BANDS + """
+    SELECT doc_id, CAST(band_idx AS BIGINT) AS band_idx, band_hash
+    FROM bands
+    """
+
+
+@query(
+    "stream_dedup_index_ingest", oracle=_oracle_stream_dedup_index_ingest()
+)
+def stream_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-INDEX ingest with the idempotent batch sink — the
+    write-side twin of `stream_dedup_minhash` (which detects collisions
+    in flight) and the streaming producer of the at-rest band-bucket
+    index `dedup_index_incremental_merge` consumes: documents arrive on
+    a file stream, the SAME row-local minhash-LSH banding as the batch
+    pipeline runs inside the streaming plan (pure Catalyst — unlike the
+    ANN twin, no foreachBatch-side kernel is needed), and each
+    micro-batch's (doc_id, band_idx, band_hash) rows land in parquet
+    under a ``__batch_id`` partition via the generic
+    `streaming.ann_ingest.idempotent_batch_sink` (dynamic partition
+    overwrite per batch). After the bounded drain the first batch is
+    deliberately REPLAYED through the sink — the at-least-once window —
+    and the graded result is the post-replay index read back from disk:
+    it must hold EXACTLY the batch pipeline's band rows, once each
+    (row-level oracle over the shared banding CTE). At 100 TB this is
+    how the dedup index stays fresh: O(new docs) banding per trigger,
+    retryable batch writes, no re-scan of history."""
+    import shutil
+    import tempfile
+
+    from ..operators import dedup as D
+    from ..streaming.ann_ingest import idempotent_batch_sink
+
+    docs = _stream_docs(spark, sf_dir).select("doc_id", "text")
+    banded = D.lsh_bands(docs, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"),
+        F.col("band_idx").cast("long").alias("band_idx"),
+        "band_hash",
+    )
+    out_dir = tempfile.mkdtemp(prefix="crane_dedup_index_sink_")
+    ckpt = tempfile.mkdtemp(prefix="crane_dedup_index_ckpt_")
+    sink = idempotent_batch_sink(out_dir)
+    with _scoped_stream_partitions(spark):
+        q = (
+            banded.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # Forced replay of batch 0 (availableNow drains the table as one
+    # batch): the idempotent sink overwrites partition __batch_id=0.
+    batch0 = D.lsh_bands(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+    ).select(
+        F.col("doc").alias("doc_id"),
+        F.col("band_idx").cast("long").alias("band_idx"),
+        "band_hash",
+    )
+    sink(batch0, 0)
+    from . import register_scratch_dir
+
+    register_scratch_dir(out_dir)
+    df = spark.read.parquet(out_dir)
+    return df.select("doc_id", "band_idx", "band_hash")
+
+
 _EMBEDDINGS_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

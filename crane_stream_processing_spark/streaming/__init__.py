@@ -24,6 +24,8 @@ from .sinks import MergeSink, VersionedSink, read_latest, read_versions, list_ve
 from .engine import start_app, stop_app
 from .monitor import ProgressRecorder, with_observed_metrics
 from .ann_ingest import (
+    compact_index,
+    idempotent_batch_sink,
     ivfpq_index_sink,
     read_ivfpq_index,
     start_ivfpq_ingest_arrow,
@@ -43,7 +45,9 @@ __all__ = [
     "stop_app",
     "ProgressRecorder",
     "with_observed_metrics",
+    "idempotent_batch_sink",
     "ivfpq_index_sink",
     "start_ivfpq_ingest_arrow",
     "read_ivfpq_index",
+    "compact_index",
 ]

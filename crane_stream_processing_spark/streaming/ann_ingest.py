@@ -38,10 +38,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "idempotent_batch_sink",
     "ivfpq_index_sink",
     "start_ivfpq_ingest_arrow",
     "read_ivfpq_index",
+    "compact_index",
 ]
+
+
+def idempotent_batch_sink(
+    out_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The generic idempotent foreachBatch writer: (optionally transform,
+    then) stamp the deterministic ``batch_id`` and write the micro-batch
+    as a dynamic partition overwrite of ``__batch_id=<id>`` — so a forced
+    replay of batch N (failure between sink write and offset commit, the
+    exact at-least-once window) REPLACES partition N rather than
+    duplicating it, and never touches any other batch's partition. The
+    overwrite mode is a per-write option; nothing session-global changes.
+    ``transform`` hosts work that must run OUTSIDE the streaming plan
+    (e.g. the Arrow encode kernels); pure-Catalyst stages can equally
+    stay in the streaming plan and pass ``None``. Exposed separately from
+    the query starters so a replay can be forced deterministically in
+    tests (call it twice with one batch)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        (
+            out.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_dir)
+        )
+
+    return write_batch
 
 
 def ivfpq_index_sink(
@@ -52,19 +84,13 @@ def ivfpq_index_sink(
     vec_col: str = "embedding",
     exact_fold: bool = True,
 ) -> Callable[[DataFrame, int], None]:
-    """The idempotent foreachBatch writer: encode the micro-batch with the
-    fused Arrow kernel, stamp the deterministic ``batch_id``, and write it
-    as a dynamic partition overwrite of ``__batch_id=<id>`` — so a forced
-    replay of batch N (failure between sink write and offset commit, the
-    exact at-least-once window) REPLACES partition N rather than
-    duplicating it, and never touches any other batch's partition.
-    The overwrite mode is a per-write option; nothing session-global
-    changes. Exposed separately from the query starter so a replay can be
-    forced deterministically in tests (call it twice with one batch)."""
+    """:func:`idempotent_batch_sink` specialized to the IVF×PQ index:
+    each micro-batch is encoded by the fused Arrow kernel before the
+    batch-id-partitioned write."""
     from ..operators import similarity as S
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        entries = S.ivfpq_encode_arrow(
+    def encode(batch_df: DataFrame) -> DataFrame:
+        return S.ivfpq_encode_arrow(
             batch_df,
             centroids,
             codebooks,
@@ -72,15 +98,8 @@ def ivfpq_index_sink(
             vec_col=vec_col,
             exact_fold=exact_fold,
         )
-        (
-            entries.withColumn("__batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(out_dir)
-        )
 
-    return write_batch
+    return idempotent_batch_sink(out_dir, encode)
 
 
 def start_ivfpq_ingest_arrow(
@@ -125,3 +144,27 @@ def read_ivfpq_index(spark: SparkSession, out_dir: str) -> DataFrame:
     return df.select(
         [c for c in df.columns if c != "__batch_id"]
     )
+
+
+def compact_index(
+    spark: SparkSession, out_dir: str, compacted_dir: str, n_files: int = 1
+) -> None:
+    """Compact a batch-id-partitioned ingest directory into ``n_files``
+    plain parquet files — the maintenance op a long-running streaming
+    sink needs: every micro-batch commit is its own partition directory
+    (that is what makes replays idempotent), so after N triggers the
+    index is N directories of small files, and at 100 TB the listing +
+    open cost of millions of tiny files dominates reads (the classic
+    small-file problem). Compaction drops the ``__batch_id`` ledger
+    column (its duty — replay idempotency — ended when the batches
+    committed), rewrites once through ``coalesce`` (no shuffle: plain
+    file concatenation parallelism), and is itself idempotent
+    (mode=overwrite of the whole compacted dir). Read-equivalence —
+    row-identical to the uncompacted index — is asserted in
+    tests/test_ann_ingest.py. The streaming query keeps appending new
+    batch partitions to ``out_dir``; a production cycle alternates
+    compact → swap, exactly like `operators/layout.py`'s table
+    compaction."""
+    read_ivfpq_index(spark, out_dir).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(compacted_dir)

@@ -109,6 +109,36 @@ def test_forced_batch_replay_writes_no_duplicates(spark, sf_dir, tmp_path):
     assert part_files(1) == before_b1
 
 
+def test_compact_index_read_equivalent_and_fewer_files(spark, sf_dir, tmp_path):
+    """compact_index rewrites the batch-partitioned ingest dir into one
+    plain parquet file set: row-identical content, __batch_id ledger
+    dropped, file count collapsed — the small-file maintenance op."""
+    from crane_stream_processing_spark.streaming import compact_index
+
+    out = str(tmp_path / "index")
+    sink = ivfpq_index_sink(out, _CENTROIDS64, _pq_stream_books())
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sink(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    sink(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    compacted = str(tmp_path / "compacted")
+    compact_index(spark, out, compacted)
+
+    def parquet_files(d):
+        return [
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    comp_df = spark.read.parquet(compacted)
+    assert "__batch_id" not in comp_df.columns
+    assert _entries(comp_df) == _entries(read_ivfpq_index(spark, out))
+    assert len(parquet_files(compacted)) == 1
+    assert len(parquet_files(out)) > 1
+
+
 def test_checkpoint_restart_ingests_nothing_new(spark, sf_dir, tmp_path):
     """Restarting the query on the same checkpoint with no new source
     files drains zero batches: the offset log, not the data dir listing,

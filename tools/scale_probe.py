@@ -303,7 +303,11 @@ def ingest_probe(spark, n: int) -> dict:
         ["vec_id"],
     )
     src_dir = _scratch("crane_ingestprobe_src_")
-    emb.write.mode("overwrite").parquet(src_dir)
+    # Multi-file landing zone: replicate()'s broadcast crossJoin is one
+    # partition, and a single-file source dir = ONE file-stream task —
+    # the same silently-serializing gotcha as the skew probe's
+    # single-mapper scan. A real ingest dir has many arrival files.
+    emb.repartition(32).write.mode("overwrite").parquet(src_dir)
     n_vec = spark.read.parquet(src_dir).count()
     books = _pq_stream_books()
 
@@ -407,7 +411,7 @@ def io_probe(spark, n: int) -> dict:
         ),
         n,
         ["event_id", "user_id"],
-    )
+    ).repartition(32)  # replicate() is single-partition (broadcast crossJoin)
     base = _scratch("crane_ioprobe_")
     t0 = time.perf_counter()
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
