@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens
 from ..operators import sampling as SA
-from . import query, t
+from . import query, t, t_cpu
 from .northstar import SQL_TOKS
 
 # Oracle twin of operators.sampling.hash_uniform_hex.
@@ -1185,4 +1185,65 @@ def sample_weighted_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return SA.weighted_topk_es(docs, 50, "n_chars", "doc_id").select(
         "doc_id", "lang", "n_chars", "es_key"
+    )
+
+
+@query(
+    "curate_dsir_importance",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, lang, substr(md5(b), 1, 2) AS bkt
+      FROM (
+        SELECT doc_id, lang,
+               unnest([tk[i] || ' ' || tk[i+1]
+                       FOR i IN range(1, greatest(len(tk), 1))]) AS b
+        FROM (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents)
+      )
+    ),
+    pc AS (
+      SELECT doc_id, lang, bkt, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3
+    ),
+    tbl AS (
+      SELECT bkt, SUM(c) AS r_cnt,
+             COALESCE(SUM(c) FILTER (lang = 'en'), 0) AS t_cnt
+      FROM pc GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(r_cnt) AS rt, SUM(t_cnt) AS tt FROM tbl),
+    llr AS (
+      SELECT bkt, ln((t_cnt + 1.0) / (tt + 256.0))
+                  - ln((r_cnt + 1.0) / (rt + 256.0)) AS w
+      FROM tbl CROSS JOIN tot
+    ),
+    wt AS (
+      SELECT pc.doc_id, CAST(SUM(pc.c) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(pc.c * llr.w), 6) AS dsir_logweight
+      FROM pc JOIN llr USING (bkt) GROUP BY pc.doc_id
+    )
+    SELECT d.doc_id, COALESCE(wt.n_bigrams, 0) AS n_bigrams,
+           COALESCE(wt.dsir_logweight, 0.0) AS dsir_logweight
+    FROM documents d LEFT JOIN wt USING (doc_id)
+    """,
+)
+def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    raw document by the log-likelihood ratio of a TARGET hashed-n-gram
+    distribution (here the 'en' slice — the in-domain exemplar) against
+    the RAW corpus distribution, over a fixed 256-bucket hashed bigram
+    vocabulary (bucket = first 2 hex chars of md5(bigram) — a hash both
+    engines share bit-for-bit). Add-1 smoothed:
+    w(doc) = sum_b c_b(doc) * [ln((t_b+1)/(T+256)) - ln((r_b+1)/(R+256))].
+    Downstream, `exp(weight)`-proportional Gumbel/ES resampling (the
+    machinery of sample_weighted_es_topk) IS importance resampling.
+    Scale shape: one tokenization, per-doc bucket counts are ONE
+    map-side-combinable groupBy; the model is a 256-row LLR relation
+    (broadcast), never a vocabulary-sized shuffle — at 100 TB the hashed
+    projection is exactly why DSIR works where exact n-gram LMs don't.
+    The 1-row corpus-totals crossJoin is the standard bounded scalar
+    broadcast (cf. curate_mixture_weights)."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    from ..operators.text import dsir_logweights
+
+    return dsir_logweights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets_hex_chars=2
     )

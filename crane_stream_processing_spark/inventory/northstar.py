@@ -1474,6 +1474,111 @@ def dedup_shingle_containment_top1(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "dedup_substring_window_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, unnest(list_distinct(
+               [list_min(hs[j:j+19]) FOR j IN range(1, len(hs) - 20 + 2)]
+             )) AS wh
+      FROM (
+        SELECT doc_id,
+               [md5(substring(text, i, 40))
+                FOR i IN range(1, length(text) - 40 + 2)] AS hs
+        FROM documents WHERE length(text) >= 59
+      )
+    ),
+    ok AS (SELECT wh FROM p GROUP BY wh HAVING COUNT(*) <= 20),
+    f AS (SELECT doc_id, wh FROM p WHERE wh IN (SELECT wh FROM ok))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_windows
+    FROM f a JOIN f b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_substring_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring duplicate detection by WINNOWED window hashing —
+    the scalable stand-in for suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better":
+    cross-document verbatim spans matter even when whole-doc Jaccard is
+    low), with the fingerprint sampling of Schleimer-Wilkerson-Aiken
+    2003 (MOSS winnowing): md5 every 40-char window, keep the minimum
+    hash of each 20-hash window. Selection is content-defined, so it
+    carries the winnowing theorem's guarantee — ANY shared verbatim
+    span >= 40+20-1 = 59 chars yields at least one shared fingerprint,
+    at any alignment (a naive stride sampler is phase-locked and misses
+    unaligned quotations). Pairs sharing a fingerprint are scored by
+    distinct shared fingerprints. Scale shape: fingerprinting is
+    row-local inside one projection (let-bound hash array, O(len) md5
+    per doc); the candidate step is a hash-bucket equi self-join —
+    never all-pairs — and fingerprints appearing in more than 20
+    documents (boilerplate) are dropped before the join, same
+    hot-bucket discipline as LSH banding, so no bucket can go
+    quadratic. Reference parity: the reference has no substring dedup;
+    north-star coverage per SURVEY.md §2.10."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    return D.substring_window_pairs(
+        docs, "doc_id", "text", width=40, window=20, max_docs_per_window=20
+    )
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS g
+      FROM (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+    ),
+    cnt AS (
+      SELECT doc_id, s, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS s FROM sh)
+      GROUP BY doc_id, s
+    ),
+    d AS (
+      SELECT doc_id, COALESCE(SUM(c) FILTER (c > 1), 0) AS dup
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT sh.doc_id, len(sh.g) AS n_ngrams,
+           CAST(COALESCE(d.dup, 0) AS BIGINT) AS dup_ngrams,
+           ROUND(COALESCE(d.dup, 0)::DOUBLE
+                 / greatest(len(sh.g), 1), 6) AS dup_frac
+    FROM sh LEFT JOIN d USING (doc_id)
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram coverage (Rae et al. 2021 §A1.1,
+    'fraction of characters in duplicate n-grams' — token-fraction form):
+    the share of a document's 3-gram instances whose 3-gram occurs more
+    than once in the SAME document. Complements text_repetition_topbigram
+    (which scores only the single hottest bigram): a doc cycling through
+    many different repeated phrases scores high here while its top-bigram
+    fraction stays low. ZERO shuffle: duplicate mass is computed inside
+    one projection by a run-length fold over the sorted shingle array
+    (run hits 2 → both instances become duplicates, +2; each further
+    repeat +1 — all-integer arithmetic, no float-order hazard), so at
+    100 TB it streams through the scan; the oracle recomputes it
+    relationally (unnest → per-doc counts → filtered sum)."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.token_shingles(tokens("text")).alias("g")
+    )
+    folded = sh.select(
+        "doc_id",
+        F.size("g").alias("n_ngrams"),
+        X.dup_ngram_count(F.col("g")).alias("dup_ngrams"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_ngrams",
+        "dup_ngrams",
+        F.round(
+            F.col("dup_ngrams").cast("double")
+            / F.greatest(F.col("n_ngrams"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+@query(
     "sim_knn_label_eval",
     oracle=f"""
     WITH knn AS (

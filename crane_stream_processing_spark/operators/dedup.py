@@ -449,3 +449,80 @@ def semantic_prune(
         .select(F.col("id_b").alias("pruned"))
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    text_col: str, width: int = 40, window: int = 20
+) -> Column:
+    """Winnowed substring fingerprints of a text column (Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): md5 EVERY `width`-char
+    window (stride 1), then keep the minimum hash of every `window`
+    consecutive hashes. Selection is content-defined — the min of a
+    hash window inside a shared span is the same hash in both copies
+    regardless of where the span sits in each document — which gives the
+    paper's guarantee: any cross-document verbatim span of at least
+    width+window-1 chars shares at least one selected fingerprint.
+    (A naive stride-`s` sampler has NO such guarantee: its selected
+    positions are phase-locked mod s, so an unaligned quotation is
+    missed ~(s-1)/s of the time.) Returns array<string>, empty for
+    texts shorter than width+window-1; all row-local, zero shuffle.
+    The per-position hash array is let-bound so each window hash is
+    computed ONCE (O(n) md5 + O(n·w) string mins per row), not per
+    min-window (O(n·w) md5)."""
+    guard = width + window - 1
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (width - 1), F.lit(1))),
+        lambda i: F.md5(c.substr(i, F.lit(width))),
+    )
+    empty = F.expr("CAST(array() AS array<string>)")
+
+    def body(hs: Column) -> Column:
+        sel = F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (window - 1)),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        )
+        return F.array_distinct(sel)
+
+    return F.when(F.length(c) >= guard, let(hashes, body)).otherwise(empty)
+
+
+def substring_window_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 40,
+    window: int = 20,
+    max_docs_per_window: int = 20,
+) -> DataFrame:
+    """EXACT-substring duplicate candidates via winnowed window hashing —
+    the bucketed, Spark-native stand-in for suffix-array substring dedup
+    (Lee et al. 2022 motivates the op; Schleimer et al. 2003 winnowing
+    provides the sampling guarantee — see winnow_fingerprints): pairs of
+    documents sharing a selected fingerprint are exact-overlap
+    candidates, scored by how many distinct fingerprints they share.
+    Any shared verbatim span >= width+window-1 chars is guaranteed to
+    produce at least one shared fingerprint. Fingerprints present in
+    more than `max_docs_per_window` documents (boilerplate) are dropped
+    BEFORE the self-join — the same hot-bucket discipline as LSH
+    banding — so no bucket can go quadratic. Output: id_a < id_b,
+    n_shared_windows."""
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(text_col, width, window)).alias("wh"),
+    )
+    keep = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= max_docs_per_window)
+        .select("wh")
+    )
+    pruned = wins.join(keep, "wh")
+    a = pruned.select(F.col("doc_id").alias("id_a"), "wh")
+    b = pruned.select(F.col("doc_id").alias("id_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

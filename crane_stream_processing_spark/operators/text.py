@@ -396,3 +396,89 @@ def char_entropy_nats(col: Column | str) -> Column:
     return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
         let(F.array_sort(F.split(c, "")), _entropy)
     )
+
+
+def dup_ngram_count(shingle_arr: Column) -> Column:
+    """Count of n-gram INSTANCES whose n-gram occurs more than once in the
+    same array (Gopher duplicate-n-gram mass, Rae et al. 2021 §A1.1) —
+    computed row-locally by a run-length fold over the sorted array: a
+    run reaching 2 retro-credits both instances (+2), each further
+    repeat +1. All-integer, zero shuffle."""
+    return F.aggregate(
+        F.array_sort(shingle_arr),
+        F.expr("struct(CAST('' AS STRING) AS prev, 0 AS run, 0L AS dup)"),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(x == s.prev, s.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                s.dup
+                + F.when((x == s.prev) & (s.run == 1), F.lit(2).cast("long"))
+                .when(x == s.prev, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        ),
+    ).getField("dup")
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets_hex_chars: int = 2,
+) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (Xie et al. 2023): per-doc
+    log-likelihood ratio of a target hashed-bigram distribution against
+    the raw corpus, over a fixed 16^n_buckets_hex_chars-bucket vocabulary
+    (bucket = md5 hex prefix — engine-portable). Add-1 smoothed. The
+    model is a bucket-count LLR relation small enough to broadcast; per-
+    doc scoring is one map-side-combinable groupBy. Returns
+    (doc_id, n_bigrams, dsir_logweight) for EVERY input doc (zero-bigram
+    docs weigh 0.0)."""
+    n_buckets = 16 ** n_buckets_hex_chars
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("is_tgt"),
+        F.explode(token_bigrams(text_col)).alias("b"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        F.substring(F.md5("b"), 1, n_buckets_hex_chars).alias("bkt"),
+    )
+    pc = bg.groupBy("doc_id", "is_tgt", "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tbl = pc.groupBy("bkt").agg(
+        F.sum("c").alias("r_cnt"),
+        F.coalesce(F.sum(F.when(F.col("is_tgt"), F.col("c"))), F.lit(0)).alias(
+            "t_cnt"
+        ),
+    )
+    tot = tbl.agg(F.sum("r_cnt").alias("rt"), F.sum("t_cnt").alias("tt"))
+    nb = F.lit(float(n_buckets))
+    llr = tbl.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        (
+            F.log((F.col("t_cnt") + F.lit(1.0)) / (F.col("tt") + nb))
+            - F.log((F.col("r_cnt") + F.lit(1.0)) / (F.col("rt") + nb))
+        ).alias("w"),
+    )
+    wt = (
+        pc.join(F.broadcast(llr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("w")), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(wt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )

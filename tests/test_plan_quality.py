@@ -152,6 +152,8 @@ _NLJ_ALLOWED = {
     "dedup_lsh_tuning_curve",  # exact all-pairs baseline over the same
     # doc_id<100 bounded window; the LSH side stays the banded equi-join
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
+    "curate_dsir_importance",  # 1-row corpus-totals scalar broadcast
+    # onto the 256-row hashed-vocab LLR relation
     "curate_perplexity_buckets",  # 1-row LM-total scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
     "agg_hll_sketch_distinct",  # 1-row sketch-union x 1-row exact count

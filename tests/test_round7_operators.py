@@ -1,0 +1,167 @@
+"""Property tests for the round-7 curation operators:
+
+- winnowed exact-substring dedup (Schleimer-Wilkerson-Aiken 2003 selection,
+  Lee et al. 2022 motivation): the guarantee under test is the one a naive
+  stride sampler does NOT have — a shared verbatim span >= width+window-1
+  chars is detected at ANY alignment;
+- Gopher duplicate-n-gram coverage (Rae et al. 2021): all-integer
+  run-length fold equals the brute-force multiset computation;
+- DSIR hashed-n-gram importance weights (Xie et al. 2023): target-slice
+  documents must out-score out-of-target documents on average, and
+  bigram-free documents weigh exactly 0.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from crane_stream_processing_spark.functions import tokens
+from crane_stream_processing_spark.operators.dedup import (
+    substring_window_pairs,
+    token_shingles,
+    winnow_fingerprints,
+)
+from crane_stream_processing_spark.operators.text import (
+    dsir_logweights,
+    dup_ngram_count,
+)
+
+# Two long, token-distinct filler streams and one shared span (>= 59 chars).
+_SPAN = (
+    "the quick brown fox jumps over the lazy dog while the band plays on"
+)  # 68 chars
+_JUNK_A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+_JUNK_B = "kilo lima mike november oscar papa quebec romeo sierra tango "
+_JUNK_C = "uniform victor whiskey xray yankee zulu zero niner eight seven "
+
+
+def _pairs(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.id_a, r.id_b)
+        for r in substring_window_pairs(docs, "doc_id", "text").collect()
+    }
+
+
+def test_winnow_detects_unaligned_shared_span(spark):
+    # The span sits at offset 7 in doc 1 and offset 30 in doc 2 — neither
+    # a multiple of the other, so any fixed-stride sampler with stride > 1
+    # would be phase-misaligned; winnowing must still pair them.
+    rows = [
+        (1, _JUNK_A[:7] + _SPAN + _JUNK_A),
+        (2, _JUNK_B[:30] + _SPAN + _JUNK_B),
+        (3, _JUNK_C + _JUNK_C + _JUNK_C),  # no 40-char overlap with 1 or 2
+    ]
+    got = _pairs(spark, rows)
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_guarantee_holds_at_every_alignment(spark):
+    # Sweep span offsets 0..14 in doc B against a fixed doc A: the
+    # winnowing theorem says every one of them is detected. (Capped at
+    # 16 docs so the shared-span fingerprints stay under the 20-doc
+    # boilerplate guard — the cap itself is tested separately.)
+    doc_a = _JUNK_A + _SPAN + _JUNK_A
+    rows = [(100, doc_a)] + [
+        (i, _JUNK_B[:i] + _SPAN + _JUNK_B) for i in range(15)
+    ]
+    got = _pairs(spark, rows)
+    for i in range(15):
+        assert (i, 100) in got, f"offset {i} missed"
+
+
+def test_winnow_no_pair_below_width(spark):
+    # A shared span shorter than the 40-char window can never produce a
+    # shared fingerprint (each fingerprint hashes a full 40-char window).
+    short = "zulu yankee xray whiskey victor"  # 31 chars
+    rows = [
+        (1, _JUNK_A + short + _JUNK_A),
+        (2, _JUNK_B + short + _JUNK_B),
+    ]
+    assert _pairs(spark, rows) == set()
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    # 25 identical docs: every fingerprint appears in 25 > 20 documents,
+    # so the boilerplate guard drops them all — no quadratic bucket.
+    rows = [(i, _JUNK_A + _SPAN) for i in range(25)]
+    assert _pairs(spark, rows) == set()
+    # At 3 copies (under the cap) the same text pairs normally: 3 pairs.
+    rows3 = [(i, _JUNK_A + _SPAN) for i in range(3)]
+    assert _pairs(spark, rows3) == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_winnow_fingerprints_short_text_empty(spark):
+    df = spark.createDataFrame(
+        [("x" * 58,), ("y" * 59,), (None,)], "text string"
+    ).select(F.size(winnow_fingerprints("text")).alias("n"))
+    ns = [r.n for r in df.collect()]
+    assert ns[0] == 0  # below width+window-1
+    assert ns[1] >= 1  # exactly at the guarantee threshold
+    assert ns[2] == 0  # NULL text -> empty (no crash)
+
+
+def _dup_count_brute(text: str) -> tuple[int, int]:
+    toks = text.split()
+    grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    c = Counter(grams)
+    return sum(v for v in c.values() if v > 1), len(grams)
+
+
+def test_dup_ngram_fold_matches_brute_force(spark):
+    texts = [
+        "a b c d",  # all-unique trigrams -> 0
+        "x y z x y z x y z",  # fully self-repeating -> all 7 duplicated
+        "one two three one two three four five six",
+        "solo",  # < 3 tokens -> no shingles
+        "p q p q p q p q p q p q",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    out = {
+        r.i: (r.dup, r.n)
+        for r in df.select(
+            "i",
+            dup_ngram_count(token_shingles(tokens("text"))).alias("dup"),
+            F.size(token_shingles(tokens("text"))).alias("n"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == _dup_count_brute(t), f"text {i}: {t!r}"
+
+
+def test_dsir_zero_bigram_and_separation(spark, sf_dir):
+    from crane_stream_processing_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = dsir_logweights(docs, "doc_id", "text", F.col("lang") == "en")
+    # Every input doc present exactly once.
+    assert wt.count() == docs.count()
+    # Defining property (Gibbs): per-bigram mean LLR of in-target docs
+    # exceeds every out-of-target language's mean.
+    per = (
+        wt.filter(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.avg(F.col("dsir_logweight") / F.col("n_bigrams")).alias("m")
+        )
+    )
+    means = {r.lang: r.m for r in per.collect()}
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, f"en not above {lang}"
+    # A one-token doc has no bigrams and must weigh exactly 0.0.
+    tiny = spark.createDataFrame(
+        [(1, "word", True), (2, "two tokens here", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    row = {
+        r.doc_id: (r.n_bigrams, r.dsir_logweight)
+        for r in dsir_logweights(tiny, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert row[1] == (0, 0.0)
+    assert row[2][0] == 2
