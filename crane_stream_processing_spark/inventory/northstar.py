@@ -1178,6 +1178,119 @@ def sim_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_recall_at_k",
+    oracle=f"""
+    WITH dotted AS (
+      SELECT vec_id, embedding, {_SQL_IVF_DOTS} AS dots FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, embedding,
+             (list_position(dots, list_max(dots)) - 1) AS cell
+      FROM dotted
+    ),
+    exact AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({SQL_COSINE}, 6) DESC,
+                                           b.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    probes AS (
+      SELECT np, vec_id, embedding,
+             unnest(list_transform(
+               list_slice(list_sort(list_transform(
+                 dots, (d, i) -> {{'d': -d, 'c': i - 1}})), 1, np),
+               s -> s.c)) AS cell
+      FROM dotted CROSS JOIN (SELECT unnest([1, 2, 4]) AS np)
+      WHERE vec_id < 10
+    ),
+    ann AS (
+      SELECT np, query_id, cand_id, rank FROM (
+        SELECT a.np, a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY a.np, a.vec_id
+                                  ORDER BY round({SQL_COSINE}, 6) DESC,
+                                           b.vec_id) AS rank
+        FROM probes a JOIN corpus b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    joined AS (
+      SELECT np, e.query_id, e.rank AS exact_rank, a.rank AS ann_rank
+      FROM exact e CROSS JOIN (SELECT unnest([1, 2, 4]) AS np)
+      LEFT JOIN ann a USING (np, query_id, cand_id)
+    ),
+    ks AS (SELECT unnest([1, 3, 5]) AS k)
+    SELECT CAST(np AS BIGINT) AS nprobe, k,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(CASE WHEN ann_rank <= k THEN 1 END), 0) AS BIGINT)
+             AS n_hit,
+           round(CAST(COALESCE(SUM(CASE WHEN ann_rank <= k THEN 1 END), 0)
+                      AS DOUBLE) / COUNT(*), 4) AS recall
+    FROM joined JOIN ks ON exact_rank <= k
+    GROUP BY np, k
+    """,
+)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning SURFACE as a query — recall@{{1,3,5}} × nprobe
+    {{1,2,4}} against the exact brute-force ranking: the measurement that
+    decides how many cells to probe before trusting an IVF deployment at
+    scale (the LSH twin is sim_lsh_recall_at_k; sim_ivf_index_health
+    watches the same index's cell balance). Recall must be monotone
+    non-decreasing in nprobe by construction (each probe set is a
+    superset of the last — the probe order is the deterministic
+    index-based top-nprobe of operators.similarity.probe_cells), and the
+    curve shows exactly how much boundary-loss each extra probe buys
+    back. All three searches share ONE persisted inverted file
+    (_ivf_index — index build amortized, search measured) and the exact
+    baseline is the standard bounded 10-query broadcast crossJoin. Like
+    the LSH curve, every ranking is deterministic (round-6 + id
+    tiebreaks), so the recall surface itself grades row-level."""
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = _ivf_index(spark, sf_dir)
+    exact = S.cosine_topk(emb, q, k=5).select(
+        "query_id", "cand_id", F.col("rank").alias("exact_rank")
+    )
+    ann = None
+    for np_ in (1, 2, 4):
+        part = S.ivf_ann_topk_nprobe(
+            emb, q, _CENTROIDS, k=5, nprobe=np_, bucketed=idx
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "query_id",
+            "cand_id",
+            F.col("rank").alias("ann_rank"),
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    nps = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np_")
+    ).select(F.col("np_").cast("long").alias("nprobe"))
+    joined = exact.crossJoin(F.broadcast(nps)).join(
+        ann, ["nprobe", "query_id", "cand_id"], "left"
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k")
+    )
+    hit = F.when(F.col("ann_rank") <= F.col("k"), 1)
+    return (
+        joined.join(F.broadcast(ks), F.col("exact_rank") <= F.col("k"))
+        .groupBy("nprobe", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum(hit), F.lit(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 _CENTROIDS64 = S.hyperplanes(64, 64, seed="crane-ivf64")
 
 

@@ -165,3 +165,20 @@ def test_dsir_zero_bigram_and_separation(spark, sf_dir):
     }
     assert row[1] == (0, 0.0)
     assert row[2][0] == 2
+
+
+def test_ivf_recall_surface_monotone_in_nprobe(spark, sf_dir):
+    # Probe sets are nested (top-1 ⊂ top-2 ⊂ top-4 cells), so for every k
+    # the recall must be monotone non-decreasing in nprobe.
+    from crane_stream_processing_spark.inventory.northstar import (
+        sim_ivf_recall_at_k,
+    )
+
+    rows = sim_ivf_recall_at_k(spark, sf_dir).collect()
+    surface = {(r.nprobe, r.k): r.recall for r in rows}
+    assert len(surface) == 9
+    for k in (1, 3, 5):
+        assert surface[(1, k)] <= surface[(2, k)] <= surface[(4, k)]
+    # recall is a proper ratio, and n_hit can never exceed n_exact
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0 and r.n_hit <= r.n_exact
