@@ -737,3 +737,85 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
         F.round(F.regr_r2(lc, lr), 4).alias("fit_r2"),
     )
+
+
+@query(
+    "text_nb_lang_confusion",
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    tb AS (
+      SELECT lang, substr(md5(tk), 1, 2) AS bkt
+      FROM (SELECT lang, unnest({SQL_TOKS}) AS tk FROM train)
+    ),
+    cnt AS (SELECT lang, bkt, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+    tl AS (SELECT lang, COUNT(*) AS t_l FROM tb GROUP BY 1),
+    nd AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM train),
+    cls AS (
+      SELECT nd.lang, ln(nd.n_docs::DOUBLE / tot.n) AS prior_ll, tl.t_l
+      FROM nd JOIN tl USING (lang) CROSS JOIN tot
+    ),
+    pc AS (
+      SELECT doc_id, true_lang, bkt, COUNT(*) AS cd
+      FROM (
+        SELECT doc_id, lang AS true_lang, substr(md5(tk), 1, 2) AS bkt
+        FROM (SELECT doc_id, lang, unnest({SQL_TOKS}) AS tk FROM test)
+      )
+      GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT pc.doc_id, pc.true_lang, cls.lang,
+             round(cls.prior_ll
+                   + SUM(pc.cd * ln((COALESCE(cnt.c, 0) + 1.0)
+                                    / (cls.t_l + 256.0))), 4) AS ll
+      FROM pc CROSS JOIN cls
+      LEFT JOIN cnt ON cnt.lang = cls.lang AND cnt.bkt = pc.bkt
+      GROUP BY pc.doc_id, pc.true_lang, cls.lang, cls.prior_ll
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY ll DESC, lang) AS rk
+      FROM sc
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A classifier TRAINED IN-ENGINE, evaluated in the same plan — and
+    read as a LABEL-SIGNAL AUDIT (the text-side complement of
+    curate_label_coherence): multinomial naive Bayes over a 256-bucket
+    hashed-token vocabulary (add-1 smoothed), fit on the 90%
+    doc_id%10!=0 slice, scored on the held-out 10%, reported as the
+    (true_lang, pred_lang) confusion matrix — the fastText-style
+    weak-supervision classifier shape every corpus pipeline runs,
+    expressed so training is nothing but counting: the fitted model is
+    a (lang × 256)-row log-likelihood relation plus a 5-row class-prior
+    relation, both aggregate-bounded broadcasts. Scoring is one
+    map-side-combinable per-doc bucket count, a 5-row bounded
+    crossJoin (one scored row per class), a broadcast left join against
+    the model (absent bucket → the smoothing floor), and a
+    deterministic argmax (round-4 log-likelihood per this module's ln
+    ulp discipline, lang-asc tiebreak). The audit reading: on THIS
+    corpus the matrix collapses to the majority column, which is the
+    correct verdict — the synthetic languages share one uniform token
+    distribution (marker-word rates are measured equal across langs),
+    so a label a cheap NB cannot lift above the prior carries no
+    textual signal; on a real corpus the same query's diagonal is the
+    go/no-go for trusting the label in curation. At 100 TB: training
+    and scoring are each ONE pass; the model never exceeds
+    |classes|·|buckets| rows, so it ships as a broadcast variable — no
+    vocabulary-sized shuffle, no iterative fitting. The hashed-vocab
+    trick is the same one that makes curate_dsir_importance scale."""
+    from ..operators.text import nb_confusion
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    return nb_confusion(
+        docs, "doc_id", "text", "lang", n_buckets_hex_chars=2, holdout_mod=10
+    ).select(
+        F.col("true_label").alias("true_lang"),
+        F.col("pred_label").alias("pred_lang"),
+        "n_docs",
+    )

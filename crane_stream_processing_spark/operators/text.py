@@ -6,7 +6,7 @@ extractors of a training-data pipeline, all as built-in column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import let, md5_hex, tokens
@@ -481,4 +481,94 @@ def dsir_logweights(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
         )
+    )
+
+
+def nb_confusion(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets_hex_chars: int = 2,
+    holdout_mod: int = 10,
+) -> DataFrame:
+    """Multinomial naive Bayes over a hashed-token vocabulary, trained
+    in-engine on the id%holdout_mod!=0 slice and scored on the held-out
+    id%holdout_mod==0 slice; returns the (true_label, pred_label,
+    n_docs) confusion matrix. Training is counting: the model is a
+    (|labels| × 16^n)-row log-likelihood relation + a |labels|-row
+    prior relation, both aggregate-bounded broadcasts — no vocabulary
+    shuffle, no iterative fit. Used both as a classifier harness and as
+    a label-signal audit (a label NB cannot lift above the prior
+    carries no textual signal). Log-likelihoods are rounded to 4
+    decimals before the argmax (ln last-ulp discipline), label-asc
+    tiebreak."""
+    n_buckets = 16 ** n_buckets_hex_chars
+    train = docs.filter(F.col(id_col) % holdout_mod != 0)
+    test = docs.filter(F.col(id_col) % holdout_mod == 0)
+
+    def bucketed(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = ([F.col(id_col).alias("doc_id")] if keep_id else []) + [
+            F.col(label_col).alias("label")
+        ]
+        return df.select(
+            *cols, F.explode(tokens(text_col)).alias("tk")
+        ).select(
+            *(["doc_id"] if keep_id else []),
+            "label",
+            F.substring(F.md5("tk"), 1, n_buckets_hex_chars).alias("bkt"),
+        )
+
+    tb = bucketed(train, keep_id=False)
+    cnt = tb.groupBy("label", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    tl = tb.groupBy("label").agg(F.count(F.lit(1)).alias("t_l"))
+    nd = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = train.agg(F.count(F.lit(1)).alias("n"))
+    cls = (
+        nd.join(tl, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.log(F.col("n_docs").cast("double") / F.col("n")).alias(
+                "prior_ll"
+            ),
+            "t_l",
+        )
+    )
+    pc = (
+        bucketed(test, keep_id=True)
+        .withColumnRenamed("label", "true_label")
+        .groupBy("doc_id", "true_label", "bkt")
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    sc = (
+        pc.crossJoin(F.broadcast(cls))
+        .join(F.broadcast(cnt), ["label", "bkt"], "left")
+        .groupBy("doc_id", "true_label", "label", "prior_ll")
+        .agg(
+            F.round(
+                F.col("prior_ll")
+                + F.sum(
+                    F.col("cd")
+                    * F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("t_l") + F.lit(float(n_buckets)))
+                    )
+                ),
+                4,
+            ).alias("ll")
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("ll").desc(), F.col("label")
+        )
+    )
+    return (
+        sc.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .groupBy("true_label", F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -154,6 +154,8 @@ _NLJ_ALLOWED = {
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "curate_dsir_importance",  # 1-row corpus-totals scalar broadcast
     # onto the 256-row hashed-vocab LLR relation
+    "text_nb_lang_confusion",  # 1-row train-count scalar broadcast +
+    # the 5-row class relation crossJoined onto per-doc bucket counts
     "curate_perplexity_buckets",  # 1-row LM-total scalar broadcast
     "evt_funnel_conversion",  # 1-row per-stage counts, scalar broadcast
     "agg_hll_sketch_distinct",  # 1-row sketch-union x 1-row exact count

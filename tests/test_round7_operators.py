@@ -182,3 +182,36 @@ def test_ivf_recall_surface_monotone_in_nprobe(spark, sf_dir):
     # recall is a proper ratio, and n_hit can never exceed n_exact
     for r in rows:
         assert 0.0 <= r.recall <= 1.0 and r.n_hit <= r.n_exact
+
+
+def test_nb_confusion_learns_separable_classes(spark):
+    # Two classes with disjoint vocabularies: the held-out docs must land
+    # on the diagonal — proof the harness LEARNS when textual signal
+    # exists (on the synthetic corpus it correctly collapses to the
+    # majority class, which is the label-signal-audit reading).
+    from crane_stream_processing_spark.operators.text import nb_confusion
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "apple banana cherry date elderberry fig", "fruit"))
+        else:
+            rows.append((i, "carrot potato onion leek turnip beet", "veg"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    got = {
+        (r.true_label, r.pred_label): r.n_docs
+        for r in nb_confusion(docs, "doc_id", "text", "label").collect()
+    }
+    # held-out slice = doc_id % 10 == 0 -> ids 0,10,20,30 (all 'fruit'
+    # by construction have even ids; 10,30 are even too) -> 4 fruit docs
+    assert got == {("fruit", "fruit"): 4}
+
+
+def test_nb_confusion_rows_partition_holdout(spark, sf_dir):
+    from crane_stream_processing_spark.catalog import load_table
+    from crane_stream_processing_spark.operators.text import nb_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    cm = nb_confusion(docs, "doc_id", "text", "lang")
+    n_holdout = docs.filter(F.col("doc_id") % 10 == 0).count()
+    assert cm.agg(F.sum("n_docs")).collect()[0][0] == n_holdout
