@@ -1070,3 +1070,92 @@ def stream_ivfpq_arrow_idempotent_sink(
 
     register_scratch_dir(out_dir)
     return read_ivfpq_index(spark, out_dir)
+
+
+def _oracle_stream_dsir_score() -> str:
+    # Batch-equivalent grade: model (densified 256-bucket LLR list,
+    # position-aligned by base-16-parsed md5 prefix) re-derived in SQL,
+    # each document scored by the SAME text-order left fold the stream's
+    # row-local F.aggregate runs.
+    from .northstar import SQL_TOKS
+
+    return f"""
+    WITH bgx AS (
+      SELECT doc_id, lang,
+             [tk[i] || ' ' || tk[i+1]
+              FOR i IN range(1, greatest(len(tk), 1))] AS bg
+      FROM (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents)
+    ),
+    cnts AS (
+      SELECT idx, COUNT(*) AS r_cnt,
+             COALESCE(SUM(CASE WHEN is_tgt THEN 1 END), 0) AS t_cnt
+      FROM (
+        SELECT CAST(('0x' || substr(md5(b), 1, 2)) AS INTEGER) AS idx,
+               lang = 'en' AS is_tgt
+        FROM (SELECT lang, unnest(bg) AS b FROM bgx)
+      )
+      GROUP BY idx
+    ),
+    grid AS (SELECT unnest(range(0, 256)) AS idx),
+    full_t AS (
+      SELECT g.idx, COALESCE(c.r_cnt, 0) AS r_cnt,
+             COALESCE(c.t_cnt, 0) AS t_cnt
+      FROM grid g LEFT JOIN cnts c USING (idx)
+    ),
+    tot AS (SELECT SUM(r_cnt) AS rt, SUM(t_cnt) AS tt FROM full_t),
+    model AS (
+      SELECT list(ln((t_cnt + 1.0) / (tt + 256.0))
+                  - ln((r_cnt + 1.0) / (rt + 256.0)) ORDER BY idx) AS llr
+      FROM full_t CROSS JOIN tot
+    )
+    SELECT doc_id, len(bg) AS n_bigrams,
+           round(list_reduce(
+             list_prepend(0.0, list_transform(
+               bg, b -> llr[CAST(('0x' || substr(md5(b), 1, 2))
+                                 AS INTEGER) + 1])),
+             (a, x) -> a + x), 6) AS dsir_logweight
+    FROM bgx CROSS JOIN model
+    """
+
+
+@query("stream_dsir_score", oracle=_oracle_stream_dsir_score())
+def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR importance scoring — the offline-train /
+    in-flight-score split a production importance-weighting deployment
+    runs: the 256-bucket LLR model is fit ONCE on the batch corpus
+    (operators/text.py dsir_model_array — a one-row array<double>
+    relation, the centroid_matrix precedent), broadcast into the stream
+    as a stream-static crossJoin, and every arriving document scores
+    itself with a row-local left fold over its bigrams in text order
+    (dsir_fold_score) — stateless 1→1, no state store, no watermark, no
+    re-scan of history. At 100 TB: the model is 256 doubles however big
+    the corpus gets (the hashed projection IS DSIR's scalability trick),
+    so scoring cost is one scan of the NEW data only — this is how the
+    curate_dsir_importance weights stay fresh as a corpus ingests
+    continuously. Graded batch-equivalently: append-mode (doc_id,
+    n_bigrams, dsir_logweight) must hash-match the oracle's re-derived
+    model + identical-order list_reduce fold (ln last-ulp absorbed by
+    round-6; the fold ORDER is the contract — a groupBy reformulation
+    would reassociate the sum and break the bit-stable grade)."""
+    from ..operators.text import (
+        dsir_fold_score,
+        dsir_model_array,
+        token_bigrams,
+    )
+
+    model = dsir_model_array(
+        t(spark, sf_dir, "documents"), "text", F.col("lang") == "en"
+    )
+    docs = _stream_docs(spark, sf_dir)
+    staged = docs.select(
+        "doc_id", token_bigrams("text").alias("bg")
+    ).crossJoin(F.broadcast(model))
+    scored = staged.select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias(
+            "dsir_logweight"
+        ),
+    )
+    _run_to_memory(scored, "stream_dsir_score", "append")
+    return spark.table("stream_dsir_score")

@@ -572,3 +572,83 @@ def nb_confusion(
         .groupBy("true_label", F.col("label").alias("pred_label"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def dsir_model_array(
+    docs: DataFrame,
+    text_col: str,
+    is_target: Column,
+    n_buckets_hex_chars: int = 2,
+) -> DataFrame:
+    """The DSIR model as a ONE-ROW broadcastable relation: a
+    16^n-element array<double> of per-bucket log-likelihood ratios,
+    position-aligned to the integer bucket index (first n hex chars of
+    md5(bigram), parsed base-16 — engine-portable). The bucket grid is
+    densified (range join) so absent buckets still occupy their slot;
+    the model then rides a broadcast crossJoin into any batch OR
+    streaming plan (the centroid_matrix precedent) and scoring is a
+    row-local fold — the offline-train / in-flight-score split a
+    production importance-weighting deployment uses."""
+    n_buckets = 16 ** n_buckets_hex_chars
+    bkt = docs.select(
+        is_target.alias("is_tgt"),
+        F.explode(token_bigrams(text_col)).alias("b"),
+    ).select(
+        "is_tgt",
+        F.conv(F.substring(F.md5("b"), 1, n_buckets_hex_chars), 16, 10)
+        .cast("int")
+        .alias("idx"),
+    )
+    tbl = bkt.groupBy("idx").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_tgt"), F.lit(1))), F.lit(0)
+        ).alias("t_cnt"),
+    )
+    grid = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("idx")
+    )
+    full = (
+        grid.join(tbl, "idx", "left")
+        .select(
+            "idx",
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        )
+    )
+    tot = full.agg(F.sum("r_cnt").alias("rt"), F.sum("t_cnt").alias("tt"))
+    nb = F.lit(float(n_buckets))
+    w = F.log((F.col("t_cnt") + F.lit(1.0)) / (F.col("tt") + nb)) - F.log(
+        (F.col("r_cnt") + F.lit(1.0)) / (F.col("rt") + nb)
+    )
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select("idx", w.alias("w"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                lambda s: s["w"],
+            ).alias("llr")
+        )
+    )
+
+
+def dsir_fold_score(
+    bigrams_col: Column, llr_col: Column, n_buckets_hex_chars: int = 2
+) -> Column:
+    """Row-local DSIR score: left fold over the bigram array in TEXT
+    ORDER, each bigram adding its bucket's LLR from the position-aligned
+    model array — stateless, composes with Structured Streaming
+    unchanged. The oracle twin is DuckDB's list_reduce over the same
+    order, so the rounded sum grades bit-stable."""
+    idx = lambda b: (  # noqa: E731
+        F.conv(F.substring(F.md5(b), 1, n_buckets_hex_chars), 16, 10).cast(
+            "int"
+        )
+        + 1
+    )
+    return F.aggregate(
+        bigrams_col,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(llr_col, idx(b)),
+    )

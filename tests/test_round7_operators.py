@@ -215,3 +215,32 @@ def test_nb_confusion_rows_partition_holdout(spark, sf_dir):
     cm = nb_confusion(docs, "doc_id", "text", "lang")
     n_holdout = docs.filter(F.col("doc_id") % 10 == 0).count()
     assert cm.agg(F.sum("n_docs")).collect()[0][0] == n_holdout
+
+
+def test_stream_dsir_matches_batch_weights(spark, sf_dir):
+    # The streaming scorer (text-order fold against the broadcast model
+    # array) and the batch groupBy formulation (c_b * llr_b) reassociate
+    # the same sum, so they agree to float-reassociation tolerance on
+    # every doc — and exactly on n_bigrams.
+    from crane_stream_processing_spark.catalog import load_table
+    from crane_stream_processing_spark.inventory.streaming_queries import (
+        stream_dsir_score,
+    )
+    from crane_stream_processing_spark.operators.text import dsir_logweights
+
+    stream = {
+        r.doc_id: (r.n_bigrams, r.dsir_logweight)
+        for r in stream_dsir_score(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        r.doc_id: (r.n_bigrams, r.dsir_logweight)
+        for r in dsir_logweights(
+            docs, "doc_id", "text", F.col("lang") == "en"
+        ).collect()
+    }
+    assert stream.keys() == batch.keys()
+    for d, (nb, w) in batch.items():
+        snb, sw = stream[d]
+        assert snb == nb
+        assert abs(sw - w) < 1e-6, f"doc {d}: {sw} vs {w}"

@@ -148,7 +148,32 @@ def shapes(spark, n: int) -> dict:
                 emb, emb.filter(F.col("vec_id") < 32), k=5
             )
         ),
+        # Round-7 shapes: the winnowed substring-fingerprint index build
+        # (row-local O(len) md5 + O(len·w) mins, then the linear bucket
+        # count — the scale-critical stage; the pair join after it is
+        # bounded by the hot-bucket cap) and the DSIR scoring pass
+        # (hashed-bigram bucket counts + 256-row broadcast LLR model —
+        # both map-side-combinable, linear).
+        "winnow_fingerprint_index": lambda: force(
+            docs.select(
+                "doc_id",
+                F.explode(D.winnow_fingerprints("text")).alias("wh"),
+            )
+            .groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        "dsir_score_pass": lambda: force(
+            _dsir(docs)
+        ),
     }
+
+
+def _dsir(docs: DataFrame) -> DataFrame:
+    from crane_stream_processing_spark.operators.text import dsir_logweights
+
+    return dsir_logweights(
+        docs, "doc_id", "text", (F.col("doc_id") % 5) == 0
+    )
 
 
 def time_shapes(spark, n: int) -> dict:
