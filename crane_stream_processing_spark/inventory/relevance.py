@@ -819,3 +819,66 @@ def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pred_label").alias("pred_lang"),
         "n_docs",
     )
+
+
+@query(
+    "curate_decontaminate_substring",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, unnest(list_distinct(
+               [list_min(hs[j:j+19]) FOR j IN range(1, len(hs) - 20 + 2)]
+             )) AS wh
+      FROM (
+        SELECT doc_id,
+               [md5(substring(text, i, 40))
+                FOR i IN range(1, length(text) - 40 + 2)] AS hs
+        FROM documents WHERE length(text) >= 59
+      )
+    ),
+    hold AS (SELECT DISTINCT wh FROM fp WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM fp
+      WHERE doc_id % 20 <> 0 AND wh IN (SELECT wh FROM hold)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 20 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+)
+def curate_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level benchmark decontamination — the alignment-free
+    complement of curate_decontaminate's 5-token-shingle blocklist
+    (Lee et al. 2022 §6.2: verbatim eval contamination survives token
+    reshaping, so substring fingerprints catch leaks the shingle join
+    misses, e.g. whitespace/punctuation edits that shift tokenization):
+    winnow-fingerprint every document (operators/dedup.py
+    winnow_fingerprints — any shared verbatim span >= 59 chars is
+    guaranteed a shared fingerprint at ANY alignment), take the held-out
+    slice's (doc_id % 20 == 0) distinct fingerprint set, and drop every
+    training document sharing one. Scale shape: fingerprinting is
+    row-local; the contamination test is one hash semi-join on the
+    fingerprint (linear, never all-pairs) and one anti join back — the
+    same two-join skeleton as the shingle decontaminator, so the 100 TB
+    argument carries over unchanged."""
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text")).alias("wh")
+    )
+    hold = (
+        fp.filter(F.col("doc_id") % 20 == 0).select("wh").distinct()
+    )
+    contaminated = (
+        fp.filter(F.col("doc_id") % 20 != 0)
+        .join(hold, "wh", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .join(contaminated, "doc_id", "anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
