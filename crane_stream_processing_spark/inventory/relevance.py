@@ -20,7 +20,7 @@ from ..functions import tokens
 from ..operators.dedup import token_shingles
 from ..operators.text import token_bigrams
 from . import query, t, t_cpu
-from .northstar import SQL_TOKS
+from .northstar import SQL_COSINE, SQL_TOKS
 
 # ---------------------------------------------------------------------------
 # TF-IDF
@@ -881,4 +881,144 @@ def curate_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFram
         .join(contaminated, "doc_id", "anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_hybrid_rrf_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    dls AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dls
+    ),
+    tc AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      WHERE tok IN ('dup', 'spark', 'merge')
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS rank_bm25
+      FROM (
+        SELECT tc.doc_id, COUNT(*) AS n_matched,
+               round(SUM(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS score_r
+        FROM tc
+        JOIN dfs USING (term)
+        JOIN dls ON tc.doc_id = dls.doc_id
+        CROSS JOIN stats
+        GROUP BY tc.doc_id
+      ) WHERE n_matched >= 2
+    ),
+    vec AS (
+      SELECT cand_id AS doc_id, rank_cos FROM (
+        SELECT b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (ORDER BY round({SQL_COSINE}, 6) DESC,
+                                  b.vec_id) AS rank_cos
+        FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank_cos <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(bm.rank_bm25, -1) AS rank_bm25,
+             COALESCE(vec.rank_cos, -1) AS rank_cos,
+             round(COALESCE(1.0 / (60 + bm.rank_bm25), 0.0)
+                   + COALESCE(1.0 / (60 + vec.rank_cos), 0.0), 6) AS rrf
+      FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_cos, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009,
+    the standard score-free list merger) of the lexical BM25 ranking
+    (text_bm25_search's exact pipeline, ranked by rounded score + id)
+    and the dense cosine ranking (top-20 neighbors of query vector 0,
+    the documents/embeddings tables sharing one id space): rrf(d) =
+    Σ_lists 1/(60 + rank_d), absent-from-list contributing 0, top-10 by
+    fused score with id tiebreak. Every input to the fusion is an
+    INTEGER rank from an already-deterministic ranking, and 1/(60+r) is
+    the same single IEEE division in both engines, so the fused scores
+    and the final cut grade row-level — no score-scale calibration
+    between lexical and dense sides, which is exactly why RRF is the
+    production default for hybrid search. Scale: the BM25 side is the
+    existing two-shuffle pipeline, the dense side a bounded 1-query
+    scan; fusion is a full outer join on id of two top-N relations —
+    N-sized, not corpus-sized. Absent ranks emit -1 (NULL-int fetch
+    discipline)."""
+    from ..operators import similarity as S
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    dls = toks.select("doc_id", F.size("tk").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tc = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf")
+        + _K1 * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tc.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum(idf * tf_part), 4).alias("score_r"),
+        )
+        .filter(F.col("n_matched") >= 2)
+    )
+    bm = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_r").desc(), F.col("doc_id")))
+        .alias("rank_bm25"),
+    )
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    vec = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("cand_id").alias("doc_id"), F.col("rank").alias("rank_cos")
+    )
+    fused = (
+        bm.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(-1)).alias("rank_bm25"),
+            F.coalesce("rank_cos", F.lit(-1)).alias("rank_cos"),
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("rank_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("rank_cos")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    )
+    return (
+        fused.withColumn("rk", rk).filter(F.col("rk") <= 10).drop("rk")
     )

@@ -1159,3 +1159,155 @@ def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(scored, "stream_dsir_score", "append")
     return spark.table("stream_dsir_score")
+
+
+def _oracle_stream_curate_pipeline() -> str:
+    # Batch twin of the composed stream: same gate thresholds as
+    # curate_quality_gate, exact content-hash dedup (output columns are
+    # functions of the text, so ANY dedup winner yields identical rows),
+    # then the DSIR fold against the full-corpus model (the same
+    # densified-list CTEs as stream_dsir_score's oracle).
+    from .northstar import SQL_TOKS
+
+    return f"""
+    WITH bgm AS (
+      SELECT lang,
+             [tk[i] || ' ' || tk[i+1]
+              FOR i IN range(1, greatest(len(tk), 1))] AS bg
+      FROM (SELECT lang, {SQL_TOKS} AS tk FROM documents)
+    ),
+    cnts AS (
+      SELECT idx, COUNT(*) AS r_cnt,
+             COALESCE(SUM(CASE WHEN is_tgt THEN 1 END), 0) AS t_cnt
+      FROM (
+        SELECT CAST(('0x' || substr(md5(b), 1, 2)) AS INTEGER) AS idx,
+               lang = 'en' AS is_tgt
+        FROM (SELECT lang, unnest(bg) AS b FROM bgm)
+      )
+      GROUP BY idx
+    ),
+    grid AS (SELECT unnest(range(0, 256)) AS idx),
+    full_t AS (
+      SELECT g.idx, COALESCE(c.r_cnt, 0) AS r_cnt,
+             COALESCE(c.t_cnt, 0) AS t_cnt
+      FROM grid g LEFT JOIN cnts c USING (idx)
+    ),
+    tot AS (SELECT SUM(r_cnt) AS rt, SUM(t_cnt) AS tt FROM full_t),
+    model AS (
+      SELECT list(ln((t_cnt + 1.0) / (tt + 256.0))
+                  - ln((r_cnt + 1.0) / (rt + 256.0)) ORDER BY idx) AS llr
+      FROM full_t CROSS JOIN tot
+    ),
+    sig AS (
+      SELECT text, len(tk) AS nw,
+             list_sum(list_transform(tk, t -> strlen(t))) AS sum_len,
+             len(list_filter(tk, t -> t IN ('a', 'the'))) AS n_stop,
+             len(list_distinct(tk)) AS n_distinct
+      FROM (SELECT text, {SQL_TOKS} AS tk FROM documents)
+      WHERE len(tk) > 0
+    ),
+    gated AS (
+      SELECT text FROM sig
+      WHERE nw BETWEEN 25 AND 80
+        AND sum_len::DOUBLE / nw >= 3.0 AND sum_len::DOUBLE / nw <= 7.0
+        AND n_stop::DOUBLE / nw <= 0.35
+        AND n_distinct::DOUBLE / nw >= 0.55
+    ),
+    ded AS (
+      SELECT md5(text) AS h, MIN(text) AS text FROM gated GROUP BY md5(text)
+    ),
+    scored AS (
+      SELECT h,
+             [tk[i] || ' ' || tk[i+1]
+              FOR i IN range(1, greatest(len(tk), 1))] AS bg
+      FROM (SELECT h, {SQL_TOKS} AS tk FROM ded)
+    )
+    SELECT h, len(bg) AS n_bigrams,
+           round(list_reduce(
+             list_prepend(0.0, list_transform(
+               bg, b -> llr[CAST(('0x' || substr(md5(b), 1, 2))
+                                 AS INTEGER) + 1])),
+             (a, x) -> a + x), 6) AS dsir_logweight
+    FROM scored CROSS JOIN model
+    """
+
+
+@query("stream_curate_pipeline", oracle=_oracle_stream_curate_pipeline())
+def stream_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION PIPELINE AS A STREAM — the continuously-ingesting
+    form of pipeline_curate_end2end: arriving documents pass the Gopher
+    quality gate (row-local let-bound token struct, the
+    curate_quality_gate thresholds), survivors dedup exactly by content
+    hash against watermark-bounded state (first sighting wins; every
+    EMITTED column is a function of the text itself, so the grade is
+    winner-invariant — the stream_dedup_user_day discipline), and each
+    unique survivor scores itself against the offline-trained DSIR
+    model riding the broadcast array relation (stream_dsir_score's
+    machinery) — gate, dedup, and importance scoring composed in ONE
+    streaming plan, append-mode (content_hash, n_bigrams, weight).
+    At 100 TB: the gate and scorer are stateless row-local stages;
+    the only state is the dedup hash set, bounded by the watermark —
+    this is the shape of a production corpus-refresh loop (new crawl
+    lands → gate → near-line dedup → importance weights for the next
+    mixing round), costing one scan of the NEW data. Graded
+    batch-equivalently against the oracle's gate→distinct→fold chain."""
+    from ..functions import let, tokens
+    from ..operators.text import dsir_fold_score, dsir_model_array, token_bigrams
+
+    model = dsir_model_array(
+        t(spark, sf_dir, "documents"), "text", F.col("lang") == "en"
+    )
+    docs = _stream_docs(spark, sf_dir)
+    sig = let(
+        tokens("text"),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_words"),
+            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias(
+                "sum_len"
+            ),
+            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias(
+                "n_stop"
+            ),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+        ),
+    )
+    nw = F.col("s.n_words")
+    mwl = F.col("s.sum_len").cast("double") / nw
+    sfr = F.col("s.n_stop").cast("double") / nw
+    dfr = F.col("s.n_distinct").cast("double") / nw
+    ok = (
+        nw.between(25, 80)
+        & (mwl >= 3.0)
+        & (mwl <= 7.0)
+        & (sfr <= 0.35)
+        & (dfr >= 0.55)
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+                "ts"
+            ),
+            sig.alias("s"),
+        )
+        .filter(nw > 0)
+        .filter(ok)
+    )
+    deduped = (
+        gated.select(F.md5("text").alias("h"), "text", "ts")
+        .withWatermark("ts", "2 days")
+        .dropDuplicates(["h"])
+    )
+    scored = deduped.select(
+        "h", token_bigrams("text").alias("bg")
+    ).crossJoin(F.broadcast(model))
+    out = scored.select(
+        "h",
+        F.size("bg").alias("n_bigrams"),
+        F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias(
+            "dsir_logweight"
+        ),
+    )
+    _run_to_memory(out, "stream_curate_pipeline", "append")
+    return spark.table("stream_curate_pipeline")

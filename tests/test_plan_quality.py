@@ -189,6 +189,8 @@ _NLJ_ALLOWED = {
     "text_shingle_novelty_deciles",  # 1-row corpus-count scalar broadcast
     # for decile bucketing; everything else is keyed equi joins/aggregates
     "text_bm25_search",
+    "text_hybrid_rrf_search",  # BM25 scalar-stats crossJoin + the bounded
+    # 1-query cosine broadcast (sim_cosine_topk pattern)
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "tpch_q11_important_stock",
@@ -228,6 +230,7 @@ _SCALED_HINT_ALLOWED = {
     "dedup_semantic_prune",         # vec_id<200 certificate window probe
     "sim_binary_quant_hamming_topk",  # 10-query probe broadcast
     "sim_cosine_topk",              # 10-query probe broadcast
+    "text_hybrid_rrf_search",       # 1-query probe broadcast
     "sim_hard_negatives",           # same probe pattern
     "sim_ivf_kmeans_topk",          # probe + exact-baseline probe
     "sim_knn_label_eval",           # vec_id<50 probe broadcast
