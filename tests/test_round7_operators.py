@@ -244,3 +244,52 @@ def test_stream_dsir_matches_batch_weights(spark, sf_dir):
         snb, sw = stream[d]
         assert snb == nb
         assert abs(sw - w) < 1e-6, f"doc {d}: {sw} vs {w}"
+
+
+# ---------------------------------------------------------------------------
+# Randomized winnowing parity vs a pure-Python reference implementation
+# ---------------------------------------------------------------------------
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_winnow(text: str, width: int = 40, window: int = 20) -> set[str]:
+    if text is None or len(text) < width + window - 1:
+        return set()
+    hs = [
+        hashlib.md5(text[i : i + width].encode()).hexdigest()
+        for i in range(len(text) - width + 1)
+    ]
+    return {min(hs[j : j + window]) for j in range(len(hs) - window + 1)}
+
+
+_alpha = st.text(
+    alphabet="ab c",  # tiny alphabet -> dense repeats, min-ties exercised
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_alpha, min_size=1, max_size=6))
+def test_winnow_matches_python_reference(texts):
+    from crane_stream_processing_spark.session import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: set(r.fp)
+        for r in df.select(
+            "i", winnow_fingerprints("text").alias("fp")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), f"text {i}: {t!r}"
