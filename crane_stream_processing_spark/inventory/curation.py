@@ -1247,3 +1247,80 @@ def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets_hex_chars=2
     )
+
+
+@query(
+    "curate_dsir_resample",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, lang, substr(md5(b), 1, 2) AS bkt
+      FROM (
+        SELECT doc_id, lang,
+               unnest([tk[i] || ' ' || tk[i+1]
+                       FOR i IN range(1, greatest(len(tk), 1))]) AS b
+        FROM (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents)
+      )
+    ),
+    pc AS (
+      SELECT doc_id, lang, bkt, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3
+    ),
+    tbl AS (
+      SELECT bkt, SUM(c) AS r_cnt,
+             COALESCE(SUM(c) FILTER (lang = 'en'), 0) AS t_cnt
+      FROM pc GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(r_cnt) AS rt, SUM(t_cnt) AS tt FROM tbl),
+    llr AS (
+      SELECT bkt, ln((t_cnt + 1.0) / (tt + 256.0))
+                  - ln((r_cnt + 1.0) / (rt + 256.0)) AS w
+      FROM tbl CROSS JOIN tot
+    ),
+    wt AS (
+      SELECT pc.doc_id, ROUND(SUM(pc.c * llr.w), 6) AS lw
+      FROM pc JOIN llr USING (bkt) GROUP BY pc.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, COALESCE(wt.lw, 0.0) AS dsir_logweight,
+             (CAST(('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
+                                                CHR(0))), 1, 8)) AS BIGINT)
+              + 1) / 4294967296.0 AS u
+      FROM documents d LEFT JOIN wt USING (doc_id)
+    )
+    SELECT doc_id, lang, dsir_logweight, es_key FROM (
+      SELECT doc_id, lang, dsir_logweight,
+             round(-ln(u) * 1000.0 / exp(dsir_logweight), 6) AS es_key,
+             ROW_NUMBER() OVER (
+               ORDER BY round(-ln(u) * 1000.0 / exp(dsir_logweight), 6),
+                        doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 50
+    """,
+)
+def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step that completes
+    the Xie et al. 2023 recipe (curate_dsir_importance computes the
+    weights; this query actually draws the corpus subset): sample 50
+    documents WITHOUT replacement proportionally to exp(logweight) via
+    the Efraimidis–Spirakis A-Res keys over the deterministic id-hash
+    uniform (operators/sampling.py weighted_topk_es — the same
+    machinery as sample_weighted_es_topk, fed by the learned importance
+    weight instead of a stored column). exp(lw) > 0 always, so no row
+    is excluded; target-like documents win proportionally more often,
+    each at most once — importance resampling, not reweighting. Plan:
+    the weight pass is the DSIR map + 256-row broadcast model, then
+    TakeOrderedAndProject (per-partition k-heaps) — 100 TB in, 50 rows
+    out, no global sort. Keys are rounded before ranking with id
+    tiebreak, so the drawn subset is engine-exact and the oracle
+    reproduces it row-for-row."""
+    from ..operators.text import dsir_logweights
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    wt = dsir_logweights(docs, "doc_id", "text", F.col("lang") == "en")
+    wdf = (
+        docs.select("doc_id", "lang")
+        .join(wt.select("doc_id", "dsir_logweight"), "doc_id")
+        .withColumn("w", F.exp("dsir_logweight"))
+    )
+    return SA.weighted_topk_es(wdf, 50, "w", "doc_id").select(
+        "doc_id", "lang", "dsir_logweight", "es_key"
+    )

@@ -154,6 +154,8 @@ _NLJ_ALLOWED = {
     "curate_mixture_weights",  # 1-row corpus-totals scalar broadcast
     "curate_dsir_importance",  # 1-row corpus-totals scalar broadcast
     # onto the 256-row hashed-vocab LLR relation
+    "curate_dsir_resample",  # same DSIR model crossJoin inside the
+    # weight pass that feeds the ES top-k
     "text_nb_lang_confusion",  # 1-row train-count scalar broadcast +
     # the 5-row class relation crossJoined onto per-doc bucket counts
     "curate_perplexity_buckets",  # 1-row LM-total scalar broadcast
