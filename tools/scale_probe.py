@@ -498,11 +498,103 @@ def io_probe(spark, n: int) -> dict:
     }
 
 
+def curate_probe(spark, n: int) -> dict:
+    """Composed streaming-curation ingest throughput (round-7): docs/s
+    through gate -> watermark-bounded content-hash dedup -> DSIR scoring
+    against the broadcast offline model — the stream_curate_pipeline
+    shape drained availableNow from a multi-file landing zone (same
+    multi-file discipline as ingest_probe: a single-file source dir
+    would serialize the map side into one task). The model is trained
+    once on the UN-replicated sf0.1 corpus (offline, as deployed);
+    rows/s = documents ingested / wall-clock, micro-batch machinery
+    included."""
+    import shutil
+
+    from crane_stream_processing_spark.functions import let, tokens
+    from crane_stream_processing_spark.operators.text import (
+        dsir_fold_score,
+        dsir_model_array,
+        token_bigrams,
+    )
+
+    base = load_table(spark, SF_DIR, "documents")
+    model = dsir_model_array(base, "text", F.col("lang") == "en")
+    docs = replicate(base.select("doc_id", "text"), n, ["doc_id"])
+    src_dir = _scratch("crane_curateprobe_src_")
+    docs.repartition(32).write.mode("overwrite").parquet(src_dir)
+    n_docs = spark.read.parquet(src_dir).count()
+
+    sig = let(
+        tokens("text"),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_words"),
+            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias(
+                "sum_len"
+            ),
+            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias(
+                "n_stop"
+            ),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+        ),
+    )
+    nw = F.col("s.n_words")
+    mwl = F.col("s.sum_len").cast("double") / nw
+    sfr = F.col("s.n_stop").cast("double") / nw
+    dfr = F.col("s.n_distinct").cast("double") / nw
+    ok = (
+        nw.between(25, 80)
+        & (mwl >= 3.0) & (mwl <= 7.0)
+        & (sfr <= 0.35) & (dfr >= 0.55)
+    )
+    st = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    gated = (
+        st.select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+            sig.alias("s"),
+        )
+        .filter(nw > 0)
+        .filter(ok)
+    )
+    deduped = (
+        gated.select(F.md5("text").alias("h"), "text", "ts")
+        .withWatermark("ts", "2 days")
+        .dropDuplicates(["h"])
+    )
+    out = (
+        deduped.select("h", token_bigrams("text").alias("bg"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "h",
+            F.size("bg").alias("n_bigrams"),
+            F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias("w"),
+        )
+    )
+    ck = _scratch("crane_curateprobe_ck_")
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(ck, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "pipeline_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
     sections = {
         "skew": skew_probe,
         "ingest": ingest_probe,
         "io": io_probe,
+        "curate": curate_probe,
     }
     known_flags = {f"--{s}" for s in sections} | {
         f"--{s}-only" for s in sections
