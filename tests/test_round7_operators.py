@@ -403,3 +403,67 @@ def test_stream_curate_pipeline_incremental_restart(spark, tmp_path):
     ha = hashlib.md5(passing_a.encode()).hexdigest()
     hb = hashlib.md5(passing_b.encode()).hexdigest()
     assert ws[ha] > ws[hb]
+
+
+def test_filtered_ann_respects_predicate_and_subsets_cell(spark, sf_dir):
+    # Every returned candidate satisfies the metadata predicate, and the
+    # filtered top-k is a subset of the query's cell members — ranks are
+    # computed over the filtered population (no post-filter truncation).
+    from crane_stream_processing_spark.inventory.northstar import (
+        sim_ivf_ann_topk,
+        sim_ivf_filtered_topk,
+    )
+
+    rows = sim_ivf_filtered_topk(spark, sf_dir).collect()
+    assert rows and all(r.cand_label % 2 == 0 for r in rows)
+    # per query: ranks are 1..n contiguous (a re-ranked population, not
+    # the unfiltered ranking with holes)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    # the filtered result can only contain candidates the unfiltered
+    # cell search could see (same cells, same index)
+    unfiltered_pairs = {
+        (r.query_id, r.cand_id)
+        for r in sim_ivf_ann_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .collect()
+    }
+    # not a subset of unfiltered TOP-K (filtering changes the cut), so
+    # check against full cell membership via a wider unfiltered k: the
+    # even-labelled candidates ranked top-3 filtered must appear in the
+    # unfiltered ranking of the same cell at some rank -> verify by
+    # membership in the cell join re-derived from the persisted index
+    from crane_stream_processing_spark.inventory.northstar import _ivf_index
+    from pyspark.sql import functions as FF
+
+    idx = _ivf_index(spark, sf_dir)
+    cell_of = {r.cand_id: r.cell for r in idx.select("cand_id", "cell").collect()}
+    for r in rows:
+        assert cell_of[r.cand_id] == cell_of[r.query_id], (
+            "filtered candidate must come from the query's probed cell"
+        )
+
+
+def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
+    from crane_stream_processing_spark.inventory.relevance import (
+        text_hybrid_rrf_search,
+    )
+
+    rows = text_hybrid_rrf_search(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # every fused row belongs to at least one list, and docs present in
+    # BOTH lists outrank equal-single-list docs by construction
+    assert all(r.rank_bm25 > 0 or r.rank_cos > 0 for r in rows)
+    both = [r for r in rows if r.rank_bm25 > 0 and r.rank_cos > 0]
+    single = [r for r in rows if (r.rank_bm25 > 0) != (r.rank_cos > 0)]
+    if both and single:
+        assert max(r.rrf for r in both) > min(r.rrf for r in single)
+    # rrf equals the closed form from the emitted ranks
+    for r in rows:
+        want = (1.0 / (60 + r.rank_bm25) if r.rank_bm25 > 0 else 0.0) + (
+            1.0 / (60 + r.rank_cos) if r.rank_cos > 0 else 0.0
+        )
+        assert abs(r.rrf - round(want, 6)) < 1e-9
