@@ -1244,9 +1244,13 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset of the last — the probe order is the deterministic
     index-based top-nprobe of operators.similarity.probe_cells), and the
     curve shows exactly how much boundary-loss each extra probe buys
-    back. All three searches share ONE persisted inverted file
-    (_ivf_index — index build amortized, search measured) and the exact
-    baseline is the standard bounded 10-query broadcast crossJoin. Like
+    back. All three probe levels come from ONE search of the persisted
+    inverted file (_ivf_index — index build amortized, search measured):
+    probe_cells' probe list has the prefix property, so candidates are
+    scored once at the widest probe and each level is a probe-rank
+    filter — 3x fewer cell joins and cosine evaluations than separate
+    searches, bit-identical rankings. The exact baseline is the
+    standard bounded 10-query broadcast crossJoin. Like
     the LSH curve, every ranking is deterministic (round-6 + id
     tiebreaks), so the recall surface itself grades row-level."""
     emb = t_cpu(spark, sf_dir, "embeddings")
@@ -1255,20 +1259,51 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk(emb, q, k=5).select(
         "query_id", "cand_id", F.col("rank").alias("exact_rank")
     )
-    ann = None
-    for np_ in (1, 2, 4):
-        part = S.ivf_ann_topk_nprobe(
-            emb, q, _CENTROIDS, k=5, nprobe=np_, bucketed=idx
-        ).select(
-            F.lit(np_).cast("long").alias("nprobe"),
-            "query_id",
-            "cand_id",
-            F.col("rank").alias("ann_rank"),
-        )
-        ann = part if ann is None else ann.unionByName(part)
     nps = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np_")
     ).select(F.col("np_").cast("long").alias("nprobe"))
+    # ONE search at the widest probe: probe_cells has the prefix property
+    # (top-np cells = first np of the top-4 list), so each candidate is
+    # scored ONCE, tagged with the probe rank that found it, and the
+    # per-nprobe candidate sets are pr < np filters over that single
+    # scored relation — 3x fewer cell joins and cosine evaluations than
+    # three separate searches, bit-identical rankings.
+    from ..functions import dot, l2norm
+
+    qbase = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2norm("embedding").alias("qn"),
+    ).filter(F.col("qn") > 0)
+    qprobed = S._with_coarse_dots(qbase, _CENTROIDS, "qvec", None).select(
+        "query_id",
+        "qvec",
+        "qn",
+        F.posexplode(S.probe_cells(F.col("__dots"), 4)).alias("pr", "cell"),
+    )
+    scored = (
+        qprobed.join(idx, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "pr",
+            "cand_id",
+            F.round(
+                dot("qvec", "cvec") / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wnp = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    ann = (
+        scored.join(F.broadcast(nps), F.col("pr") < F.col("nprobe"))
+        .withColumn("ann_rank", F.row_number().over(wnp))
+        .filter(F.col("ann_rank") <= 5)
+        .select("nprobe", "query_id", "cand_id", "ann_rank")
+    )
     joined = exact.crossJoin(F.broadcast(nps)).join(
         ann, ["nprobe", "query_id", "cand_id"], "left"
     )
