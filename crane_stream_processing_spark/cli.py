@@ -249,7 +249,13 @@ def main(argv: list[str] | None = None) -> int:
                 import time as _time
 
                 for _ in range(40):
-                    if rec.progress and rec.terminated:
+                    # An empty source produces NO progress events (Spark
+                    # emits onQueryIdle instead) — accept termination with
+                    # either ledger populated, or with neither once the
+                    # query is gone, instead of sleeping the full bound.
+                    if rec.terminated and (rec.progress or rec.idle):
+                        break
+                    if rec.terminated and not spark.streams.active:
                         break
                     _time.sleep(0.25)
             finally:

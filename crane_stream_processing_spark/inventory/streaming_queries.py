@@ -1161,6 +1161,75 @@ def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dsir_score")
 
 
+def build_curate_stream(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """The composed curation pipeline as a reusable streaming transform —
+    gate -> watermark-bounded content-hash dedup -> DSIR scoring. ONE
+    definition shared by the graded `stream_curate_pipeline` and the
+    throughput probe (`tools/scale_probe.py --curate`), so the measured
+    pipeline can never desynchronize from the graded one. `docs` is a
+    streaming (doc_id, text, ...) DataFrame; `model` the one-row
+    broadcastable LLR relation from dsir_model_array. Dedup uses
+    dropDuplicatesWithinWatermark, so state for a content hash is
+    EVICTED once the watermark passes it — bounded state on an infinite
+    stream (plain dropDuplicates would keep every hash forever; see the
+    ST5 notes above)."""
+    from ..functions import let, tokens
+    from ..operators.text import dsir_fold_score, token_bigrams
+
+    sig = let(
+        tokens("text"),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_words"),
+            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias(
+                "sum_len"
+            ),
+            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias(
+                "n_stop"
+            ),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+        ),
+    )
+    nw = F.col("s.n_words")
+    mwl = F.col("s.sum_len").cast("double") / nw
+    sfr = F.col("s.n_stop").cast("double") / nw
+    dfr = F.col("s.n_distinct").cast("double") / nw
+    ok = (
+        nw.between(25, 80)
+        & (mwl >= 3.0)
+        & (mwl <= 7.0)
+        & (sfr <= 0.35)
+        & (dfr >= 0.55)
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+                "ts"
+            ),
+            sig.alias("s"),
+        )
+        .filter(nw > 0)
+        .filter(ok)
+    )
+    deduped = (
+        gated.select(F.md5("text").alias("h"), "text", "ts")
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["h"])
+    )
+    return (
+        deduped.select("h", token_bigrams("text").alias("bg"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "h",
+            F.size("bg").alias("n_bigrams"),
+            F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
 def _oracle_stream_curate_pipeline() -> str:
     # Batch twin of the composed stream: same gate thresholds as
     # curate_quality_gate, exact content-hash dedup (output columns are
@@ -1251,63 +1320,13 @@ def stream_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands → gate → near-line dedup → importance weights for the next
     mixing round), costing one scan of the NEW data. Graded
     batch-equivalently against the oracle's gate→distinct→fold chain."""
-    from ..functions import let, tokens
-    from ..operators.text import dsir_fold_score, dsir_model_array, token_bigrams
+    from ..operators.text import dsir_model_array
 
     model = dsir_model_array(
         t(spark, sf_dir, "documents"), "text", F.col("lang") == "en"
     )
-    docs = _stream_docs(spark, sf_dir)
-    sig = let(
-        tokens("text"),
-        lambda tk: F.struct(
-            F.size(tk).alias("n_words"),
-            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias(
-                "sum_len"
-            ),
-            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias(
-                "n_stop"
-            ),
-            F.size(F.array_distinct(tk)).alias("n_distinct"),
-        ),
-    )
-    nw = F.col("s.n_words")
-    mwl = F.col("s.sum_len").cast("double") / nw
-    sfr = F.col("s.n_stop").cast("double") / nw
-    dfr = F.col("s.n_distinct").cast("double") / nw
-    ok = (
-        nw.between(25, 80)
-        & (mwl >= 3.0)
-        & (mwl <= 7.0)
-        & (sfr <= 0.35)
-        & (dfr >= 0.55)
-    )
-    gated = (
-        docs.select(
-            "doc_id",
-            "text",
-            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
-                "ts"
-            ),
-            sig.alias("s"),
-        )
-        .filter(nw > 0)
-        .filter(ok)
-    )
-    deduped = (
-        gated.select(F.md5("text").alias("h"), "text", "ts")
-        .withWatermark("ts", "2 days")
-        .dropDuplicates(["h"])
-    )
-    scored = deduped.select(
-        "h", token_bigrams("text").alias("bg")
-    ).crossJoin(F.broadcast(model))
-    out = scored.select(
-        "h",
-        F.size("bg").alias("n_bigrams"),
-        F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias(
-            "dsir_logweight"
-        ),
+    out = build_curate_stream(
+        _stream_docs(spark, sf_dir).select("doc_id", "text"), model
     )
     _run_to_memory(out, "stream_curate_pipeline", "append")
     return spark.table("stream_curate_pipeline")

@@ -201,7 +201,9 @@ def cosine_topk_arrow(
         # 7th place (dyadic rationals — reachable with small-integer
         # fixture vectors), but "row-identical to cosine_topk" must hold
         # there too, so emulate HALF_UP vectorized.
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        # + 0.0 normalizes IEEE -0.0 (sign(-1e-9)*0.0) to the +0.0
+        # BigDecimal produces — signed zero would break row-identity.
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 + 0.0
 
     qrows = (
         queries.select(

@@ -406,7 +406,10 @@ def dup_ngram_count(shingle_arr: Column) -> Column:
     repeat +1. All-integer, zero shuffle."""
     return F.aggregate(
         F.array_sort(shingle_arr),
-        F.expr("struct(CAST('' AS STRING) AS prev, 0 AS run, 0L AS dup)"),
+        # NULL sentinel, not '': an actual empty-string shingle (possible
+        # with a caller that splits raw text) must not match the initial
+        # prev — x == NULL is NULL, which when() treats as no-match.
+        F.expr("struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0L AS dup)"),
         lambda s, x: F.struct(
             x.alias("prev"),
             F.when(x == s.prev, s.run + 1).otherwise(F.lit(1)).alias("run"),

@@ -74,6 +74,11 @@ class ProgressRecorder(StreamingQueryListener):
             {
                 "query": p.name,
                 "batch_id": p.batchId,
+                # event wall timestamp (ISO) — the honest elapsed-time
+                # denominator for rate math (tools/flow_rate.py): batch
+                # COUNT x trigger period understates elapsed time when
+                # batches overrun or skip, inflating the reported rate
+                "timestamp": p.timestamp,
                 "num_input_rows": p.numInputRows,
                 "processed_rows_per_sec": p.processedRowsPerSecond,
                 # phase timings (triggerExecution et al.) — the latency

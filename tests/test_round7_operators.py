@@ -303,12 +303,10 @@ def test_stream_curate_pipeline_incremental_restart(spark, tmp_path):
     restored dedup state, and only genuinely new content emits."""
     import os
 
-    from crane_stream_processing_spark.operators.text import (
-        dsir_fold_score,
-        dsir_model_array,
-        token_bigrams,
+    from crane_stream_processing_spark.inventory.streaming_queries import (
+        build_curate_stream,
     )
-    from crane_stream_processing_spark.functions import let, tokens
+    from crane_stream_processing_spark.operators.text import dsir_model_array
 
     passing_a = " ".join(f"alpha{i:02d}" for i in range(30))
     passing_b = " ".join(f"beta{i:02d}" for i in range(30))
@@ -337,45 +335,13 @@ def test_stream_curate_pipeline_incremental_restart(spark, tmp_path):
         st = spark.readStream.schema("doc_id long, text string").parquet(
             os.path.join(src, "*")
         )
-        sig = let(
-            tokens("text"),
-            lambda tk: F.struct(
-                F.size(tk).alias("n_words"),
-                F.size(F.array_distinct(tk)).alias("n_distinct"),
-            ),
-        )
-        nw = F.col("s.n_words")
-        gated = (
-            st.select(
-                "doc_id",
-                "text",
-                F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
-                    "ts"
-                ),
-                sig.alias("s"),
-            )
-            .filter(nw.between(25, 80))
-            .filter(F.col("s.n_distinct").cast("double") / nw >= 0.55)
-        )
-        deduped = (
-            gated.select(F.md5("text").alias("h"), "text", "ts")
-            .withWatermark("ts", "2 days")
-            .dropDuplicates(["h"])
-        )
-        out = (
-            deduped.select("h", token_bigrams("text").alias("bg"))
-            .crossJoin(F.broadcast(model))
-            .select(
-                "h",
-                F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias(
-                    "w"
-                ),
-            )
-        )
+        out = build_curate_stream(st, model)
         q = (
             out.writeStream.outputMode("append")
             .foreachBatch(
-                lambda df, _: emitted.extend((r.h, r.w) for r in df.collect())
+                lambda df, _: emitted.extend(
+                    (r.h, r.dsir_logweight) for r in df.collect()
+                )
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

@@ -68,13 +68,23 @@ def measure(spark, rate: int, period_s: float, duration_s: float) -> dict:
     ]
     total_rows = sum(p["num_input_rows"] for p in rows)
     total_sec = sum(batch_ms) / 1000.0
+    # Elapsed-time denominator from the batch event timestamps, NOT
+    # batches x period: when batches overrun their trigger (the overload
+    # region this tool exists to measure) or empty triggers are skipped,
+    # wall time exceeds len(rows) * period and the count-based rate
+    # overstates delivered input. Span covers first..last kept batch;
+    # one trailing period approximates the last batch's own interval.
+    from datetime import datetime
+
+    def _ts(p):
+        return datetime.fromisoformat(
+            p["timestamp"].replace("Z", "+00:00")
+        ).timestamp()
+
+    span_sec = max(_ts(rows[-1]) - _ts(rows[0]) + period_s, period_s)
     return {
         "batches": len(rows),
-        "input_rows_per_sec": round(
-            sum(p["num_input_rows"] for p in rows)
-            / max(len(rows) * period_s, 1e-9),
-            1,
-        ),
+        "input_rows_per_sec": round(total_rows / span_sec, 1),
         "processed_rows_per_sec": round(total_rows / max(total_sec, 1e-9), 1),
         "mean_batch_ms": round(sum(batch_ms) / len(batch_ms), 1),
         "max_batch_ms": max(batch_ms),

@@ -9,7 +9,7 @@ check": the registry's small-SF bench proves correctness-at-speed, this
 probe proves the SHAPES stay sub-linear when the data actually grows —
 the local stand-in for the 100 TB question. Run from the repo root:
 
-    python tools/scale_probe.py [N ...] [--skew] [--ingest] [--io]
+    python tools/scale_probe.py [N ...] [--skew] [--ingest] [--io] [--curate]
 
 Prints one JSON line: {"scales": {"10": {shape: sec, ...}, ...},
 "base": {shape: sec at 1x, ...}}; with --skew, adds the Zipf-skewed
@@ -18,8 +18,11 @@ skew-split engagement evidence per scale; with --ingest, the streaming
 IVF×PQ ingest throughput both ways (relational HOF scoring vs Arrow
 foreachBatch, rows/s); with --io, the CDC-merge + dynamic-partition-
 overwrite maintenance shapes (wall-clock linearity + proof that
-untouched partitions are not rewritten). Each --X flag has an
---X-only twin that skips the base shape suite.
+untouched partitions are not rewritten); with --curate, the composed
+streaming-curation pipeline's ingest rate (gate -> watermark-bounded
+dedup -> DSIR score, docs/s — the stream_curate_pipeline shape via the
+SHARED build_curate_stream builder). Each --X flag has an --X-only
+twin that skips the base shape suite.
 """
 
 from __future__ import annotations
@@ -510,12 +513,10 @@ def curate_probe(spark, n: int) -> dict:
     included."""
     import shutil
 
-    from crane_stream_processing_spark.functions import let, tokens
-    from crane_stream_processing_spark.operators.text import (
-        dsir_fold_score,
-        dsir_model_array,
-        token_bigrams,
+    from crane_stream_processing_spark.inventory.streaming_queries import (
+        build_curate_stream,
     )
+    from crane_stream_processing_spark.operators.text import dsir_model_array
 
     base = load_table(spark, SF_DIR, "documents")
     model = dsir_model_array(base, "text", F.col("lang") == "en")
@@ -524,52 +525,8 @@ def curate_probe(spark, n: int) -> dict:
     docs.repartition(32).write.mode("overwrite").parquet(src_dir)
     n_docs = spark.read.parquet(src_dir).count()
 
-    sig = let(
-        tokens("text"),
-        lambda tk: F.struct(
-            F.size(tk).alias("n_words"),
-            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias(
-                "sum_len"
-            ),
-            F.size(F.filter(tk, lambda x: x.isin("a", "the"))).alias(
-                "n_stop"
-            ),
-            F.size(F.array_distinct(tk)).alias("n_distinct"),
-        ),
-    )
-    nw = F.col("s.n_words")
-    mwl = F.col("s.sum_len").cast("double") / nw
-    sfr = F.col("s.n_stop").cast("double") / nw
-    dfr = F.col("s.n_distinct").cast("double") / nw
-    ok = (
-        nw.between(25, 80)
-        & (mwl >= 3.0) & (mwl <= 7.0)
-        & (sfr <= 0.35) & (dfr >= 0.55)
-    )
     st = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
-    gated = (
-        st.select(
-            "doc_id", "text",
-            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
-            sig.alias("s"),
-        )
-        .filter(nw > 0)
-        .filter(ok)
-    )
-    deduped = (
-        gated.select(F.md5("text").alias("h"), "text", "ts")
-        .withWatermark("ts", "2 days")
-        .dropDuplicates(["h"])
-    )
-    out = (
-        deduped.select("h", token_bigrams("text").alias("bg"))
-        .crossJoin(F.broadcast(model))
-        .select(
-            "h",
-            F.size("bg").alias("n_bigrams"),
-            F.round(dsir_fold_score(F.col("bg"), F.col("llr")), 6).alias("w"),
-        )
-    )
+    out = build_curate_stream(st, model)
     ck = _scratch("crane_curateprobe_ck_")
     t0 = time.perf_counter()
     q = (
