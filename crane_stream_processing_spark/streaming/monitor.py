@@ -78,7 +78,7 @@ class ProgressRecorder(StreamingQueryListener):
                 # denominator for rate math (tools/flow_rate.py): batch
                 # COUNT x trigger period understates elapsed time when
                 # batches overrun or skip, inflating the reported rate
-                "timestamp": p.timestamp,
+                "timestamp": getattr(p, "timestamp", None),
                 "num_input_rows": p.numInputRows,
                 "processed_rows_per_sec": p.processedRowsPerSecond,
                 # phase timings (triggerExecution et al.) — the latency
