@@ -242,27 +242,49 @@ def _load_all() -> None:
 # post-freeze additions plus a 25-row backfill (CORRECTNESS_r05.json,
 # 50/50 — cumulative union 218/218). Round 6 fronted the nine round-5
 # post-freeze additions + 41 backfill (CORRECTNESS_r06.json, 50/50 —
-# cumulative union 227/227: every query that existed at the round-5
-# freeze has a green driver row). Round 7 (this list, generated by
+# cumulative union 227/227). Round 7 fronted the nine round-6
+# post-freeze additions + 41 backfill (CORRECTNESS_r07.json, 50/50 —
+# cumulative union 236/236: every query that existed at the round-6
+# freeze has a green driver row). Round 8 (this list, generated by
 # tools/rotate_priority.py from the accumulated CORRECTNESS files):
-# the nine round-6 post-freeze additions that have never been inside a
-# driver window —
-# io_dynamic_partition_overwrite (incremental-backfill partition
-# overwrite), io_batch_cdc_merge (CDC upsert-as-rewrite for plain
-# parquet), src_binaryfile_scan (binaryFile multimodal ingest source),
-# join_cbo_stats_reorder (ANALYZE-fed stats-driven join reorder),
-# dedup_index_incremental_merge (at-rest band-bucket index merge),
-# sim_ivf_arrow_coarse_topk (the exact-fold Arrow fast path graded
-# under the row-level hash gate),
-# stream_ivf_ingest (streaming incremental IVF index ingest),
-# stream_ivfpq_ingest (streaming IVF×PQ cell+code ingest),
-# pipeline_curate_end2end (the composed gate→dedup→report pipeline) —
-# plus a 41-row backfill re-proving the round-6 window's families.
-# A green round-7 window closes the cumulative driver union over the
-# FULL registry as of the round-6 freeze: 236/236. Round-7 post-freeze
-# additions are deferred to front round 8 per the freeze discipline.
+# the FOURTEEN round-7 post-freeze additions that have never been
+# inside a driver window (the curation/ANN-operations family:
+# dedup_substring_window_pairs, text_dup_ngram_coverage, the DSIR
+# importance/resample/decontaminate trio, text_nb_lang_confusion,
+# sim_ivf_recall_at_k / _filtered_topk / _index_health,
+# text_hybrid_rrf_search, and the four streaming twins
+# stream_dsir_score / stream_curate_pipeline / stream_dedup_index_ingest
+# / stream_ivfpq_arrow_idempotent_sink) PLUS the four round-8 additions
+# (sim_ivf_retrain_loop — the health→retrain→recall operational loop;
+# mm_png_codec_roundtrip + mm_png_ahash — the real compressed-codec
+# decode; curate_dsir_shift — the selection-shifted-the-distribution
+# proof), then a 32-row backfill re-proving the round-7 window's
+# families. A green round-8 window closes the cumulative driver union
+# over the FULL registry as of this freeze: 254/254.
 GRADE_PRIORITY: list[str] = [
-    # round-6 post-freeze additions (never driver-graded before r7)
+    # round-7/8 post-freeze additions (never driver-graded):
+    # the 14 round-7 queries + the 4 new round-8 queries
+    # (sim_ivf_retrain_loop, mm_png_codec_roundtrip, mm_png_ahash,
+    # curate_dsir_shift), then a 32-row backfill re-proving the
+    # round-7 window's families
+    "sim_ivf_recall_at_k",
+    "sim_ivf_filtered_topk",
+    "sim_ivf_index_health",
+    "sim_ivf_retrain_loop",
+    "dedup_substring_window_pairs",
+    "text_dup_ngram_coverage",
+    "mm_png_codec_roundtrip",
+    "mm_png_ahash",
+    "stream_dedup_index_ingest",
+    "stream_ivfpq_arrow_idempotent_sink",
+    "stream_dsir_score",
+    "stream_curate_pipeline",
+    "curate_dsir_importance",
+    "curate_dsir_resample",
+    "curate_dsir_shift",
+    "text_nb_lang_confusion",
+    "curate_decontaminate_substring",
+    "text_hybrid_rrf_search",
     "io_dynamic_partition_overwrite",
     "io_batch_cdc_merge",
     "src_binaryfile_scan",
@@ -272,7 +294,6 @@ GRADE_PRIORITY: list[str] = [
     "stream_ivf_ingest",
     "stream_ivfpq_ingest",
     "pipeline_curate_end2end",
-    # backfill: re-prove the round-6 window's families
     "src_xml_roundtrip",
     "join_bloom_runtime_filter",
     "evt_rate_limit_audit",
@@ -296,24 +317,6 @@ GRADE_PRIORITY: list[str] = [
     "sim_lsh_recall_at_k",
     "dedup_shingle_containment_top1",
     "sim_knn_label_eval",
-    "mm_wav_codec_roundtrip",
-    "mm_bmp_codec_roundtrip",
-    "mm_bmp_ahash_fingerprint",
-    "text_bpe_compression_by_lang",
-    "stream_mm_ahash_fingerprint",
-    "curate_k_anonymity",
-    "curate_chunk_overlap",
-    "curate_assign_row_ids",
-    "sample_weighted_es_topk",
-    "curate_perplexity_buckets",
-    "text_zipf_slope",
-    "agg_regr_linear_price_qty",
-    "window_percentrank_cumedist_price",
-    "scalar_url_parse",
-    "evt_time_weighted_avg",
-    "evt_scd2_user_history",
-    "evt_gapfill_hourly",
-    "sim_matryoshka_rerank_topk",
 ]
 
 

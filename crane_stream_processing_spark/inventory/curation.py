@@ -441,7 +441,7 @@ def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (
       SELECT doc_id, lang, n_chars, text,
              len(tk) AS nw,
-             list_sum(list_transform(tk, t -> strlen(t))) AS sum_len,
+             list_sum(list_transform(tk, t -> length(t))) AS sum_len,
              len(list_filter(tk, t -> t IN ('a','the'))) AS n_stop,
              len(list_distinct(tk)) AS n_distinct
       FROM toks WHERE len(tk) > 0
@@ -1324,3 +1324,106 @@ def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.weighted_topk_es(wdf, 50, "w", "doc_id").select(
         "doc_id", "lang", "dsir_logweight", "es_key"
     )
+
+
+@query(
+    "curate_dsir_shift",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, lang, substr(md5(b), 1, 2) AS bkt
+      FROM (
+        SELECT doc_id, lang,
+               unnest([tk[i] || ' ' || tk[i+1]
+                       FOR i IN range(1, greatest(len(tk), 1))]) AS b
+        FROM (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents)
+      )
+    ),
+    pc AS (
+      SELECT doc_id, lang, bkt, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3
+    ),
+    tbl AS (
+      SELECT bkt, SUM(c) AS r_cnt,
+             COALESCE(SUM(c) FILTER (lang = 'en'), 0) AS t_cnt
+      FROM pc GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(r_cnt) AS rt, SUM(t_cnt) AS tt FROM tbl),
+    llr AS (
+      SELECT bkt, ln((t_cnt + 1.0) / (tt + 256.0))
+                  - ln((r_cnt + 1.0) / (rt + 256.0)) AS w
+      FROM tbl CROSS JOIN tot
+    ),
+    wt AS (
+      SELECT pc.doc_id, ROUND(SUM(pc.c * llr.w), 6) AS lw
+      FROM pc JOIN llr USING (bkt) GROUP BY pc.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, COALESCE(wt.lw, 0.0) AS lw,
+             (CAST(('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
+                                                CHR(0))), 1, 8)) AS BIGINT)
+              + 1) / 4294967296.0 AS u
+      FROM documents d LEFT JOIN wt USING (doc_id)
+    ),
+    sel AS (
+      SELECT doc_id, lang, lw FROM (
+        SELECT doc_id, lang, lw,
+               ROW_NUMBER() OVER (
+                 ORDER BY round(-ln(u) * 1000.0 / exp(lw), 6), doc_id) AS rk
+        FROM scored
+      ) WHERE rk <= 50
+    )
+    SELECT 'raw' AS corpus, CAST(floor(lw) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0)
+                AS BIGINT) AS n_en
+    FROM scored GROUP BY 2
+    UNION ALL
+    SELECT 'selected' AS corpus, CAST(floor(lw) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0)
+                AS BIGINT) AS n_en
+    FROM sel GROUP BY 2
+    """,
+)
+def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION-ACTUALLY-SHIFTED-THE-DISTRIBUTION proof (Xie et al.
+    2023 Fig. 2 analog): materialize the DSIR-resampled corpus
+    (curate_dsir_resample's exact draw) and emit the logweight HISTOGRAM
+    of the raw corpus next to the selected one — unit-width bins
+    (floor(logweight)) with per-bin doc counts and target-language ('en')
+    counts, all integer-exact. A correct importance resample concentrates
+    the selected mass in the high-logweight bins and raises the en share;
+    this query makes that auditable as data rather than a claim — the
+    acceptance report a production selection run ships next to the
+    corpus it curated. Plan: the DSIR map + 256-row broadcast model is
+    one pass; the draw is TakeOrderedAndProject (50 rows); both
+    histograms are map-side-combinable groupBys over ≤ a few dozen bins
+    — at 100 TB the output stays O(bins), never O(docs). Binning uses
+    floor over the SAME 6-dp-rounded weights both engines already
+    hash-match (curate_dsir_importance), so bin edges cannot straddle
+    an engine ulp."""
+    from ..operators.text import dsir_logweights
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    wt = dsir_logweights(docs, "doc_id", "text", F.col("lang") == "en")
+    scored = docs.select("doc_id", "lang").join(
+        wt.select("doc_id", "dsir_logweight"), "doc_id"
+    )
+    sel = SA.weighted_topk_es(
+        scored.withColumn("w", F.exp("dsir_logweight")), 50, "w", "doc_id"
+    ).select("doc_id", "lang", "dsir_logweight")
+
+    def hist(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.floor("dsir_logweight").cast("bigint").alias("bin")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.when(F.col("lang") == "en", 1).otherwise(0)
+                ).cast("bigint").alias("n_en"),
+            )
+            .select(F.lit(label).alias("corpus"), "bin", "n_docs", "n_en")
+        )
+
+    return hist(scored, "raw").unionAll(hist(sel, "selected"))

@@ -256,3 +256,101 @@ def test_wav_energy_windows_rejects_multichannel(spark):
     )
     with _pytest.raises(Exception, match="mono PCM only"):
         M.wav_energy_windows(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# PNG (compressed codec: stdlib zlib DEFLATE + 5-type scanline defilter)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_matches_bmp_pixels():
+    """One RGB grid, two containers: the PNG decode (inflate + defilter)
+    must agree pixel-for-pixel with the BMP decode, and therefore hash-
+    identically — the codec-invariance contract mm_png_ahash grades."""
+    import numpy as np
+
+    for did in (0, 3, 7, 11):
+        w, h = 8 + did % 9, 4 + did % 5
+        rgb = M._rgb_grid(did, w, h)
+        png_px, n_chunks = M.decode_png_pixels(M.encode_png(rgb))
+        bmp_px = M.decode_bmp24_pixels(M.encode_bmp24(rgb))
+        assert (png_px == bmp_px).all()
+        assert (png_px == rgb.astype(np.int64)).all()
+        assert n_chunks == 4  # IHDR + IDAT x2 + IEND
+        assert M.ahash64(png_px) == M.ahash64(bmp_px)
+
+
+def test_png_every_filter_type_roundtrips():
+    """The encoder cycles scanline filters y mod 5, so any h >= 5 image
+    puts None/Sub/Up/Average/Paeth all on the wire; decode must invert
+    each branch exactly."""
+    rgb = M._rgb_grid(5, 16, 10)
+    decoded, _ = M.decode_png_pixels(M.encode_png(rgb))
+    assert (decoded == rgb).all()
+
+
+def test_png_rejects_corruption_and_foreign_bytes():
+    import pytest as _pytest
+
+    rgb = M._rgb_grid(2, 9, 6)
+    good = M.encode_png(rgb)
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF  # inside a chunk body or CRC
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(bytes(bad))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png_pixels(b"BM" + good)
+    # truncated stream (IEND lost)
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(good[:-12])
+
+
+def test_png_golden_bytes():
+    """Pin the encoder's byte layout: signature, IHDR fields, and the
+    decode of a hand-assembled minimal PNG (single IDAT, filter 0 only)
+    built independently of encode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # hand-assembled 2x2 image, filter type 0 rows
+    px = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    raw = b"\x00" + px[0].tobytes() + b"\x00" + px[1].tobytes()
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    decoded, n_chunks = M.decode_png_pixels(blob)
+    assert (decoded == px.astype(np.int64)).all()
+    assert n_chunks == 3
+    # and our encoder's header parses to the same profile
+    ours = M.encode_png(px)
+    assert ours[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, depth, ct = struct.unpack(">IIBB", ours[16:26])
+    assert (w, h, depth, ct) == (2, 2, 8, 2)
+
+
+def test_png_ahash_spark_path(spark):
+    """End-to-end Spark plumbing: synthesize -> mapInPandas decode ->
+    aHash rows equal the BMP path's for the same ids."""
+    docs = spark.createDataFrame([(1,), (9,), (13,)], "doc_id long")
+    png_rows = {
+        r.media_id: (r.ahash_w0, r.ahash_w1, r.bits_set)
+        for r in M.png_ahash(M.synthesize_png(docs)).collect()
+    }
+    bmp_rows = {
+        r.media_id: (r.ahash_w0, r.ahash_w1, r.bits_set)
+        for r in M.bmp_ahash(M.synthesize_bmp(docs)).collect()
+    }
+    assert png_rows == bmp_rows and len(png_rows) == 3

@@ -175,6 +175,11 @@ _NLJ_ALLOWED = {
     # broadcast crossJoin (bounded side), same pattern as sim_cosine_topk
     "sim_ivf_recall_at_k",  # exact baseline: same bounded 10-query
     # broadcast crossJoin; plus the 3-row nprobe-dim scalar broadcast
+    "sim_ivf_retrain_loop",  # certificate's exact baseline (10-query
+    # broadcast) + two 1-row health-scalar broadcasts; both index
+    # searches are cell equi-joins
+    "curate_dsir_shift",  # same 1-row DSIR-model scalar broadcast as
+    # curate_dsir_importance/resample, feeding the histogram groupBys
     "sim_ivf_rel_coarse_topk",  # relational coarse quantizer: the 1-row
     # centroid-matrix broadcast crossJoin (bounded: ONE row) on each side
     "sim_ivf_arrow_coarse_topk",  # same 1-row centroid-matrix crossJoin,
@@ -238,6 +243,7 @@ _SCALED_HINT_ALLOWED = {
     "sim_knn_label_eval",           # vec_id<50 probe broadcast
     "sim_lsh_recall_at_k",          # 10-query probe broadcast
     "sim_ivf_recall_at_k",          # 10-query probe + exact baseline
+    "sim_ivf_retrain_loop",         # 10-query probe + exact baseline
     "sim_ivfpq_topk",               # probe, LUT build, exact baseline
     "sim_matryoshka_rerank_topk",   # prefix probe + full-vector probe
     "sim_pq_adc_topk",              # probe + LUT + exact baseline

@@ -645,3 +645,70 @@ def test_stream_ivf_ingest_incremental_and_plan(spark, tdir):
     }
     assert set(seen) == expect
     assert len({c for _, c in seen}) > 1, "fixture should span several cells"
+
+
+def test_state_store_reconciles_with_memory_sink(spark, sf_dir):
+    """The 'audit what a 100 TB stream is holding' claim, PROVEN end to
+    end on a real event-time aggregation: run a checkpointed tumbling
+    daily count over the events stream into a complete-mode memory sink,
+    then read the SAME aggregation's live state offline via the
+    statestore source and reconcile row-for-row — every (day,
+    event_type) group the sink reports must sit in the checkpoint with
+    the identical count, and state-metadata must map the operator. This
+    is the offline half of the acker ledger: the sink is what the query
+    SAID, the checkpoint is what it IS HOLDING; equality is the
+    exactly-once accounting audit."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.inventory.streaming_queries import (
+        _stream_events,
+    )
+    from crane_stream_processing_spark.streaming.monitor import (
+        read_state,
+        state_metadata,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="statestore_audit_")
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("statestore_audit")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sink = {
+        (r.w.start.isoformat(), r.event_type): r.n
+        for r in spark.table("statestore_audit").collect()
+    }
+    assert sink, "events stream produced no groups"
+
+    meta = state_metadata(spark, _os.path.join(ckpt))
+    ops = [(r.operatorId, r.operatorName) for r in meta.collect()]
+    assert any(name == "stateStoreSave" for _, name in ops), ops
+    op_id = next(i for i, name in ops if name == "stateStoreSave")
+
+    st = read_state(spark, ckpt, operator_id=op_id)
+    # state rows carry the operator's INTERNAL field names — key.window
+    # (not the query's alias) and value.count (the physical aggregate
+    # buffer), which is exactly the point: this is the checkpoint's own
+    # layout, not a replay of the query
+    held = {
+        (r.key.window.start.isoformat(), r.key.event_type): r.value["count"]
+        for r in st.collect()
+    }
+    assert held == sink, (
+        f"checkpointed state and sink diverge: "
+        f"{len(held)} held vs {len(sink)} reported"
+    )

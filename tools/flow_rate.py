@@ -74,6 +74,9 @@ def measure(spark, rate: int, period_s: float, duration_s: float) -> dict:
     # wall time exceeds len(rows) * period and the count-based rate
     # overstates delivered input. Span covers first..last kept batch;
     # one trailing period approximates the last batch's own interval.
+    # ProgressRecorder deliberately records timestamp=None for events
+    # lacking the attribute (tolerant-stub listener), so fall back to the
+    # batches x period denominator when fewer than two batches carry one.
     from datetime import datetime
 
     def _ts(p):
@@ -81,7 +84,11 @@ def measure(spark, rate: int, period_s: float, duration_s: float) -> dict:
             p["timestamp"].replace("Z", "+00:00")
         ).timestamp()
 
-    span_sec = max(_ts(rows[-1]) - _ts(rows[0]) + period_s, period_s)
+    stamped = [p for p in rows if p.get("timestamp")]
+    if len(stamped) >= 2:
+        span_sec = max(_ts(stamped[-1]) - _ts(stamped[0]) + period_s, period_s)
+    else:
+        span_sec = max(len(rows) * period_s, period_s)
     return {
         "batches": len(rows),
         "input_rows_per_sec": round(total_rows / span_sec, 1),
