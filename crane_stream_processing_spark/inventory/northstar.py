@@ -1658,7 +1658,11 @@ def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t_cpu(spark, sf_dir, "embeddings")
     key = (sf_dir, 64, 2)
     if key not in _KMEANS_MODELS:
-        _KMEANS_MODELS[key] = S.kmeans_fit(emb, k=64, iters=2)
+        # arrow=True: the training twin of ivf_assign_arrow — one matmul
+        # + np.add.at partial sums per batch (~4x the relational
+        # iteration body at k=64); certificate margins absorb its
+        # ulp-order contract, and tests/test_kmeans_ivf.py pins parity.
+        _KMEANS_MODELS[key] = S.kmeans_fit(emb, k=64, iters=2, arrow=True)
     trained = _KMEANS_MODELS[key]
 
     from pyspark.sql import Window

@@ -704,6 +704,29 @@ def stream_mm_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_mm_ahash_fingerprint")
 
 
+@query("stream_mm_png_ahash", oracle=_ORACLE_MM_AHASH)
+def stream_mm_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED codec on a stream: arriving documents synthesize
+    real PNG payloads and run the full decompress path — per-chunk CRC32
+    validation, multi-IDAT zlib inflate, five-type scanline defilter
+    (operators/multimodal.py decode_png_pixels) — then the same
+    all-integer aHash, inside stateless Arrow-batched mapInPandas
+    stages, append-mode. Graded against the SAME closed-form oracle as
+    both BMP fingerprint queries (batch and stream): the fingerprint of
+    a correct decoder is container-invariant AND execution-mode-
+    invariant, so a mixed landing zone (BMP and PNG assets arriving
+    continuously) feeds one dedup index with directly joinable hash
+    words. At 100 TB the inflate+defilter cost rides the partition-
+    parallel decode stage — no shuffle, no state, O(new blobs) per
+    trigger."""
+    from ..operators import multimodal as M
+
+    docs = _stream_docs(spark, sf_dir)
+    hashed = M.png_ahash(M.synthesize_png(docs))
+    _run_to_memory(hashed, "stream_mm_png_ahash", "append")
+    return spark.table("stream_mm_png_ahash")
+
+
 def _oracle_stream_dedup_minhash() -> str:
     # The batch LSH-banding CTE, verbatim (northstar is loaded before this
     # module): the stream must surface exactly the batch pipeline's

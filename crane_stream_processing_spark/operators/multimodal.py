@@ -716,19 +716,27 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(rgb) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
-    using stdlib zlib only. Scanline filters cycle y mod 5 so every
-    defilter branch (None/Sub/Up/Average/Paeth) is exercised by any
-    image with h >= 5; the IDAT stream is split in two chunks."""
+def encode_png(rgb, color_type: int = 2) -> bytes:
+    """Encode a uint8 pixel array as an 8-bit PNG using stdlib zlib
+    only: color_type 2 = truecolor RGB from (h, w, 3), 0 = grayscale
+    from (h, w), 6 = truecolor+alpha from (h, w, 4). Scanline filters
+    cycle y mod 5 so every defilter branch (None/Sub/Up/Average/Paeth)
+    is exercised by any image with h >= 5; the IDAT stream is split in
+    two chunks."""
     import struct as _struct
     import zlib as _zlib
 
     import numpy as np
 
     rgb = np.asarray(rgb, dtype=np.uint8)
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    if bpp == 1 and rgb.ndim == 2:
+        rgb = rgb[:, :, None]
+    if rgb.shape[2] != bpp:
+        raise ValueError(
+            f"color_type {color_type} needs {bpp} channels, got {rgb.shape[2]}"
+        )
     h, w = rgb.shape[:2]
-    bpp = 3
     raw = bytearray()
     prior = bytes(w * bpp)
     for y in range(h):
@@ -752,7 +760,7 @@ def encode_png(rgb) -> bytes:
                     pred = _paeth(left, up, ul)
                 raw.append((line[i] - pred) & 0xFF)
         prior = line
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     z = _zlib.compress(bytes(raw), 6)
     mid = max(len(z) // 2, 1)
     return (
@@ -765,12 +773,16 @@ def encode_png(rgb) -> bytes:
 
 
 def decode_png_pixels(b: bytes):
-    """Decode an 8-bit truecolor PNG to ((h, w, 3) int64 RGB, n_chunks):
-    validates the signature and every chunk CRC32, requires the
-    bit-depth-8 / color-type-2 / deflate / filter-method-0 /
-    non-interlaced profile, inflates the concatenated IDAT bodies, and
-    reverses all five scanline filter types. Anything outside that
-    profile, a bad CRC, or a pixel-buffer size mismatch raises."""
+    """Decode an 8-bit PNG to ((h, w, 3) int64 RGB, n_chunks): validates
+    the signature and every chunk CRC32, accepts the bit-depth-8
+    grayscale (color type 0), truecolor (2), and truecolor+alpha (6)
+    profiles with deflate / filter-method-0 / non-interlaced, inflates
+    the concatenated IDAT bodies, and reverses all five scanline filter
+    types (filtering operates on the profile's own bytes-per-pixel).
+    Grayscale replicates to 3 channels; alpha is stripped — the return
+    is always RGB, so downstream fingerprints are profile-invariant for
+    images that encode the same colors. Anything outside those
+    profiles, a bad CRC, or a pixel-buffer size mismatch raises."""
     import struct as _struct
     import zlib as _zlib
 
@@ -803,13 +815,20 @@ def decode_png_pixels(b: bytes):
     if ihdr is None or not idat or not ended:
         raise ValueError("missing IHDR/IDAT/IEND chunk")
     w, h, depth, ctype_n, comp, filt, interlace = _struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or ctype_n != 2 or comp != 0 or filt != 0 or interlace != 0:
+    if (
+        depth != 8
+        or ctype_n not in (0, 2, 6)
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
         raise ValueError(
             f"unsupported PNG profile (depth={depth}, color={ctype_n}, "
             f"comp={comp}, filter={filt}, interlace={interlace})"
         )
     raw = _zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
+    bpp = {0: 1, 2: 3, 6: 4}[ctype_n]
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         raise ValueError("pixel buffer size mismatch")
     out = np.zeros((h, stride), dtype=np.int64)
@@ -838,7 +857,12 @@ def decode_png_pixels(b: bytes):
             raise ValueError(f"unknown scanline filter {ft}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         prior = out[y]
-    return out.reshape(h, w, 3), n_chunks
+    px = out.reshape(h, w, bpp)
+    if ctype_n == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype_n == 6:
+        px = px[:, :, :3]
+    return px, n_chunks
 
 
 def parse_png(b: bytes) -> dict:

@@ -179,3 +179,23 @@ def test_arrow_exact_fold_matches_relational_bitwise(spark, emb):
         fx, tie_cents, exact_fold=True
     ).collect()[0].cell
     assert rel_cell == exact_cell == 1
+
+
+def test_arrow_kmeans_trainer_matches_relational(spark, emb):
+    """The Arrow iteration body (one matmul + np.add.at partial sums per
+    batch) must train the same model as the relational body on real
+    embeddings — here bit-identical (same init, same low-index argmax
+    tiebreak, partition-local accumulation in the same row order); the
+    contract only allows ulp divergence on engineered ties, which the
+    certificate consumers absorb. Also sanity: the arrow model's inertia
+    improves over the seed centroids, i.e. training actually trained."""
+    import numpy as np
+
+    from crane_stream_processing_spark.operators.similarity import kmeans_fit
+
+    rel = np.array(kmeans_fit(emb, k=8, iters=2))
+    arr = np.array(kmeans_fit(emb, k=8, iters=2, arrow=True))
+    assert np.allclose(rel, arr, rtol=0, atol=1e-9)
+
+    seeds = np.array(kmeans_fit(emb, k=8, iters=0, arrow=True))
+    assert _inertia(emb, seeds.tolist()) >= _inertia(emb, arr.tolist())

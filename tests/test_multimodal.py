@@ -354,3 +354,41 @@ def test_png_ahash_spark_path(spark):
         for r in M.bmp_ahash(M.synthesize_bmp(docs)).collect()
     }
     assert png_rows == bmp_rows and len(png_rows) == 3
+
+
+def test_png_grayscale_and_rgba_profiles():
+    """Profile widening: grayscale (color type 0) replicates to RGB,
+    truecolor+alpha (6) strips alpha — the returned pixels are always
+    RGB, so fingerprints are profile-invariant for equal colors. Both
+    profiles defilter with their own bytes-per-pixel (h >= 5 puts all
+    five filters on the wire)."""
+    import numpy as np
+
+    rgb = M._rgb_grid(3, 16, 10)
+    gray = (rgb.sum(axis=2) % 256).astype(np.uint8)
+    dec0, _ = M.decode_png_pixels(M.encode_png(gray, color_type=0))
+    assert dec0.shape == (10, 16, 3)
+    for c in range(3):
+        assert (dec0[:, :, c] == gray).all()
+    alpha = ((np.arange(10)[:, None] * 37 + np.arange(16)[None, :]) % 256)
+    rgba = np.dstack([rgb, alpha.astype(np.uint8)])
+    dec6, _ = M.decode_png_pixels(M.encode_png(rgba, color_type=6))
+    assert (dec6 == rgb).all()
+    # same colors, three containers -> one fingerprint
+    assert M.ahash64(dec6) == M.ahash64(
+        M.decode_png_pixels(M.encode_png(rgb))[0]
+    )
+    # palette PNGs (color type 3) stay outside the profile, explicitly
+    import struct
+    bad = bytearray(M.encode_png(rgb))
+    # color type byte lives at offset 8(sig)+8(len+type)+9 in IHDR
+    with pytest.raises(ValueError, match="unsupported PNG profile"):
+        hdr = struct.pack(">IIBBBBB", 16, 10, 8, 3, 0, 0, 0)
+        import zlib
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(hdr)) + b"IHDR" + hdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + hdr) & 0xFFFFFFFF)
+            + bad[8 + 12 + 13:]
+        )
+        M.decode_png_pixels(bytes(blob))

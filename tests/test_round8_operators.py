@@ -168,6 +168,7 @@ def test_png_queries_registered_and_prioritized():
     new = [
         "mm_png_codec_roundtrip",
         "mm_png_ahash",
+        "stream_mm_png_ahash",
         "sim_ivf_retrain_loop",
         "curate_dsir_shift",
     ]
