@@ -263,10 +263,11 @@ def _load_all() -> None:
 # over the FULL registry as of this freeze: 254/254.
 GRADE_PRIORITY: list[str] = [
     # round-7/8 post-freeze additions (never driver-graded):
-    # the 14 round-7 queries + the 5 new round-8 queries
+    # the 14 round-7 queries + the 7 new round-8 queries
     # (sim_ivf_retrain_loop, mm_png_codec_roundtrip, mm_png_ahash,
-    # stream_mm_png_ahash, curate_dsir_shift), then a 31-row
-    # backfill re-proving the round-7 window's families
+    # stream_mm_png_ahash, curate_dsir_shift, curate_pii_redact,
+    # curate_token_budget_fill), then a 29-row backfill re-proving
+    # the round-7 window's families
     "sim_ivf_recall_at_k",
     "sim_ivf_filtered_topk",
     "sim_ivf_index_health",
@@ -286,6 +287,8 @@ GRADE_PRIORITY: list[str] = [
     "curate_decontaminate_substring",
     "text_hybrid_rrf_search",
     "stream_mm_png_ahash",
+    "curate_pii_redact",
+    "curate_token_budget_fill",
     "io_dynamic_partition_overwrite",
     "io_batch_cdc_merge",
     "src_binaryfile_scan",
@@ -314,9 +317,7 @@ GRADE_PRIORITY: list[str] = [
     "dedup_semantic_prune",
     "sim_binary_quant_hamming_topk",
     "sim_pca_power_topdir",
-    "sim_embedding_covariance",
-    "sim_lsh_recall_at_k",
-    "dedup_shingle_containment_top1",
+    "q1_pricing_summary",
 ]
 
 

@@ -1327,6 +1327,148 @@ def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curate_pii_redact",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' tel 555-' || CAST(1000 + doc_id % 9000
+                                                   AS VARCHAR)
+                          ELSE '' END AS s
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(
+               s, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(s, '\\d{3}-\\d{4}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(
+               regexp_replace(s, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                              '[EMAIL]', 'g'),
+               '\\d{3}-\\d{4}', '[PHONE]', 'g') AS r
+      FROM staged
+    )
+    SELECT doc_id, n_emails, n_phones, md5(r) AS redacted_md5,
+           len(regexp_extract_all(r, '[a-z0-9]+@[a-z]+\\.[a-z]+')) = 0
+           AND len(regexp_extract_all(r, '\\d{3}-\\d{4}')) = 0
+             AS fully_redacted
+    FROM red
+    """,
+)
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the scrubbing pass every shareable training corpus
+    runs before export (emails/phones masked, not dropped, so document
+    structure survives for the model): deterministic PII is first
+    INJECTED per document (an email always, a phone on even ids — the
+    synthesize_bmp convention: the fixture corpus has no real PII, so
+    the query manufactures a known ground truth), then the redactor
+    masks both pattern classes with JVM-side regexp_replace and counts
+    matches with regexp_count. Graded end-to-end: per-doc match counts,
+    the md5 of the REDACTED text (so a lazy redactor that only counts
+    cannot pass), and `fully_redacted` — zero pattern hits remain after
+    masking, the idempotence/completeness certificate, which the oracle
+    re-derives rather than asserts. Both engines run the same RE2-safe
+    patterns over the same staged strings, so every row is hash-exact.
+    At 100 TB: stateless row-local regex in whole-stage codegen — one
+    scan, no shuffle, no Python."""
+    docs = t_cpu(spark, sf_dir, "documents")
+    email_pat = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_pat = r"\d{3}-\d{4}"
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("s"),
+    )
+    r = F.regexp_replace(
+        F.regexp_replace(F.col("s"), email_pat, "[EMAIL]"),
+        phone_pat,
+        "[PHONE]",
+    )
+    red = staged.select(
+        "doc_id",
+        F.regexp_count("s", F.lit(email_pat)).cast("long").alias("n_emails"),
+        F.regexp_count("s", F.lit(phone_pat)).cast("long").alias("n_phones"),
+        r.alias("r"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("r").alias("redacted_md5"),
+        (
+            (F.regexp_count("r", F.lit(email_pat)) == 0)
+            & (F.regexp_count("r", F.lit(phone_pat)) == 0)
+        ).alias("fully_redacted"),
+    )
+
+
+@query(
+    "curate_token_budget_fill",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({SQL_TOKS}) AS tok_cnt FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, CAST(tok_cnt AS BIGINT) AS tok_cnt,
+             CAST(SUM(tok_cnt) OVER (
+               PARTITION BY lang ORDER BY tok_cnt DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT lang, doc_id, tok_cnt, cum_tokens
+    FROM ranked WHERE cum_tokens <= 2000
+    """,
+)
+def curate_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET corpus fill — the mixture-construction primitive: a
+    pretraining run buys a FIXED token budget per language/domain, not a
+    document count, so selection is 'take documents in preference order
+    until the budget is spent'. Preference here is longest-first (the
+    packing-friendly heuristic; any deterministic key composes — DSIR
+    weight, quality score), the running spend is ONE window cumulative
+    sum per language partition, and the cut is cum_tokens <= 2000.
+    Emitted rows are the purchased corpus with each document's running
+    total — the receipt. Output is O(budget/min_doc_tokens) rows per
+    language AT ANY CORPUS SIZE (the filter caps it), and the window is
+    a single hash-partition-by-lang sort — at 100 TB with few
+    partitions this is the one shape where a per-group TopK +
+    cumsum-within-k rewrite (take enough longest docs per lang first)
+    bounds the sort input; documented here rather than hidden. Every
+    number is an integer, so rows grade hash-exact."""
+    from ..functions import tokens
+    from pyspark.sql import Window
+
+    docs = t_cpu(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("tok_cnt")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tok_cnt").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("tok_cnt").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("lang", "doc_id", "tok_cnt", "cum_tokens")
+    )
+
+
+@query(
     "curate_dsir_shift",
     oracle=f"""
     WITH bg AS (

@@ -171,6 +171,8 @@ def test_png_queries_registered_and_prioritized():
         "stream_mm_png_ahash",
         "sim_ivf_retrain_loop",
         "curate_dsir_shift",
+        "curate_pii_redact",
+        "curate_token_budget_fill",
     ]
     for n in new:
         assert n in REGISTRY
