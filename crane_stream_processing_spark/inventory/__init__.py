@@ -263,11 +263,12 @@ def _load_all() -> None:
 # over the FULL registry as of this freeze: 254/254.
 GRADE_PRIORITY: list[str] = [
     # round-7/8 post-freeze additions (never driver-graded):
-    # the 14 round-7 queries + the 7 new round-8 queries
+    # the 14 round-7 queries + the 9 new round-8 queries
     # (sim_ivf_retrain_loop, mm_png_codec_roundtrip, mm_png_ahash,
     # stream_mm_png_ahash, curate_dsir_shift, curate_pii_redact,
-    # curate_token_budget_fill), then a 29-row backfill re-proving
-    # the round-7 window's families
+    # stream_pii_redact, curate_token_budget_fill,
+    # io_incremental_agg_maintenance), then a 27-row backfill
+    # re-proving the round-7 window's families
     "sim_ivf_recall_at_k",
     "sim_ivf_filtered_topk",
     "sim_ivf_index_health",
@@ -289,6 +290,8 @@ GRADE_PRIORITY: list[str] = [
     "stream_mm_png_ahash",
     "curate_pii_redact",
     "curate_token_budget_fill",
+    "io_incremental_agg_maintenance",
+    "stream_pii_redact",
     "io_dynamic_partition_overwrite",
     "io_batch_cdc_merge",
     "src_binaryfile_scan",
@@ -316,8 +319,6 @@ GRADE_PRIORITY: list[str] = [
     "dedup_minhash_calibration",
     "dedup_semantic_prune",
     "sim_binary_quant_hamming_topk",
-    "sim_pca_power_topdir",
-    "q1_pricing_summary",
 ]
 
 

@@ -697,6 +697,107 @@ def io_batch_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_DIRS: dict[str, str] = {}
+
+
+@query(
+    "io_incremental_agg_maintenance",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_custkey, o_totalprice FROM orders
+      WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 37 <> 0)
+         OR o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS total_price
+    FROM survivors GROUP BY o_custkey
+    """,
+)
+def io_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE — how a materialized aggregate over a
+    100 TB fact table absorbs a change feed WITHOUT the full rescan: the
+    per-customer order aggregate is materialized once to parquet (counts
+    + EXACT decimal sums — the self-maintainable aggregate classes), and
+    the maintenance pass combines that small at-rest state with SIGNED
+    delta aggregates computed from the changes alone — inserts (orders
+    on/after the 1997-01-01 cutoff) contribute (+1, +price), deletes
+    (pre-cutoff orders with o_orderkey % 37 = 0) contribute (−1, −price)
+    — one union + one groupBy over |distinct keys| + |delta| rows.
+    Groups whose count reaches zero drop out (full-group deletion
+    handled). The oracle recomputes the view FROM SCRATCH over the
+    post-change row set, so the grade is the IVM correctness theorem for
+    this view: maintained state ≡ recomputed state, row-for-row with
+    exact decimal money. Scale shape: raw fact rows are scanned ONLY for
+    the delta (the date predicate pushes to the parquet scan); the base
+    enters as one row per group — at 100 TB with a 0.1% daily delta this
+    is the difference between scanning 100 GB and 100 TB per refresh.
+    COUNT+SUM are the self-maintainable pair (MIN/MAX would need the
+    anti-monotone rescan on delete — documented limit, not hidden)."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table
+    import tempfile
+
+    from .. import catalog
+    from . import cached_fixture
+
+    CUT = "1997-01-01"
+
+    def _build_base() -> str:
+        orders = catalog.load_table(spark, sf_dir, "orders")
+        agg = (
+            orders.filter(F.col("o_orderdate") < CUT)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(28,4)")
+                ).alias("total_dec"),
+            )
+        )
+        d = tempfile.mkdtemp(prefix="crane_ivm_base_")
+        agg.write.mode("overwrite").parquet(d)
+        return d
+
+    path = cached_fixture(_IVM_DIRS, sf_dir, _build_base)
+    base_agg = spark.read.parquet(path)
+    orders = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(28,4)")
+    inserts = orders.filter(F.col("o_orderdate") >= CUT).select(
+        "o_custkey",
+        F.lit(1).cast("long").alias("dn"),
+        dec.alias("dv"),
+    )
+    deletes = orders.filter(
+        (F.col("o_orderdate") < CUT) & (F.col("o_orderkey") % 37 == 0)
+    ).select(
+        "o_custkey",
+        F.lit(-1).cast("long").alias("dn"),
+        (-dec).alias("dv"),
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    maintained = (
+        base_agg.select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("dn"),
+            F.col("total_dec").alias("dv"),
+        )
+        .unionByName(delta.select("o_custkey", "dn", F.col("dv")))
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dv").alias("tot"))
+    )
+    return maintained.filter(F.col("n_orders") > 0).select(
+        "o_custkey",
+        "n_orders",
+        F.col("tot").cast("double").alias("total_price"),
+    )
+
+
 _BINFILE_DIRS: dict[str, str] = {}
 
 

@@ -1326,9 +1326,9 @@ def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curate_pii_redact",
-    oracle="""
+# Shared by curate_pii_redact and its streaming twin (stream_pii_redact):
+# the stream must answer identically to the batch pass.
+ORACLE_PII_REDACT = """
     WITH staged AS (
       SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1356,8 +1356,10 @@ def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND len(regexp_extract_all(r, '\\d{3}-\\d{4}')) = 0
              AS fully_redacted
     FROM red
-    """,
-)
+    """
+
+
+@query("curate_pii_redact", oracle=ORACLE_PII_REDACT)
 def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII REDACTION — the scrubbing pass every shareable training corpus
     runs before export (emails/phones masked, not dropped, so document
@@ -1374,7 +1376,16 @@ def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns over the same staged strings, so every row is hash-exact.
     At 100 TB: stateless row-local regex in whole-stage codegen — one
     scan, no shuffle, no Python."""
-    docs = t_cpu(spark, sf_dir, "documents")
+    return build_pii_redact(t_cpu(spark, sf_dir, "documents"))
+
+
+def build_pii_redact(docs: DataFrame) -> DataFrame:
+    """The PII injection + redaction transform, shared verbatim by the
+    batch query above and its streaming twin (`stream_pii_redact`) —
+    the build_curate_stream discipline: one definition, so the graded
+    batch semantics and the production on-ingest scrubber can never
+    desynchronize. Works on any (doc_id, text) frame, batch or
+    streaming (every stage is a stateless row-local projection)."""
     email_pat = r"[a-z0-9]+@[a-z]+\.[a-z]+"
     phone_pat = r"\d{3}-\d{4}"
     staged = docs.select(

@@ -727,6 +727,31 @@ def stream_mm_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_mm_png_ahash")
 
 
+def _oracle_stream_pii_redact() -> str:
+    from .curation import ORACLE_PII_REDACT
+
+    return ORACLE_PII_REDACT
+
+
+@query("stream_pii_redact", oracle=_oracle_stream_pii_redact())
+def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing ON INGEST — where a production pipeline actually
+    runs it (documents are redacted the moment they land, so nothing
+    downstream ever sees the raw identifiers): the documents file stream
+    flows through the IDENTICAL transform as the batch pass
+    (curation.build_pii_redact — one shared definition, so batch grade
+    and streaming deployment cannot desynchronize), append-mode, graded
+    against the same oracle: per-doc match counts, redacted-text md5,
+    and the fully-redacted completeness certificate. Stateless 1→1
+    row-local regex in whole-stage codegen — no watermark, no state,
+    O(new docs) per trigger at any corpus size."""
+    from .curation import build_pii_redact
+
+    out = build_pii_redact(_stream_docs(spark, sf_dir).select("doc_id", "text"))
+    _run_to_memory(out, "stream_pii_redact", "append")
+    return spark.table("stream_pii_redact")
+
+
 def _oracle_stream_dedup_minhash() -> str:
     # The batch LSH-banding CTE, verbatim (northstar is loaded before this
     # module): the stream must surface exactly the batch pipeline's

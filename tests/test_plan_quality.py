@@ -702,3 +702,23 @@ def test_registry_wide_driver_safe_output_schemas(spark, sf_dir):
         if offend:
             bad[name] = offend
     assert bad == {}, bad
+
+
+def test_ivm_scans_delta_not_base_facts(spark, sf_dir):
+    """Incremental view maintenance must read the BASE as its
+    materialized aggregate (a fixture parquet of per-customer rows), and
+    touch raw orders only for the delta: the date predicate must reach
+    the orders scans as a pushed filter, and exactly one scan may read
+    the materialized state (its schema carries total_dec, which no raw
+    table has)."""
+    plan = _plan(spark, "io_incremental_agg_maintenance", sf_dir)
+    assert "total_dec" in plan, "materialized base aggregate not read"
+    # every orders scan is delta-bounded: the 1997 cutoff appears in
+    # pushed filters (insert side >=, delete side <)
+    pushed = [
+        s.splitlines()[0] for s in plan.split("PushedFilters")[1:]
+    ]
+    orders_pushed = [p for p in pushed if "o_orderdate" in p]
+    assert orders_pushed and all("1997-01-01" in p for p in orders_pushed), (
+        f"delta date bound not pushed: {orders_pushed}"
+    )

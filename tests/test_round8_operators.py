@@ -173,6 +173,8 @@ def test_png_queries_registered_and_prioritized():
         "curate_dsir_shift",
         "curate_pii_redact",
         "curate_token_budget_fill",
+        "stream_pii_redact",
+        "io_incremental_agg_maintenance",
     ]
     for n in new:
         assert n in REGISTRY
