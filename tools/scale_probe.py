@@ -9,7 +9,7 @@ check": the registry's small-SF bench proves correctness-at-speed, this
 probe proves the SHAPES stay sub-linear when the data actually grows —
 the local stand-in for the 100 TB question. Run from the repo root:
 
-    python tools/scale_probe.py [N ...] [--skew] [--ingest] [--io] [--curate]
+    python tools/scale_probe.py [N ...] [--skew] [--ingest] [--io] [--curate] [--ivm] [--png]
 
 Prints one JSON line: {"scales": {"10": {shape: sec, ...}, ...},
 "base": {shape: sec at 1x, ...}}; with --skew, adds the Zipf-skewed
@@ -21,8 +21,11 @@ overwrite maintenance shapes (wall-clock linearity + proof that
 untouched partitions are not rewritten); with --curate, the composed
 streaming-curation pipeline's ingest rate (gate -> watermark-bounded
 dedup -> DSIR score, docs/s — the stream_curate_pipeline shape via the
-SHARED build_curate_stream builder). Each --X flag has an --X-only
-twin that skips the base shape suite.
+SHARED build_curate_stream builder); with --ivm, incremental view
+maintenance vs full recompute wall-clock (the
+io_incremental_agg_maintenance speedup, measured); with --png, the
+compressed-codec decode rate (PNG inflate+defilter vs BMP, images/s).
+Each --X flag has an --X-only twin that skips the base shape suite.
 """
 
 from __future__ import annotations
@@ -546,12 +549,159 @@ def curate_probe(spark, n: int) -> dict:
     }
 
 
+def ivm_probe(spark, n: int) -> dict:
+    """Incremental-view-maintenance speedup, measured (round-8,
+    io_incremental_agg_maintenance's scale claim made numeric). The
+    deployment shape: the fact table sits at rest at N× volume, the
+    change feed lands AS ITS OWN SMALL TABLE (~1% of fact rows: half
+    deletes referencing existing keys, half inserts with fresh keys),
+    and the refresh is timed two ways — (a) INCREMENTAL: read only the
+    delta table + the materialized aggregate, merge, write; (b) FULL:
+    re-scan the fact table, apply the changes (anti-join deletes +
+    unioned inserts), re-aggregate, write. Both produce the identical
+    refreshed view (checked); sink cost is symmetric. (a)'s cost is
+    O(delta + groups) regardless of N — the 100 TB claim — while (b)
+    pays the fact scan every refresh."""
+    import shutil
+
+    fact = replicate(
+        load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        n,
+        ["o_orderkey", "o_custkey"],
+    )
+    src = _scratch("crane_ivmprobe_src_")
+    fact.repartition(32).write.mode("overwrite").parquet(src)
+    fact = spark.read.parquet(src)
+    n_rows = fact.count()
+    dec = F.col("o_totalprice").cast("decimal(28,4)")
+
+    # Materialized view state (built once, not timed — it exists).
+    base_dir = _scratch("crane_ivmprobe_base_")
+    fact.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(dec).alias("total_dec")
+    ).write.mode("overwrite").parquet(base_dir)
+
+    # The change feed as its own landed table: ~0.5% deletes (existing
+    # rows at o_orderkey % 200 == 0) + equally many inserts (fresh keys).
+    delta_dir = _scratch("crane_ivmprobe_delta_")
+    dels = fact.filter(F.col("o_orderkey") % 200 == 0).select(
+        F.lit("D").alias("op"), "o_custkey", "o_totalprice"
+    )
+    ins = fact.filter(F.col("o_orderkey") % 200 == 100).select(
+        F.lit("I").alias("op"), "o_custkey", "o_totalprice"
+    )
+    dels.unionByName(ins).coalesce(4).write.mode("overwrite").parquet(delta_dir)
+    n_delta = spark.read.parquet(delta_dir).count()
+
+    # (a) incremental: reads ONLY the delta table + the at-rest aggregate
+    t0 = time.perf_counter()
+    ch = spark.read.parquet(delta_dir)
+    signed = ch.select(
+        "o_custkey",
+        F.when(F.col("op") == "I", 1).otherwise(-1).cast("long").alias("dn"),
+        F.when(F.col("op") == "I", dec).otherwise(-dec).alias("dv"),
+    )
+    delta = signed.groupBy("o_custkey").agg(
+        F.sum("dn").alias("dn"), F.sum("dv").alias("dv")
+    )
+    maintained = (
+        spark.read.parquet(base_dir)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("dn"),
+            F.col("total_dec").alias("dv"),
+        )
+        .unionByName(delta.select("o_custkey", "dn", "dv"))
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dv").alias("total_dec"))
+        .filter(F.col("n_orders") > 0)
+    )
+    out_i = _scratch("crane_ivmprobe_inc_")
+    maintained.write.mode("overwrite").parquet(out_i)
+    inc_sec = time.perf_counter() - t0
+
+    # (b) full recompute: fact scan + change application + re-aggregate
+    t0 = time.perf_counter()
+    survivors = fact.filter(F.col("o_orderkey") % 200 != 0)
+    inserts_rows = spark.read.parquet(delta_dir).filter(
+        F.col("op") == "I"
+    ).select("o_custkey", "o_totalprice")
+    full = (
+        survivors.select("o_custkey", "o_totalprice")
+        .unionByName(inserts_rows)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec).alias("total_dec"),
+        )
+    )
+    out_f = _scratch("crane_ivmprobe_full_")
+    full.write.mode("overwrite").parquet(out_f)
+    full_sec = time.perf_counter() - t0
+
+    # refreshed views must agree (counts + exact decimal totals)
+    a = spark.read.parquet(out_i)
+    b = spark.read.parquet(out_f)
+    diff = a.join(b, "o_custkey", "full").filter(
+        (a["n_orders"] != b["n_orders"]) | (a["total_dec"] != b["total_dec"])
+    ).count()
+    for d in (src, base_dir, delta_dir, out_i, out_f):
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "n_fact_rows": n_rows,
+        "n_delta_rows": n_delta,
+        "incremental_sec": round(inc_sec, 3),
+        "full_recompute_sec": round(full_sec, 3),
+        "speedup": round(full_sec / max(inc_sec, 1e-9), 2),
+        "views_equal": diff == 0,
+    }
+
+
+def png_probe(spark, n: int) -> dict:
+    """Compressed-codec decode throughput (round-8): images/s through
+    the full PNG path — synthesize real PNGs (zlib DEFLATE, cycling
+    scanline filters), then decode every payload (CRC walk, multi-IDAT
+    inflate, 5-type defilter) to the aHash fingerprint in Arrow-batched
+    mapInPandas. BMP (uncompressed) decode runs beside it so the
+    compression overhead is a measured delta, not a guess. Encode cost
+    is excluded (payloads are materialized to parquet first — the
+    landing-zone shape)."""
+    import shutil
+
+    from crane_stream_processing_spark.operators import multimodal as M
+
+    docs = replicate(
+        load_table(spark, SF_DIR, "documents").select("doc_id"), n, ["doc_id"]
+    )
+    out = {}
+    for kind, synth, hasher in (
+        ("png", M.synthesize_png, M.png_ahash),
+        ("bmp", M.synthesize_bmp, M.bmp_ahash),
+    ):
+        src = _scratch(f"crane_pngprobe_{kind}_")
+        synth(docs).repartition(32).write.mode("overwrite").parquet(src)
+        media = spark.read.parquet(src)
+        n_imgs = media.count()
+        t0 = time.perf_counter()
+        hasher(media).write.mode("overwrite").format("noop").save()
+        wall = time.perf_counter() - t0
+        shutil.rmtree(src, ignore_errors=True)
+        out[f"{kind}_images"] = n_imgs
+        out[f"{kind}_decode_sec"] = round(wall, 3)
+        out[f"{kind}_images_per_sec"] = round(n_imgs / wall, 1)
+    return out
+
+
 def main() -> None:
     sections = {
         "skew": skew_probe,
         "ingest": ingest_probe,
         "io": io_probe,
         "curate": curate_probe,
+        "ivm": ivm_probe,
+        "png": png_probe,
     }
     known_flags = {f"--{s}" for s in sections} | {
         f"--{s}-only" for s in sections
