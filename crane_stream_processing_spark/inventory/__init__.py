@@ -254,13 +254,17 @@ def _load_all() -> None:
 # sim_ivf_recall_at_k / _filtered_topk / _index_health,
 # text_hybrid_rrf_search, and the four streaming twins
 # stream_dsir_score / stream_curate_pipeline / stream_dedup_index_ingest
-# / stream_ivfpq_arrow_idempotent_sink) PLUS the four round-8 additions
+# / stream_ivfpq_arrow_idempotent_sink) PLUS the NINE round-8 additions
 # (sim_ivf_retrain_loop — the health→retrain→recall operational loop;
-# mm_png_codec_roundtrip + mm_png_ahash — the real compressed-codec
-# decode; curate_dsir_shift — the selection-shifted-the-distribution
-# proof), then a 32-row backfill re-proving the round-7 window's
-# families. A green round-8 window closes the cumulative driver union
-# over the FULL registry as of this freeze: 254/254.
+# mm_png_codec_roundtrip + mm_png_ahash + stream_mm_png_ahash — the
+# real compressed-codec decode, batch and streaming; curate_dsir_shift
+# — the selection-shifted-the-distribution proof; curate_pii_redact +
+# stream_pii_redact — export scrubbing and its on-ingest twin;
+# curate_token_budget_fill — mixture construction by token budget;
+# io_incremental_agg_maintenance — IVM refresh vs recompute), then a
+# 27-row backfill re-proving the round-7 window's families. A green
+# round-8 window closes the cumulative driver union over the FULL
+# registry as of this freeze: 259/259.
 GRADE_PRIORITY: list[str] = [
     # round-7/8 post-freeze additions (never driver-graded):
     # the 14 round-7 queries + the 9 new round-8 queries

@@ -728,12 +728,21 @@ def io_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     handled). The oracle recomputes the view FROM SCRATCH over the
     post-change row set, so the grade is the IVM correctness theorem for
     this view: maintained state ≡ recomputed state, row-for-row with
-    exact decimal money. Scale shape: raw fact rows are scanned ONLY for
-    the delta (the date predicate pushes to the parquet scan); the base
-    enters as one row per group — at 100 TB with a 0.1% daily delta this
-    is the difference between scanning 100 GB and 100 TB per refresh.
-    COUNT+SUM are the self-maintainable pair (MIN/MAX would need the
-    anti-monotone rescan on delete — documented limit, not hidden)."""
+    exact decimal money. Scale shape, stated precisely: the MERGE is
+    O(groups + delta) — the base enters as one row per group, never as
+    fact rows. The delta itself is SYNTHESIZED HERE by filtering the
+    fact table (this fixture has no external change feed), so this
+    query's own plan does scan orders to manufacture the inserts and
+    deletes — the date predicate pushes to those scans, but a
+    production refresh must NOT copy that part: the feed lands as its
+    own small table and the incremental path reads ONLY it plus the
+    materialized aggregate, which is what ``tools/scale_probe.py
+    --ivm-only`` models and measures (flat refresh cost vs a fact-scan
+    recompute growing 1.0→9.7 s across 1×–300×, DESIGN.md). At 100 TB
+    with a 0.1% daily delta that is the difference between scanning
+    100 GB and 100 TB per refresh. COUNT+SUM are the self-maintainable
+    pair (MIN/MAX would need the anti-monotone rescan on delete —
+    documented limit, not hidden)."""
     from ..catalog import ensure_engine_confs
 
     ensure_engine_confs(spark)  # fixture memo may skip load_table

@@ -458,6 +458,64 @@ def parse_bmp24(b: bytes) -> dict:
     }
 
 
+# Shared Arrow-batched scaffolding for every real codec: one synthesis
+# shape (doc_id → typed media envelope), one decode→features shape, one
+# decode→aHash shape. A batch-handling fix lands once, and the next codec
+# (the JPEG/MP3 boundary behind media_decode_real) is a two-line addition.
+_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _synthesize_media(docs: DataFrame, kind: str, mime: str, encode_of_id) -> DataFrame:
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kind,
+                    "mime": mime,
+                    "payload": [encode_of_id(i) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=_SYNTH_SCHEMA)
+
+
+def _decode_features(media: DataFrame, parse_fn, schema: T.StructType) -> DataFrame:
+    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [parse_fn(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
+            yield out
+
+    return media.mapInPandas(_decode, schema=schema)
+
+
+def _decode_ahash(media: DataFrame, pixels_fn) -> DataFrame:
+    def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [ahash64(pixels_fn(bytes(p))) for p in pdf["payload"]]
+            out = pd.DataFrame(rows, columns=["ahash_w0", "ahash_w1", "bits_set"])
+            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
+            yield out
+
+    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
 def _pcm_ramp(doc_id: int, n: int):
     """Deterministic int16 test signal: sample[i] = ((7·id + 13·i) mod
     512) − 256 — closed-form enough for a SQL oracle, irregular enough to
@@ -471,51 +529,20 @@ def _pcm_ramp(doc_id: int, n: int):
 def synthesize_wav(docs: DataFrame) -> DataFrame:
     """doc_id → real WAV payload (stdlib encoder). Rate/length derive
     from doc_id: rate = 8000·(1 + id mod 3), n = 200 + (id mod 300)."""
-
-    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": "audio",
-                    "mime": "audio/wav",
-                    "payload": [
-                        encode_wav_pcm16(
-                            _pcm_ramp(i, 200 + i % 300), 8000 * (1 + i % 3)
-                        )
-                        for i in ids
-                    ],
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _synthesize_media(
+        docs,
+        "audio",
+        "audio/wav",
+        lambda i: encode_wav_pcm16(
+            _pcm_ramp(i, 200 + i % 300), 8000 * (1 + i % 3)
+        ),
     )
-    return docs.select("doc_id").mapInPandas(_synth, schema=schema)
 
 
 def wav_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL WAV decode: the UDF sees only payload bytes and
     must recover every feature by parsing the container."""
-
-    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            feats = [parse_wav_pcm(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
-            yield out
-
-    return media.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+    return _decode_features(media, parse_wav_pcm, WAV_FEATURE_SCHEMA)
 
 
 WAV_ENERGY_SCHEMA = T.StructType(
@@ -589,49 +616,18 @@ def _rgb_grid(doc_id: int, w: int, h: int):
 def synthesize_bmp(docs: DataFrame) -> DataFrame:
     """doc_id → real BMP payload: w = 8 + id mod 9 (exercises every row-pad
     0..3), h = 4 + id mod 5."""
-
-    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": "image",
-                    "mime": "image/bmp",
-                    "payload": [
-                        encode_bmp24(_rgb_grid(i, 8 + i % 9, 4 + i % 5))
-                        for i in ids
-                    ],
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _synthesize_media(
+        docs,
+        "image",
+        "image/bmp",
+        lambda i: encode_bmp24(_rgb_grid(i, 8 + i % 9, 4 + i % 5)),
     )
-    return docs.select("doc_id").mapInPandas(_synth, schema=schema)
 
 
 def bmp_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL BMP decode (header-driven offset, padding,
     bottom-up) → per-image channel sums."""
-
-    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            feats = [parse_bmp24(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
-            yield out
-
-    return media.mapInPandas(_decode, schema=BMP_FEATURE_SCHEMA)
+    return _decode_features(media, parse_bmp24, BMP_FEATURE_SCHEMA)
 
 
 AHASH_SCHEMA = T.StructType(
@@ -838,9 +834,14 @@ def decode_png_pixels(b: bytes):
         line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
         if ft == 0:
             pass
-        elif ft == 2:  # Up — no intra-row dependency
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 2:  # Up — no intra-row dependency: one vector add
+            line = bytearray(
+                (
+                    (np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int64)
+                     + prior)
+                    & 0xFF
+                ).astype(np.uint8).tobytes()
+            )
         elif ft in (1, 3, 4):
             for i in range(stride):
                 left = line[i - bpp] if i >= bpp else 0
@@ -880,54 +881,27 @@ def parse_png(b: bytes) -> dict:
     }
 
 
+def _png_pixels(b: bytes):
+    return decode_png_pixels(b)[0]
+
+
 def synthesize_png(docs: DataFrame) -> DataFrame:
     """doc_id → real PNG payload over the SAME deterministic RGB grid as
     synthesize_bmp (w = 8 + id mod 9, h = 4 + id mod 5), so BMP and PNG
     decodes of one document must agree pixel-for-pixel and the BMP
     oracles carry over unchanged."""
-
-    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": "image",
-                    "mime": "image/png",
-                    "payload": [
-                        encode_png(_rgb_grid(i, 8 + i % 9, 4 + i % 5))
-                        for i in ids
-                    ],
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _synthesize_media(
+        docs,
+        "image",
+        "image/png",
+        lambda i: encode_png(_rgb_grid(i, 8 + i % 9, 4 + i % 5)),
     )
-    return docs.select("doc_id").mapInPandas(_synth, schema=schema)
 
 
 def png_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL PNG decode (CRC walk, inflate, 5-type
     defilter) → per-image dimensions + channel sums."""
-
-    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            feats = [parse_png(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
-            yield out
-
-    return media.mapInPandas(_decode, schema=PNG_FEATURE_SCHEMA)
+    return _decode_features(media, parse_png, PNG_FEATURE_SCHEMA)
 
 
 def png_ahash(media: DataFrame) -> DataFrame:
@@ -936,33 +910,11 @@ def png_ahash(media: DataFrame) -> DataFrame:
     identical fingerprint bmp_ahash computes from the uncompressed
     container, so cross-codec image dedup is a plain equi-join on
     (ahash_w0, ahash_w1). Partition-parallel, zero shuffle."""
-
-    def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            rows = [
-                ahash64(decode_png_pixels(bytes(p))[0]) for p in pdf["payload"]
-            ]
-            out = pd.DataFrame(rows, columns=["ahash_w0", "ahash_w1", "bits_set"])
-            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
-            yield out
-
-    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)
+    return _decode_ahash(media, _png_pixels)
 
 
 def bmp_ahash(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode → perceptual hash: parse each BMP
     payload byte-for-byte (decode_bmp24_pixels) and emit its aHash words
     — the multimodal dedup key. Partition-parallel, zero shuffle."""
-
-    def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
-
-        for pdf in batches:
-            rows = [ahash64(decode_bmp24_pixels(bytes(p))) for p in pdf["payload"]]
-            out = pd.DataFrame(rows, columns=["ahash_w0", "ahash_w1", "bits_set"])
-            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
-            yield out
-
-    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)
+    return _decode_ahash(media, decode_bmp24_pixels)

@@ -158,8 +158,8 @@ def test_curate_stream_short_horizon_is_bounded_state(spark, tmp_path):
 
 
 def test_png_queries_registered_and_prioritized():
-    """The four round-8 queries are in the registry AND inside the
-    graded window (first 50), per the rotation discipline."""
+    """Every round-8 query is in the registry AND inside the graded
+    window (first 50), per the rotation discipline."""
     from crane_stream_processing_spark.inventory import (
         GRADE_PRIORITY,
         REGISTRY,

@@ -85,9 +85,13 @@ def measure(spark, rate: int, period_s: float, duration_s: float) -> dict:
         ).timestamp()
 
     stamped = [p for p in rows if p.get("timestamp")]
-    if len(stamped) >= 2:
+    if len(stamped) == len(rows) and len(stamped) >= 2:
         span_sec = max(_ts(stamped[-1]) - _ts(stamped[0]) + period_s, period_s)
     else:
+        # ANY unstamped batch → the stamped span would cover fewer
+        # intervals than the rows being summed and overstate the rate
+        # (worst in the overload region this tool measures); fall back
+        # to the count-based denominator for the whole set.
         span_sec = max(len(rows) * period_s, period_s)
     return {
         "batches": len(rows),

@@ -641,11 +641,15 @@ def ivm_probe(spark, n: int) -> dict:
     full.write.mode("overwrite").parquet(out_f)
     full_sec = time.perf_counter() - t0
 
-    # refreshed views must agree (counts + exact decimal totals)
+    # refreshed views must agree (counts + exact decimal totals).
+    # eqNullSafe-negated compare: a plain != is NULL for one-sided rows
+    # of the full outer join, silently passing a view that dropped or
+    # invented whole groups.
     a = spark.read.parquet(out_i)
     b = spark.read.parquet(out_f)
     diff = a.join(b, "o_custkey", "full").filter(
-        (a["n_orders"] != b["n_orders"]) | (a["total_dec"] != b["total_dec"])
+        ~a["n_orders"].eqNullSafe(b["n_orders"])
+        | ~a["total_dec"].eqNullSafe(b["total_dec"])
     ).count()
     for d in (src, base_dir, delta_dir, out_i, out_f):
         shutil.rmtree(d, ignore_errors=True)
