@@ -261,18 +261,20 @@ def _load_all() -> None:
 # — the selection-shifted-the-distribution proof; curate_pii_redact +
 # stream_pii_redact — export scrubbing and its on-ingest twin;
 # curate_token_budget_fill — mixture construction by token budget;
-# io_incremental_agg_maintenance — IVM refresh vs recompute), then a
-# 27-row backfill re-proving the round-7 window's families. A green
+# io_incremental_agg_maintenance + io_minmax_partial_rescan — IVM
+# refresh vs recompute for the self-maintainable COUNT/SUM pair and
+# the delete-triggered partial rescan for anti-monotone MIN), then a
+# 26-row backfill re-proving the round-7 window's families. A green
 # round-8 window closes the cumulative driver union over the FULL
-# registry as of this freeze: 259/259.
+# registry as of this freeze: 260/260.
 GRADE_PRIORITY: list[str] = [
     # round-7/8 post-freeze additions (never driver-graded):
-    # the 14 round-7 queries + the 9 new round-8 queries
+    # the 14 round-7 queries + the 10 new round-8 queries
     # (sim_ivf_retrain_loop, mm_png_codec_roundtrip, mm_png_ahash,
     # stream_mm_png_ahash, curate_dsir_shift, curate_pii_redact,
     # stream_pii_redact, curate_token_budget_fill,
-    # io_incremental_agg_maintenance), then a 27-row backfill
-    # re-proving the round-7 window's families
+    # io_incremental_agg_maintenance, io_minmax_partial_rescan),
+    # then a 26-row backfill re-proving the round-7 window's families
     "sim_ivf_recall_at_k",
     "sim_ivf_filtered_topk",
     "sim_ivf_index_health",
@@ -296,6 +298,7 @@ GRADE_PRIORITY: list[str] = [
     "curate_token_budget_fill",
     "io_incremental_agg_maintenance",
     "stream_pii_redact",
+    "io_minmax_partial_rescan",
     "io_dynamic_partition_overwrite",
     "io_batch_cdc_merge",
     "src_binaryfile_scan",
@@ -322,7 +325,6 @@ GRADE_PRIORITY: list[str] = [
     "evt_ohlc_hourly",
     "dedup_minhash_calibration",
     "dedup_semantic_prune",
-    "sim_binary_quant_hamming_topk",
 ]
 
 

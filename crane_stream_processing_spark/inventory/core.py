@@ -807,6 +807,124 @@ def io_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_IVM_MIN_DIRS: dict[str, str] = {}
+
+
+@query(
+    "io_minmax_partial_rescan",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_custkey, o_totalprice FROM orders
+      WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 37 <> 0)
+         OR o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    touched AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 37 = 0
+    )
+    SELECT s.o_custkey, MIN(s.o_totalprice) AS min_price,
+           COUNT(*) AS n_orders,
+           s.o_custkey IN (SELECT o_custkey FROM touched) AS rescanned
+    FROM survivors s GROUP BY s.o_custkey
+    """,
+)
+def io_minmax_partial_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANTI-MONOTONE half of incremental view maintenance —
+    `io_incremental_agg_maintenance` handles COUNT/SUM (self-maintainable
+    under insert AND delete); MIN/MAX are self-maintainable only under
+    INSERT (min(old, new) needs no history), while a DELETE can remove
+    the extremum, forcing a rescan. The production answer is a PARTIAL
+    rescan, implemented here: groups untouched by any delete keep their
+    materialized MIN verbatim (zero fact rows read for them — they enter
+    as one row each, anti-joined against the touched-key set); groups a
+    delete touched are recomputed from their surviving base rows ONLY (a
+    semi-join prunes the fact scan to those groups — with the fact
+    bucketed/partitioned by key, that is the only data read); insert
+    minima fold in with a final per-group MIN (the insert-monotone
+    identity). Each emitted group carries its `rescanned` flag, so the
+    maintenance ledger itself is graded: the oracle recomputes both the
+    view AND which groups required rescanning, row-for-row. MIN involves
+    no arithmetic (order-independent comparisons), so the double grades
+    hash-exact with no decimal ladder. Like the COUNT/SUM twin, the
+    change feed is SYNTHESIZED here by filtering the fact table; a real
+    deployment lands it as its own table (see `tools/scale_probe.py
+    --ivm-only` and that query's docstring for the precise scan-shape
+    claim). At 100 TB with point deletes, the touched-key set is tiny
+    and this refresh reads |touched groups| of data instead of the
+    table."""
+    from ..catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # fixture memo may skip load_table
+    import tempfile
+
+    from .. import catalog
+    from . import cached_fixture
+
+    CUT = "1997-01-01"
+
+    def _build_minview() -> str:
+        orders = catalog.load_table(spark, sf_dir, "orders")
+        agg = (
+            orders.filter(F.col("o_orderdate") < CUT)
+            .groupBy("o_custkey")
+            .agg(
+                F.min("o_totalprice").alias("min_price"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+        d = tempfile.mkdtemp(prefix="crane_ivm_min_")
+        agg.write.mode("overwrite").parquet(d)
+        return d
+
+    path = cached_fixture(_IVM_MIN_DIRS, sf_dir, _build_minview)
+    matview = spark.read.parquet(path)
+    orders = t(spark, sf_dir, "orders")
+    pre = orders.filter(F.col("o_orderdate") < CUT)
+    deletes = pre.filter(F.col("o_orderkey") % 37 == 0)
+    touched = deletes.select("o_custkey").distinct()
+
+    # untouched groups: the materialized row IS the answer — no fact read
+    untouched = matview.join(touched, "o_custkey", "anti").select(
+        "o_custkey", "min_price", F.col("n_orders").cast("long").alias("n")
+    )
+    # touched groups: recompute from their SURVIVING base rows only
+    rescanned = (
+        pre.join(touched, "o_custkey", "semi")
+        .filter(F.col("o_orderkey") % 37 != 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # inserts: MIN is insert-monotone — fold in with a final per-group MIN
+    ins = (
+        orders.filter(F.col("o_orderdate") >= CUT)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    merged = (
+        untouched.unionByName(rescanned)
+        .unionByName(ins)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("min_price").alias("min_price"),
+            F.sum("n").alias("n_orders"),
+        )
+    )
+    return merged.join(
+        touched.withColumn("__t", F.lit(True)), "o_custkey", "left"
+    ).select(
+        "o_custkey",
+        "min_price",
+        "n_orders",
+        F.coalesce(F.col("__t"), F.lit(False)).alias("rescanned"),
+    )
+
+
 _BINFILE_DIRS: dict[str, str] = {}
 
 

@@ -175,6 +175,7 @@ def test_png_queries_registered_and_prioritized():
         "curate_token_budget_fill",
         "stream_pii_redact",
         "io_incremental_agg_maintenance",
+        "io_minmax_partial_rescan",
     ]
     for n in new:
         assert n in REGISTRY
