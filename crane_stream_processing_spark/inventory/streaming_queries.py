@@ -173,7 +173,14 @@ def _scoped_stream_partitions(spark: SparkSession):
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
     """Bounded availableNow pass into a memory sink under the scoped
-    partition count (see _scoped_stream_partitions)."""
+    partition count (see _scoped_stream_partitions). The sink name is
+    registered for post-query release — memory sinks hold their whole
+    result on the driver, and retained sinks compound into GC pressure
+    across a long bench session (round-8 drift; see
+    inventory.register_memory_sink)."""
+    from . import register_memory_sink
+
+    register_memory_sink(name)
     with _scoped_stream_partitions(df.sparkSession):
         q = (
             df.writeStream.outputMode(mode)
@@ -1400,3 +1407,115 @@ def stream_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(out, "stream_curate_pipeline", "append")
     return spark.table("stream_curate_pipeline")
+
+
+_IVM_FEED_DIRS: dict[str, str] = {}
+
+
+def _ivm_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Land the signed IVM change feed (core.ivm_signed_feed — ONE
+    definition with the batch twin) as its own parquet table, once per
+    (process, sf): the streaming refresh under test reads ONLY this feed
+    plus the materialized aggregate, never the fact table — the
+    production deployment shape the batch query's docstring could only
+    describe (its delta is synthesized in-plan for the bounded grade)."""
+    import tempfile
+
+    from . import cached_fixture
+    from .core import ivm_signed_feed
+
+    def _build() -> str:
+        d = tempfile.mkdtemp(prefix="crane_ivm_feed_")
+        ivm_signed_feed(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(d)
+        return d
+
+    return cached_fixture(_IVM_FEED_DIRS, sf_dir, _build)
+
+
+def start_ivm_maintenance(
+    feed_stream: DataFrame,
+    journal_dir: str,
+    checkpoint: str,
+    key: str = "o_custkey",
+    available_now: bool = True,
+):
+    """Start the streaming IVM maintainer: each micro-batch of signed
+    change rows (key, dn, dv) folds to per-group PARTIALS (one row per
+    touched group) and lands under its ``__batch_id`` partition via the
+    idempotent batch sink — a replayed batch overwrites its own
+    partition, so the journal never double-counts (exactly-once without
+    a transactional store). The maintained view is read-time
+    ``base ⊎ journal`` (core.ivm_fold_view); a compaction cycle folds
+    old journal partitions into the base exactly like
+    streaming.ann_ingest.compact_index. Used by the graded
+    `stream_incremental_agg_maintenance` and the restart test."""
+    from ..streaming.ann_ingest import idempotent_batch_sink
+
+    sink = idempotent_batch_sink(
+        journal_dir,
+        transform=lambda b: b.groupBy(key).agg(
+            F.sum("dn").alias("dn"), F.sum("dv").alias("dv")
+        ),
+    )
+    writer = feed_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+from .core import IVM_ORACLE  # noqa: E402 — the shared recompute oracle
+
+
+@query("stream_incremental_agg_maintenance", oracle=IVM_ORACLE)
+def stream_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING INCREMENTAL VIEW MAINTENANCE — round 8's two flagship
+    shapes composed (the round-8 verdict's item #3): the materialized
+    per-customer COUNT/SUM aggregate is maintained from a REAL landed
+    change feed (a file stream of signed (o_custkey, dn, dv) rows — the
+    batch twin `io_incremental_agg_maintenance` had to synthesize its
+    delta in-plan) through ``foreachBatch`` + the batch-id-idempotent
+    parquet sink (streaming.ann_ingest.idempotent_batch_sink — the
+    SDFS-append duplicate-version hazard, reference server/sdfs.go:276-283,
+    closed the same way as the ANN ingest). Each micro-batch writes only
+    its per-group signed PARTIALS (O(touched groups) rows) under
+    ``__batch_id=<N>``; after the bounded drain, batch 0 is deliberately
+    REPLAYED through the sink — the exact at-least-once window — and the
+    graded result is the post-replay fold ``base ⊎ journal``
+    (core.ivm_fold_view), held to the SAME from-scratch recompute oracle
+    as the batch twin (IVM_ORACLE): maintained ≡ recomputed
+    row-for-row with exact decimal
+    money, AND exactly one application of every change (the replay
+    overwrote its own partition). At 100 TB: the refresh reads feed +
+    journal + the view — never the fact table; state is O(groups);
+    restart-from-checkpoint is proven in
+    tests/test_streaming_ivm.py."""
+    import shutil
+    import tempfile
+
+    from . import register_scratch_dir
+    from .core import ivm_base_dir, ivm_fold_view
+
+    feed_dir = _ivm_feed_dir(spark, sf_dir)
+    journal_dir = tempfile.mkdtemp(prefix="crane_ivm_journal_")
+    ckpt = tempfile.mkdtemp(prefix="crane_ivm_ckpt_")
+    feed = spark.readStream.schema(
+        "o_custkey long, dn long, dv decimal(28,4)"
+    ).parquet(feed_dir)
+    with _scoped_stream_partitions(spark):
+        q, sink = start_ivm_maintenance(feed, journal_dir, ckpt)
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # Forced replay of batch 0 (availableNow with no file cap drains the
+    # feed as one batch): the idempotent sink must OVERWRITE partition
+    # __batch_id=0, not double-apply the delta.
+    sink(spark.read.parquet(feed_dir), 0)
+    register_scratch_dir(journal_dir)
+    base = spark.read.parquet(ivm_base_dir(spark, sf_dir))
+    journal = spark.read.parquet(journal_dir).select("o_custkey", "dn", "dv")
+    return ivm_fold_view(base, journal)

@@ -728,9 +728,10 @@ def encode_png(rgb, color_type: int = 2) -> bytes:
     bpp = {0: 1, 2: 3, 6: 4}[color_type]
     if bpp == 1 and rgb.ndim == 2:
         rgb = rgb[:, :, None]
-    if rgb.shape[2] != bpp:
+    if rgb.ndim != 3 or rgb.shape[2] != bpp:
+        got = rgb.shape[2] if rgb.ndim == 3 else f"ndim={rgb.ndim}"
         raise ValueError(
-            f"color_type {color_type} needs {bpp} channels, got {rgb.shape[2]}"
+            f"color_type {color_type} needs {bpp} channels, got {got}"
         )
     h, w = rgb.shape[:2]
     raw = bytearray()
@@ -794,9 +795,11 @@ def decode_png_pixels(b: bytes):
     while pos + 12 <= len(b) and not ended:
         (length,) = _struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
-        body = b[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        # one bound covers body AND the 4 CRC bytes, so a stream cut
+        # mid-CRC raises ValueError, not struct.error (round-8 advice)
+        if pos + 12 + length > len(b):
             raise ValueError(f"truncated {ctype!r} chunk")
+        body = b[pos + 8 : pos + 8 + length]
         (crc,) = _struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
         if crc != (_zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")

@@ -1040,6 +1040,12 @@ def _kmeans_iterate_arrow(
         rows = vecs.mapInPandas(
             partials, "cell int, n long, s array<double>"
         ).collect()  # ≤ k rows per task — the model, never the data
+        # collect() returns task-completion order, which varies run to
+        # run; float addition is order-sensitive in the last ulps, and a
+        # ulp flip in a centroid can flip an argmax tie downstream
+        # (round-8 advice). Sort the partials by their full content so
+        # the driver-side fold is run-deterministic.
+        rows.sort(key=lambda r: (r.cell, r.n, tuple(r.s)))
         n_tot = np.zeros(kk, dtype=np.int64)
         s_tot = np.zeros((kk, dd), dtype=np.float64)
         for r in rows:

@@ -119,6 +119,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.excludedRules", _GENERATE_FILTER_RULE)
+        # row_number()<=k filters rewrite to map-side WindowGroupLimit
+        # (per-group top-k heap before the shuffle) only when k is under
+        # this threshold; the token-budget fill cuts at k=2000, above the
+        # 1000 default. Memory is bounded by k rows per group per task.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Per-process warehouse: the default ./spark-warehouse is shared by

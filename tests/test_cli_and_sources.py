@@ -85,6 +85,75 @@ def test_socket_source_smoke(spark):
     assert merged.get("ping", 0) >= merged.get("pong", 0)
 
 
+def test_socket_source_golden_top5(spark):
+    """S10 GOLDEN (round-8 verdict item #5): a FIXED finite payload over
+    a loopback socket must produce the exact wordcount top-5 — not just
+    a smoke property. The payload gives every word a distinct count
+    (a×6, b×5, c×4, d×3, e×2, f×1), so the top-5 is a single
+    deterministic answer; the test waits until a complete-mode snapshot
+    reflects the whole payload, then asserts it. Reference cite:
+    spark-streaming/src/JavaNetworkWordCount.java:39-40."""
+    import socket
+    import threading
+    import time
+
+    from crane_stream_processing_spark.apps import wordcount
+    from crane_stream_processing_spark.streaming.sources import socket_lines
+
+    payload = [
+        "a b c d",
+        "a b c e",
+        "a b c d",
+        "a b c e",
+        "a b d f",
+        "a",
+    ]
+    expect = {"a": 6, "b": 5, "c": 4, "d": 3, "e": 2}
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            for line in payload:
+                conn.sendall(line.encode() + b"\n")
+            done.wait(40)  # hold the connection open until asserted
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    snaps: list[dict] = []
+
+    def sink(df, batch_id):
+        snaps.append({r.word: r.cnt for r in df.collect()})
+
+    q = (
+        wordcount(socket_lines(spark, "127.0.0.1", port))
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and (not snaps or snaps[-1] != expect):
+            time.sleep(0.5)
+        final = snaps[-1] if snaps else {}
+    finally:
+        done.set()
+        q.stop()
+        srv.close()
+    assert final == expect, snaps[-3:]
+
+
 def test_rate_source_smoke(spark):
     """S2: declarative rate throttle — a couple of micro-batches of the
     synthetic word stream through the wordcount pipeline."""

@@ -154,7 +154,15 @@ def test_curate_stream_short_horizon_is_bounded_state(spark, tmp_path):
             (750000, _GATE_OK, "en"),
         ],
     )
-    assert len(rows) == 4, [tuple(r) for r in rows]
+    # Assert the bounded-state PROPERTY — the duplicate text re-emits
+    # after its state expired (the first doc's content hash appears
+    # TWICE; the other two texts once each) — not the exact eviction
+    # schedule; a Spark version that tightens cleanup-lag timing must
+    # not flip this test (round-8 advice).
+    hs = [r.h for r in rows]
+    assert sorted(hs.count(h) for h in set(hs)) == [1, 1, 2], [
+        tuple(r) for r in rows
+    ]
 
 
 def test_png_queries_registered_and_prioritized():

@@ -554,7 +554,9 @@ def ivm_probe(spark, n: int) -> dict:
     io_incremental_agg_maintenance's scale claim made numeric). The
     deployment shape: the fact table sits at rest at N× volume, the
     change feed lands AS ITS OWN SMALL TABLE (~1% of fact rows: half
-    deletes referencing existing keys, half inserts with fresh keys),
+    deletes referencing existing keys, half inserts duplicating other
+    existing rows — the measurement only needs row VOLUME on both ops,
+    not key novelty),
     and the refresh is timed two ways — (a) INCREMENTAL: read only the
     delta table + the materialized aggregate, merge, write; (b) FULL:
     re-scan the fact table, apply the changes (anti-join deletes +
@@ -584,7 +586,8 @@ def ivm_probe(spark, n: int) -> dict:
     ).write.mode("overwrite").parquet(base_dir)
 
     # The change feed as its own landed table: ~0.5% deletes (existing
-    # rows at o_orderkey % 200 == 0) + equally many inserts (fresh keys).
+    # rows at o_orderkey % 200 == 0) + equally many inserts (duplicates
+    # of the rows at o_orderkey % 200 == 100 — volume, not novelty).
     delta_dir = _scratch("crane_ivmprobe_delta_")
     dels = fact.filter(F.col("o_orderkey") % 200 == 0).select(
         F.lit("D").alias("op"), "o_custkey", "o_totalprice"
