@@ -293,17 +293,29 @@ def _load_all() -> None:
 # io_incremental_agg_maintenance + io_minmax_partial_rescan — IVM
 # refresh vs recompute for the self-maintainable COUNT/SUM pair and
 # the delete-triggered partial rescan for anti-monotone MIN), then a
-# 26-row backfill re-proving the round-7 window's families. A green
-# round-8 window closes the cumulative driver union over the FULL
-# registry as of this freeze: 260/260.
+# 26-row backfill re-proving the round-7 window's families. The green
+# round-8 window closed the cumulative driver union over the FULL
+# registry as of that freeze: 260/260 (confirmed by the round-8
+# judge's independent full regrade). Round 9 (this list) fronts the
+# FOUR round-9 additions (stream_incremental_agg_maintenance — the
+# streaming IVM twin over a landed feed through the idempotent journal
+# sink; io_cdc_ivm_maintenance — the CDC upsert feed folded into the
+# maintained view as delete+insert pairs; mm_crosscodec_dedup_pairs —
+# the mixed BMP+PNG corpus deduped through one mime-dispatched decode
+# and an equi-join on the aHash words; mm_ahash_hamming_near_pairs —
+# banded-Hamming NEAR-dup with the pigeonhole recall guarantee itself
+# hash-graded), then a 46-row backfill
+# re-proving the round-8 window's families. A green round-9 window
+# keeps the cumulative union closed at 264/264.
 GRADE_PRIORITY: list[str] = [
-    # round-7/8 post-freeze additions (never driver-graded):
-    # the 14 round-7 queries + the 10 new round-8 queries
-    # (sim_ivf_retrain_loop, mm_png_codec_roundtrip, mm_png_ahash,
-    # stream_mm_png_ahash, curate_dsir_shift, curate_pii_redact,
-    # stream_pii_redact, curate_token_budget_fill,
-    # io_incremental_agg_maintenance, io_minmax_partial_rescan),
-    # then a 26-row backfill re-proving the round-7 window's families
+    # round-9 additions (never driver-graded): the streaming IVM twin,
+    # the CDC->IVM composition, and the cross-codec multimodal dedup
+    # pipeline — then a 47-row backfill re-proving the round-8 window's
+    # families (generated by tools/rotate_priority.py)
+    "io_cdc_ivm_maintenance",
+    "mm_crosscodec_dedup_pairs",
+    "mm_ahash_hamming_near_pairs",
+    "stream_incremental_agg_maintenance",
     "sim_ivf_recall_at_k",
     "sim_ivf_filtered_topk",
     "sim_ivf_index_health",
@@ -350,10 +362,6 @@ GRADE_PRIORITY: list[str] = [
     "join_asof_nearest_purchase",
     "join_salted_skew_spend",
     "evt_gapfill_linear",
-    "evt_max_concurrent_sessions",
-    "evt_ohlc_hourly",
-    "dedup_minhash_calibration",
-    "dedup_semantic_prune",
 ]
 
 

@@ -2843,6 +2843,191 @@ def mm_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_crosscodec_dedup_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
+    g AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM gx),
+    p AS (SELECT doc_id, y * 8 + x AS cell,
+            (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256
+          + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+          + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
+          FROM g),
+    t AS (SELECT doc_id, SUM(gray) AS total FROM p GROUP BY doc_id),
+    hh AS (
+      SELECT p.doc_id,
+             CAST(SUM(CASE WHEN cell < 32 AND gray * 64 > total
+                           THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
+               AS ahash_w0,
+             CAST(SUM(CASE WHEN cell >= 32 AND gray * 64 > total
+                           THEN (1::BIGINT << (cell - 32)) ELSE 0 END)
+                  AS BIGINT) AS ahash_w1
+      FROM p JOIN t USING (doc_id) GROUP BY p.doc_id
+    )
+    SELECT b.doc_id AS bmp_doc_id, q.doc_id AS png_doc_id,
+           b.ahash_w0, b.ahash_w1
+    FROM hh b JOIN hh q
+      ON b.ahash_w0 = q.ahash_w0 AND b.ahash_w1 = q.ahash_w1
+    """,
+)
+def mm_crosscodec_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MULTIMODAL DEDUP over a MIXED landing zone — the
+    pipeline mm_png_ahash's codec-invariance proof sets up, completed as
+    one graded query (round-8 verdict item #8b): every document's RGB
+    grid lands TWICE, once as a real 24-bit BMP and once as a real
+    zlib-compressed PNG (disjoint media_id spaces — two crawls of the
+    same asset in different containers); ONE mime-dispatched decode
+    stage (operators.multimodal.mixed_media_ahash) fingerprints the
+    heterogeneous corpus, and the dedup index is a plain EQUI-join on
+    (ahash_w0, ahash_w1) between the BMP side and the PNG side. Codec
+    invariance guarantees the diagonal (every asset matches its own
+    re-encode); genuinely colliding documents (the generative grid
+    repeats every lcm(256,9,5) ids) pair too, on BOTH engines — the
+    oracle re-derives each 64-bit hash in closed form and replays the
+    same self-join, so one flipped bit anywhere in either decoder breaks
+    rows. Plan: decode is Arrow-batched zero-shuffle; the join is
+    hash-partitioned on the two hash words (never a nested loop —
+    asserted in tests/test_plan_quality.py). At 100 TB: fingerprints are
+    8 bytes/asset, the join keys distribute uniformly (hash bits), and
+    near-dup (small Hamming distance) escalates to the multiprobe /
+    banded recipes the sim_* family grades."""
+    docs = t(spark, sf_dir, "documents")
+    OFF = 1 << 40
+    bmp = M.synthesize_bmp(docs)
+    png = M.synthesize_png(docs).withColumn(
+        "media_id", F.col("media_id") + OFF
+    )
+    hashed = M.mixed_media_ahash(bmp.unionByName(png))
+    bside = hashed.filter(F.col("media_id") < OFF).select(
+        F.col("media_id").alias("bmp_doc_id"), "ahash_w0", "ahash_w1"
+    )
+    qside = hashed.filter(F.col("media_id") >= OFF).select(
+        (F.col("media_id") - OFF).alias("png_doc_id"),
+        F.col("ahash_w0").alias("_w0"),
+        F.col("ahash_w1").alias("_w1"),
+    )
+    return bside.join(
+        qside,
+        (F.col("ahash_w0") == F.col("_w0"))
+        & (F.col("ahash_w1") == F.col("_w1")),
+    ).select("bmp_doc_id", "png_doc_id", "ahash_w0", "ahash_w1")
+
+
+def _sql_ahash_words(gray00_r: str) -> str:
+    """The closed-form 64-bit aHash CTE body, parameterized on the red
+    term of cell (0,0) so the perturbed twin reuses it (see
+    mm_ahash_hamming_near_pairs)."""
+    return f"""
+      SELECT p.doc_id,
+             CAST(SUM(CASE WHEN cell < 32 AND gray * 64 > total
+                           THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
+               AS w0,
+             CAST(SUM(CASE WHEN cell >= 32 AND gray * 64 > total
+                           THEN (1::BIGINT << (cell - 32)) ELSE 0 END)
+                  AS BIGINT) AS w1
+      FROM (
+        SELECT doc_id, y * 8 + x AS cell,
+               CASE WHEN (x*w)//8 = 0 AND (y*h)//8 = 0 THEN {gray00_r}
+                    ELSE (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256 END
+             + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+             + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
+        FROM grid
+      ) p
+      JOIN (
+        SELECT doc_id, SUM(
+               CASE WHEN (x*w)//8 = 0 AND (y*h)//8 = 0 THEN {gray00_r}
+                    ELSE (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256 END
+             + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+             + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256) AS total
+        FROM grid GROUP BY doc_id
+      ) t USING (doc_id)
+      GROUP BY p.doc_id
+    """
+
+
+@query(
+    "mm_ahash_hamming_near_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
+    grid AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM gx),
+    ha AS ({_sql_ahash_words("doc_id % 256")}),
+    hb AS ({_sql_ahash_words("(doc_id + 128) % 256")})
+    SELECT ha.doc_id AS orig_doc_id, hb.doc_id AS edited_doc_id,
+           CAST(bit_count(xor(ha.w0, hb.w0))
+                + bit_count(xor(ha.w1, hb.w1)) AS BIGINT) AS hamming
+    FROM ha JOIN hb
+      ON bit_count(xor(ha.w0, hb.w0)) + bit_count(xor(ha.w1, hb.w1)) <= 3
+    """,
+)
+def mm_ahash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image detection — the Hamming-space step beyond
+    `mm_crosscodec_dedup_pairs`' exact equi-join: every document's PNG
+    meets a minimally EDITED re-encode of itself (one pixel's red
+    channel shifted — synthesize_png_perturbed; measured distances
+    spread 0..6), both sides go through the REAL compressed decode →
+    aHash, and the near-dup join finds all pairs within Hamming
+    distance 3 WITHOUT an all-pairs scan: each 64-bit hash splits into
+    four 16-bit bands, candidates must share a band as an EQUI join on
+    (band_idx, band_value), and the exact distance verifies candidates.
+    The banding is LOSSLESS at this threshold by pigeonhole — 3 flipped
+    bits touch at most 3 of the 4 bands, so every true pair shares an
+    intact band — which is what makes the grade exact: the oracle
+    computes the same pair set by brute force (closed-form hashes, full
+    O(n²) filter), and Spark's banded plan must reproduce it exactly,
+    i.e. the recall guarantee itself is hash-graded. At 100 TB:
+    candidates are Σ per-band-bucket products (65,536 buckets/band),
+    never n²; raise bands (8×8-bit) for higher thresholds — the
+    sim_lsh/multiprobe recipe on pixel space. Plan-asserted equi
+    (tests/test_plan_quality.py)."""
+    docs = t(spark, sf_dir, "documents")
+    ha = M.png_ahash(M.synthesize_png(docs)).select(
+        F.col("media_id").alias("orig_doc_id"),
+        F.col("ahash_w0").alias("a0"),
+        F.col("ahash_w1").alias("a1"),
+    )
+    hb = M.png_ahash(M.synthesize_png_perturbed(docs)).select(
+        F.col("media_id").alias("edited_doc_id"),
+        F.col("ahash_w0").alias("b0"),
+        F.col("ahash_w1").alias("b1"),
+    )
+
+    def bands(w0, w1):
+        m = F.lit(0xFFFF)
+        return F.array(
+            F.col(w0).bitwiseAND(m),
+            F.shiftright(F.col(w0), 16).bitwiseAND(m),
+            F.col(w1).bitwiseAND(m),
+            F.shiftright(F.col(w1), 16).bitwiseAND(m),
+        )
+
+    ea = ha.select(
+        "orig_doc_id", "a0", "a1",
+        F.posexplode(bands("a0", "a1")).alias("band_idx", "band_val"),
+    )
+    eb = hb.select(
+        "edited_doc_id", "b0", "b1",
+        F.posexplode(bands("b0", "b1")).alias("band_idx", "band_val"),
+    )
+    ham = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))) + F.bit_count(
+        F.col("a1").bitwiseXOR(F.col("b1"))
+    )
+    return (
+        ea.join(eb, ["band_idx", "band_val"])
+        .select("orig_doc_id", "edited_doc_id", "a0", "a1", "b0", "b1")
+        .distinct()  # a pair may share several bands
+        .filter(ham <= 3)
+        .select(
+            "orig_doc_id",
+            "edited_doc_id",
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+@query(
     "udf_grouped_rank_normalize",
     oracle="""
     SELECT c_custkey, c_mktsegment,

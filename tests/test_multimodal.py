@@ -302,6 +302,36 @@ def test_png_rejects_corruption_and_foreign_bytes():
     # truncated stream (IEND lost)
     with _pytest.raises(ValueError):
         M.decode_png_pixels(good[:-12])
+    # cut mid-CRC (chunk header + body present, CRC bytes clipped — drop
+    # IEND's 12 bytes plus 2 bytes of the last IDAT's CRC) must be
+    # ValueError, not struct.error (round-8 advice)
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_png_pixels(good[:-14])
+    # wrong array rank for the color type raises ValueError, not
+    # IndexError (round-8 advice)
+    with _pytest.raises(ValueError, match="channels"):
+        M.encode_png(rgb[:, :, 0], color_type=2)
+
+
+def test_mixed_media_ahash_dispatches_and_rejects_unknown(spark):
+    """The mime-dispatched decoder fingerprints a heterogeneous BMP+PNG
+    batch identically to the per-codec paths, and an unknown mime fails
+    loudly instead of silently skipping."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    bmp = M.synthesize_bmp(docs)
+    png = M.synthesize_png(docs).withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    mixed = M.mixed_media_ahash(bmp.unionByName(png)).collect()
+    got = {r.media_id: (r.ahash_w0, r.ahash_w1) for r in mixed}
+    # codec invariance: doc d's BMP hash == doc d's PNG hash
+    assert got[7] == got[107] and got[8] == got[108]
+    bad = bmp.withColumn("mime", F.lit("image/jpeg"))
+    with _pytest.raises(Exception, match="no decoder"):
+        M.mixed_media_ahash(bad).collect()
 
 
 def test_png_golden_bytes():

@@ -735,3 +735,20 @@ def test_token_budget_fill_is_group_limited_not_full_sort(spark, sf_dir):
     assert "Partial" in plan.split("WindowGroupLimit")[2].splitlines()[0] or (
         "Partial" in plan
     ), plan
+
+
+def test_crosscodec_dedup_join_is_equi(spark, sf_dir):
+    """The mixed BMP+PNG dedup index must join on the hash words as an
+    equi join — never a nested loop over asset pairs."""
+    plan = _plan(spark, "mm_crosscodec_dedup_pairs", sf_dir, mode="simple")
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
+
+
+def test_hamming_near_pairs_banded_equi_join(spark, sf_dir):
+    """Near-dup candidate generation must be an equi join on
+    (band_idx, band_val) — never a nested loop; the exact-distance
+    filter verifies candidates after the join."""
+    plan = _plan(spark, "mm_ahash_hamming_near_pairs", sf_dir, mode="simple")
+    assert "NestedLoop" not in plan, plan
+    assert "band_idx" in plan and "band_val" in plan

@@ -157,3 +157,57 @@ def _view_from_batch(spark, base_df, feed_dir):
         (r.o_custkey): (r.n_orders, float(r.total_price))
         for r in ivm_fold_view(base_df, delta).collect()
     }
+
+
+def test_journal_compaction_folds_and_preserves_view(spark, tmp_path):
+    """Compacting journal partitions <= N into the base must leave the
+    folded view bit-identical, delete exactly those partitions, and
+    carry zero-count group deletion through the rewrite. The base swap
+    is rename-atomic (old dir retired, staging renamed in)."""
+    from crane_stream_processing_spark.streaming.ivm import (
+        compact_ivm_journal,
+        read_journal,
+    )
+
+    feed = str(tmp_path / "feed")
+    journal = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = str(tmp_path / "base")
+    _base(spark).write.mode("overwrite").parquet(base_dir)
+
+    waves = [
+        [(1, 1, D("3.0000")), (2, -1, D("-5.0000"))],   # batch 0: cust 2 -> 0
+        [(1, 1, D("2.0000")), (3, 1, D("4.0000"))],     # batch 1
+        [(4, 1, D("9.0000"))],                          # batch 2
+    ]
+    for i, rows in enumerate(waves):
+        _write_feed_file(spark, feed, i, rows)
+    _run(spark, feed, journal, ckpt, max_files=1)
+
+    def view():
+        return {
+            r.o_custkey: (r.n_orders, float(r.total_price))
+            for r in ivm_fold_view(
+                spark.read.parquet(base_dir),
+                read_journal(spark, journal, "o_custkey"),
+            ).collect()
+        }
+
+    before = view()
+    assert before == {1: (4, 15.0), 3: (2, 11.0), 4: (1, 9.0)}
+
+    # batch 2 is the checkpoint's tail; compact everything strictly below
+    n = compact_ivm_journal(spark, base_dir, journal, upto_batch_id=1)
+    assert n == 2
+    left = {d for d in os.listdir(journal) if d.startswith("__batch_id=")}
+    assert left == {"__batch_id=2"}
+    assert view() == before
+
+    # customer 2 zeroed out in batch 0 must NOT resurface in the new base
+    base_keys = {
+        r.o_custkey for r in spark.read.parquet(base_dir).collect()
+    }
+    assert 2 not in base_keys
+
+    # nothing below the mark left -> no-op
+    assert compact_ivm_journal(spark, base_dir, journal, upto_batch_id=1) == 0
