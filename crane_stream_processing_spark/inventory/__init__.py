@@ -297,16 +297,18 @@ def _load_all() -> None:
 # round-8 window closed the cumulative driver union over the FULL
 # registry as of that freeze: 260/260 (confirmed by the round-8
 # judge's independent full regrade). Round 9 (this list) fronts the
-# FOUR round-9 additions (stream_incremental_agg_maintenance — the
+# FIVE round-9 additions (stream_incremental_agg_maintenance — the
 # streaming IVM twin over a landed feed through the idempotent journal
 # sink; io_cdc_ivm_maintenance — the CDC upsert feed folded into the
 # maintained view as delete+insert pairs; mm_crosscodec_dedup_pairs —
 # the mixed BMP+PNG corpus deduped through one mime-dispatched decode
 # and an equi-join on the aHash words; mm_ahash_hamming_near_pairs —
 # banded-Hamming NEAR-dup with the pigeonhole recall guarantee itself
-# hash-graded), then a 46-row backfill
+# hash-graded; stream_ivf_query_topk — ONLINE vector search: a query
+# stream answered per micro-batch against the persisted IVF index
+# through the idempotent sink, replay-graded), then a 45-row backfill
 # re-proving the round-8 window's families. A green round-9 window
-# keeps the cumulative union closed at 264/264.
+# keeps the cumulative union closed at 265/265.
 GRADE_PRIORITY: list[str] = [
     # round-9 additions (never driver-graded): the streaming IVM twin,
     # the CDC->IVM composition, and the cross-codec multimodal dedup
@@ -316,6 +318,7 @@ GRADE_PRIORITY: list[str] = [
     "mm_crosscodec_dedup_pairs",
     "mm_ahash_hamming_near_pairs",
     "stream_incremental_agg_maintenance",
+    "stream_ivf_query_topk",
     "sim_ivf_recall_at_k",
     "sim_ivf_filtered_topk",
     "sim_ivf_index_health",
@@ -361,7 +364,6 @@ GRADE_PRIORITY: list[str] = [
     "join_asof_tolerance_7d_purchase",
     "join_asof_nearest_purchase",
     "join_salted_skew_spend",
-    "evt_gapfill_linear",
 ]
 
 

@@ -1491,3 +1491,111 @@ def stream_incremental_agg_maintenance(
     base = spark.read.parquet(ivm_base_dir(spark, sf_dir))
     journal = spark.read.parquet(journal_dir).select("o_custkey", "dn", "dv")
     return ivm_fold_view(base, journal)
+
+
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def _oracle_stream_ivf_query_topk() -> str:
+    # Identical answer contract to the batch sim_ivf_rel_coarse_topk:
+    # every served result row re-derived by DuckDB from the inlined
+    # plane literals + exact cosine + deterministic rank tiebreak.
+    from .northstar import SQL_COSINE, _sql_ivf_cell64
+
+    return f"""
+    WITH celled AS (
+      SELECT vec_id, embedding, {_sql_ivf_cell64('embedding')} AS cell
+      FROM embeddings
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM (SELECT * FROM celled WHERE vec_id < 10) a
+      JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """
+
+
+@query("stream_ivf_query_topk", oracle=_oracle_stream_ivf_query_topk())
+def stream_ivf_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE VECTOR SEARCH — the serving half the ingest twins left
+    open: `stream_ivf_ingest` / `stream_ivfpq_ingest` keep the inverted
+    file FRESH as vectors arrive; this query answers a STREAM OF
+    QUERIES against it. The IVF index is built once and persisted
+    (`ivf_bucket_corpus` → parquet — the production artifact, cells +
+    norms precomputed); query vectors then arrive on a file stream and
+    every micro-batch is answered inside ``foreachBatch`` by the exact
+    batch search machinery (`ivf_ann_topk(bucketed=index)`: row-local
+    coarse assignment of the QUERY side only — broadcast centroid
+    matrix, O(1) plan in k — then a cell equi-join into the prebuilt
+    index and a within-cell exact-cosine top-3). Results land through
+    the batch-id-idempotent sink and batch 0 is deliberately REPLAYED —
+    a re-served query batch must overwrite its own partition, not
+    duplicate answers (at-least-once redelivery of a search request).
+    Graded against the SAME row-level oracle as the batch
+    `sim_ivf_rel_coarse_topk`: DuckDB re-derives every served row from
+    the 64 inlined plane literals, so stream-served answers ≡ batch
+    answers ≡ oracle. At 100 TB: the index is read-shared and
+    partition-pruned by cell, each trigger costs O(queries ×
+    avg-cell-size), and the index itself is maintained by the graded
+    ingest path — build once, serve forever, refresh incrementally."""
+    import shutil
+    import tempfile
+
+    from ..operators import similarity as S
+    from ..streaming.ann_ingest import idempotent_batch_sink
+    from . import cached_fixture, register_scratch_dir, t_cpu
+    from .northstar import _CENTROIDS64
+
+    emb = t_cpu(spark, sf_dir, "embeddings")
+
+    def _build_index() -> str:
+        d = tempfile.mkdtemp(prefix="crane_ivf_index_")
+        S.ivf_bucket_corpus(emb, _CENTROIDS64).write.mode(
+            "overwrite"
+        ).parquet(d)
+        return d
+
+    idx_dir = cached_fixture(_IVF_INDEX_DIRS, sf_dir, _build_index)
+    index = spark.read.parquet(idx_dir)
+
+    out_dir = tempfile.mkdtemp(prefix="crane_ivfserve_")
+    ckpt = tempfile.mkdtemp(prefix="crane_ivfserve_ckpt_")
+    q_stream = _stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.col("vec_id") < 10)
+    )
+    sink = idempotent_batch_sink(
+        out_dir,
+        transform=lambda b: S.ivf_ann_topk(
+            None, b, _CENTROIDS64, k=3, bucketed=index
+        ),
+    )
+    with _scoped_stream_partitions(spark):
+        q = (
+            q_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # Forced replay of batch 0 (availableNow drains the queries as one
+    # batch): the re-served batch must overwrite its own partition.
+    batch0 = (
+        t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.col("vec_id") < 10)
+        )
+        .select("vec_id", "embedding", "label")
+    )
+    sink(batch0, 0)
+    register_scratch_dir(out_dir)
+    served = spark.read.parquet(out_dir)
+    return served.select("query_id", "cand_id", "cos_sim", "rank")

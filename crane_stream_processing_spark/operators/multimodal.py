@@ -845,14 +845,32 @@ def decode_png_pixels(b: bytes):
                     & 0xFF
                 ).astype(np.uint8).tobytes()
             )
-        elif ft in (1, 3, 4):
+        elif ft == 1:
+            # Sub — out[i] = raw[i] + out[i-bpp]: a per-channel-lane
+            # prefix sum, and prefix sums commute with mod-256, so the
+            # sequential dependence vectorizes exactly: cumsum each of
+            # the bpp interleaved lanes in int64, then wrap once.
+            lanes = (
+                np.frombuffer(bytes(line), dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(-1, bpp)
+            )
+            line = bytearray(
+                (np.cumsum(lanes, axis=0) & 0xFF)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        elif ft in (3, 4):
+            # Average/Paeth stay per-byte: their predictors mix the
+            # prior ROW through floor-div / a branching min, which does
+            # not distribute over prefix sums — the irreducible
+            # sequential tail (parallelism comes from Arrow batching
+            # across images, tools/scale_probe.py --png).
             for i in range(stride):
                 left = line[i - bpp] if i >= bpp else 0
                 up = int(prior[i])
                 ul = int(prior[i - bpp]) if i >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
+                if ft == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth(left, up, ul)

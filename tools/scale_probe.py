@@ -701,6 +701,50 @@ def png_probe(spark, n: int) -> dict:
     return out
 
 
+def serve_probe(spark, n: int) -> dict:
+    """Online vector-search serving rate (round-9,
+    stream_ivf_query_topk's scale claim made numeric): the IVF index is
+    built ONCE from the N×-replicated corpus and persisted; a batch of
+    queries is then answered against the at-rest index — timed is ONLY
+    the serve step (query-side coarse assignment + cell equi-join +
+    within-cell top-3), exactly what each micro-batch of the streaming
+    query executes. The 100 TB shape under test: serve cost should
+    track |queries| × avg-cell-size (corpus/64 here), NOT corpus size —
+    the index prunes 63/64 of the corpus before any dot product."""
+    import shutil
+
+    from crane_stream_processing_spark.inventory.northstar import (
+        _CENTROIDS64,
+    )
+    from crane_stream_processing_spark.operators import similarity as S
+
+    emb = replicate(
+        load_table(spark, SF_DIR, "embeddings"), n, ["vec_id"]
+    )
+    idx_dir = _scratch("crane_serveprobe_idx_")
+    S.ivf_bucket_corpus(emb, _CENTROIDS64).write.mode("overwrite").parquet(
+        idx_dir
+    )
+    index = spark.read.parquet(idx_dir)
+    n_index = index.count()
+    queries = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    n_q = queries.count()
+    t0 = time.perf_counter()
+    S.ivf_ann_topk(None, queries, _CENTROIDS64, k=3, bucketed=index).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "index_vectors": n_index,
+        "n_queries": n_q,
+        "serve_sec": round(wall, 3),
+        "queries_per_sec": round(n_q / wall, 1),
+    }
+
+
 def main() -> None:
     sections = {
         "skew": skew_probe,
@@ -709,6 +753,7 @@ def main() -> None:
         "curate": curate_probe,
         "ivm": ivm_probe,
         "png": png_probe,
+        "serve": serve_probe,
     }
     known_flags = {f"--{s}" for s in sections} | {
         f"--{s}-only" for s in sections
