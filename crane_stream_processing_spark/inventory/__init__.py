@@ -297,7 +297,7 @@ def _load_all() -> None:
 # round-8 window closed the cumulative driver union over the FULL
 # registry as of that freeze: 260/260 (confirmed by the round-8
 # judge's independent full regrade). Round 9 (this list) fronts the
-# FIVE round-9 additions (stream_incremental_agg_maintenance — the
+# SIX round-9 additions (stream_incremental_agg_maintenance — the
 # streaming IVM twin over a landed feed through the idempotent journal
 # sink; io_cdc_ivm_maintenance — the CDC upsert feed folded into the
 # maintained view as delete+insert pairs; mm_crosscodec_dedup_pairs —
@@ -306,9 +306,12 @@ def _load_all() -> None:
 # banded-Hamming NEAR-dup with the pigeonhole recall guarantee itself
 # hash-graded; stream_ivf_query_topk — ONLINE vector search: a query
 # stream answered per micro-batch against the persisted IVF index
-# through the idempotent sink, replay-graded), then a 45-row backfill
+# through the idempotent sink, replay-graded; mm_wav_volume_invariant_fp
+# — the audio dedup key: energy-delta fingerprint proven exactly
+# loudness-invariant through two real encode→decode paths), then a
+# 44-row backfill
 # re-proving the round-8 window's families. A green round-9 window
-# keeps the cumulative union closed at 265/265.
+# keeps the cumulative union closed at 266/266.
 GRADE_PRIORITY: list[str] = [
     # round-9 additions (never driver-graded): the streaming IVM twin,
     # the CDC->IVM composition, and the cross-codec multimodal dedup
@@ -319,6 +322,7 @@ GRADE_PRIORITY: list[str] = [
     "mm_ahash_hamming_near_pairs",
     "stream_incremental_agg_maintenance",
     "stream_ivf_query_topk",
+    "mm_wav_volume_invariant_fp",
     "sim_ivf_recall_at_k",
     "sim_ivf_filtered_topk",
     "sim_ivf_index_health",
@@ -363,7 +367,6 @@ GRADE_PRIORITY: list[str] = [
     "stream_dedup_minhash",
     "join_asof_tolerance_7d_purchase",
     "join_asof_nearest_purchase",
-    "join_salted_skew_spend",
 ]
 
 

@@ -2684,6 +2684,106 @@ def mm_wav_rms_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_energy_windows(M.synthesize_wav(docs), window_frames=64)
 
 
+def _energy_delta_fp(energies: DataFrame) -> DataFrame:
+    """Per-file energy-delta fingerprint from windowed energies: bit
+    w−1 = (energy[w] > energy[w−1]) packed into one BIGINT — the
+    classic loudness-profile audio fingerprint (the shape under
+    Shazam-style constellation hashes, reduced to its sign skeleton).
+    Pure Catalyst over the (media_id, win_idx, sum_sq) relation: one
+    lag window per file + one groupBy."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("media_id").orderBy("win_idx")
+    bit = F.when(
+        F.col("prev").isNotNull() & (F.col("sum_sq") > F.col("prev")),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(win_idx - 1 AS INT)) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        energies.withColumn("prev", F.lag("sum_sq").over(w))
+        .groupBy("media_id")
+        .agg(
+            F.sum(bit).alias("fp"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+    )
+
+
+_SQL_WAV_FP = """
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND e > prev
+                  THEN (1::BIGINT << CAST(win_idx - 1 AS INT))
+                  ELSE 0 END), 0) AS BIGINT) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM (
+        SELECT doc_id, win_idx, e,
+               LAG(e) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev
+        FROM (
+          SELECT doc_id, i // 64 AS win_idx, SUM({samp} * {samp}) AS e
+          FROM s GROUP BY doc_id, i // 64
+        )
+      ) GROUP BY doc_id
+"""
+
+
+@query(
+    "mm_wav_volume_invariant_fp",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, 200 + (doc_id % 300) AS n FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+    fa AS ({_SQL_WAV_FP.format(samp="(((doc_id * 7 + i * 13) % 512) - 256)")}),
+    fb AS ({_SQL_WAV_FP.format(samp="(2 * (((doc_id * 7 + i * 13) % 512) - 256))")})
+    SELECT fa.doc_id AS media_id, fa.fp, fa.n_windows,
+           (fa.fp = fb.fp AND fa.n_windows = fb.n_windows)
+             AS volume_invariant
+    FROM fa JOIN fb ON fa.doc_id = fb.doc_id
+    """,
+)
+def mm_wav_volume_invariant_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-INVARIANT AUDIO FINGERPRINT — the audio analog of the
+    image near-dup story: the same recording re-encoded LOUDER must
+    land on the identical dedup key. Each document's PCM ramp is
+    encoded twice as a real RIFF/WAVE container — once as-is, once with
+    every sample × 2 (`synthesize_wav_scaled`, exact in int16
+    headroom) — both go through the hand-written decoder and the
+    windowed integer energy extraction, and each file folds to its
+    energy-DELTA fingerprint (bit w−1 = energy rose from window w−1 to
+    w, packed into one BIGINT). The invariance is algebra, not
+    tolerance: scaling samples by g scales every integer energy by
+    exactly g², preserving every > comparison — so the fingerprint is
+    a loudness-normalized dedup key with NO floating-point
+    normalization step. The grade is the certificate pattern done
+    two-sided: Spark must compute `volume_invariant` TRUE per document
+    from the two REAL encode→decode→fingerprint paths, and the oracle
+    re-derives both fingerprints in closed form (the scaled side
+    literally 2·samp) — a decoder bug, a window-boundary bug, or any
+    float sneaking into the energy path flips graded rows. At 100 TB:
+    1→1 per file, Arrow-batched decode, one lag window per file —
+    partition-parallel, no corpus-wide state."""
+    docs = t(spark, sf_dir, "documents")
+    ea = _energy_delta_fp(
+        M.wav_energy_windows(M.synthesize_wav(docs), window_frames=64)
+    )
+    eb = _energy_delta_fp(
+        M.wav_energy_windows(M.synthesize_wav_scaled(docs), window_frames=64)
+    ).select(
+        F.col("media_id").alias("_mid"),
+        F.col("fp").alias("_fp"),
+        F.col("n_windows").alias("_nw"),
+    )
+    return ea.join(eb, ea.media_id == F.col("_mid")).select(
+        "media_id",
+        "fp",
+        "n_windows",
+        (
+            (F.col("fp") == F.col("_fp"))
+            & (F.col("n_windows") == F.col("_nw"))
+        ).alias("volume_invariant"),
+    )
+
+
 @query(
     "mm_bmp_codec_roundtrip",
     oracle="""

@@ -539,6 +539,25 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_wav_scaled(docs: DataFrame, gain: int = 2) -> DataFrame:
+    """doc_id → real WAV of the SAME signal as synthesize_wav but with
+    every sample multiplied by an integer ``gain`` — the louder
+    re-encode of the same recording. int16 headroom holds exactly
+    (_pcm_ramp spans ±256; gain=2 → ±512, no clipping), so windowed
+    energies scale by exactly gain² and every energy-DELTA comparison
+    is preserved — the algebra behind volume-invariant audio
+    fingerprints (see mm_wav_volume_invariant_fp)."""
+    return _synthesize_media(
+        docs,
+        "audio",
+        "audio/wav",
+        lambda i: encode_wav_pcm16(
+            (gain * _pcm_ramp(i, 200 + i % 300)).astype("<i2"),
+            8000 * (1 + i % 3),
+        ),
+    )
+
+
 def wav_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL WAV decode: the UDF sees only payload bytes and
     must recover every feature by parsing the container."""
