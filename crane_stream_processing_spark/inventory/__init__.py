@@ -189,16 +189,31 @@ def release_query_caches(spark: SparkSession) -> None:
     # Free driver-held memory-sink rows: drop the sink temp views and the
     # StreamingQueryManager's terminated-query references (both pin the
     # MemorySink's collected batches — see _MEMORY_SINKS note above).
+    # A name is forgotten only when its drop SUCCEEDED — the drop is
+    # idempotent and keyed by name, so a transient py4j failure retries
+    # on the next sweep instead of leaking the sink for the session
+    # (round-9 review). resetTerminated() is session-global, so it runs
+    # ONLY on sweeps that actually released an engine sink — a host
+    # application's own terminated streaming queries are untouched by
+    # batch-only registry cycles. CONTRACT NOTE (the stream-side analog
+    # of the protect_host_caches first-call note): a host that relies on
+    # spark.streams.awaitAnyTermination() to OBSERVE its own query's
+    # termination should not interleave that wait with this engine's
+    # memory-sink streaming queries on the same session — the release
+    # that follows one of ours clears the terminated list.
+    released_sink = False
     for name in list(_MEMORY_SINKS):
         try:
             spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — transient: retry next sweep
+            continue
+        _MEMORY_SINKS.discard(name)
+        released_sink = True
+    if released_sink:
+        try:
+            spark.streams.resetTerminated()
         except Exception:  # noqa: BLE001
             pass
-        _MEMORY_SINKS.discard(name)
-    try:
-        spark.streams.resetTerminated()
-    except Exception:  # noqa: BLE001
-        pass
     try:
         protected = _PROTECTED_RDD_IDS.get(
             spark.sparkContext.applicationId, set()
@@ -313,10 +328,12 @@ def _load_all() -> None:
 # re-proving the round-8 window's families. A green round-9 window
 # keeps the cumulative union closed at 266/266.
 GRADE_PRIORITY: list[str] = [
-    # round-9 additions (never driver-graded): the streaming IVM twin,
-    # the CDC->IVM composition, and the cross-codec multimodal dedup
-    # pipeline — then a 47-row backfill re-proving the round-8 window's
-    # families (generated by tools/rotate_priority.py)
+    # the SIX round-9 additions (never driver-graded): the CDC->IVM
+    # composition, the cross-codec multimodal dedup pipeline, the
+    # banded-Hamming image near-dup join, the streaming IVM twin, the
+    # online IVF query-serving path, and the volume-invariant audio
+    # fingerprint — then a 44-row backfill re-proving the round-8
+    # window's families (seeded by tools/rotate_priority.py)
     "io_cdc_ivm_maintenance",
     "mm_crosscodec_dedup_pairs",
     "mm_ahash_hamming_near_pairs",

@@ -775,21 +775,18 @@ def ivm_signed_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivm_fold_view(base_agg: DataFrame, delta: DataFrame) -> DataFrame:
     """Fold signed per-group deltas (o_custkey, dn, dv) into the
-    materialized view — O(groups + delta); zero-count groups drop."""
-    maintained = (
-        base_agg.select(
-            "o_custkey",
-            F.col("n_orders").cast("long").alias("dn"),
-            F.col("total_dec").alias("dv"),
-        )
-        .unionByName(delta.select("o_custkey", "dn", "dv"))
-        .groupBy("o_custkey")
-        .agg(F.sum("dn").alias("n_orders"), F.sum("dv").alias("tot"))
-    )
-    return maintained.filter(F.col("n_orders") > 0).select(
+    materialized view — O(groups + delta); zero-count groups drop. The
+    fold algebra itself is streaming.ivm.signed_fold, ONE definition
+    shared with the streaming maintainer's read path and the journal
+    compaction (round-9 review: three hand-synced copies collapsed)."""
+    from ..streaming.ivm import signed_fold
+
+    return signed_fold(
+        base_agg, delta, "o_custkey", "n_orders", "total_dec"
+    ).select(
         "o_custkey",
         "n_orders",
-        F.col("tot").cast("double").alias("total_price"),
+        F.col("total_dec").cast("double").alias("total_price"),
     )
 
 
@@ -1050,6 +1047,8 @@ def io_cdc_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,4)")
         .alias("dv"),
     )
+    from ..streaming.ivm import signed_fold
+
     delta = (
         upd_del.unionByName(upd_ins)
         .unionByName(dels)
@@ -1057,20 +1056,12 @@ def io_cdc_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
     )
-    maintained = (
-        base_agg.select(
-            "user_id",
-            F.col("n_events").cast("long").alias("dn"),
-            F.col("total_dec").alias("dv"),
-        )
-        .unionByName(delta)
-        .groupBy("user_id")
-        .agg(F.sum("dn").alias("n_events"), F.sum("dv").alias("tot"))
-    )
-    return maintained.filter(F.col("n_events") > 0).select(
+    return signed_fold(
+        base_agg, delta, "user_id", "n_events", "total_dec"
+    ).select(
         "user_id",
         "n_events",
-        F.col("tot").cast("double").alias("total_value"),
+        F.col("total_dec").cast("double").alias("total_value"),
     )
 
 

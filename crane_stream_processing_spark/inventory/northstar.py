@@ -1395,9 +1395,12 @@ def _sql_ivf_cell64(vec_expr: str) -> str:
     return f"(list_position([{dots}], list_max([{dots}])) - 1)"
 
 
-@query(
-    "sim_ivf_rel_coarse_topk",
-    oracle=f"""
+# ONE oracle for every query that must serve the k=64-IVF coarse top-3
+# answer contract — the relational batch path, the Arrow batch path, and
+# the streaming serving path (stream_ivf_query_topk) all grade against
+# this literal, so "the same row-level oracle" is a shared definition,
+# not three hand-synced copies (round-9 review).
+ORACLE_IVF_COARSE_TOPK: str = f"""
     WITH celled AS (
       SELECT vec_id, embedding, {_sql_ivf_cell64('embedding')} AS cell FROM embeddings
     )
@@ -1409,8 +1412,10 @@ def _sql_ivf_cell64(vec_expr: str) -> str:
       FROM (SELECT * FROM celled WHERE vec_id < 10) a
       JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
     ) WHERE rank <= 3
-    """,
-)
+    """
+
+
+@query("sim_ivf_rel_coarse_topk", oracle=ORACLE_IVF_COARSE_TOPK)
 def sim_ivf_rel_coarse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-k IVF with the RELATIONAL coarse quantizer (round-4 verdict
     item #2): at k=64 cells the coarse stage stops inlining centroid
@@ -1431,22 +1436,7 @@ def sim_ivf_rel_coarse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_arrow_coarse_topk",
-    oracle=f"""
-    WITH celled AS (
-      SELECT vec_id, embedding, {_sql_ivf_cell64('embedding')} AS cell FROM embeddings
-    )
-    SELECT query_id, cand_id, cos_sim, rank FROM (
-      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-             round({SQL_COSINE}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY round({SQL_COSINE}, 6) DESC, b.vec_id) AS rank
-      FROM (SELECT * FROM celled WHERE vec_id < 10) a
-      JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-    ) WHERE rank <= 3
-    """,
-)
+@query("sim_ivf_arrow_coarse_topk", oracle=ORACLE_IVF_COARSE_TOPK)
 def sim_ivf_arrow_coarse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ARROW production fast path under the correctness gate: the
     corpus-side coarse assignment — the bulk stage that dominates a
@@ -2942,33 +2932,49 @@ def mm_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.png_ahash(M.synthesize_png(docs))
 
 
-@query(
-    "mm_crosscodec_dedup_pairs",
-    oracle="""
-    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
-               FROM documents),
-    gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
-    g AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM gx),
-    p AS (SELECT doc_id, y * 8 + x AS cell,
-            (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256
-          + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
-          + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
-          FROM g),
-    t AS (SELECT doc_id, SUM(gray) AS total FROM p GROUP BY doc_id),
-    hh AS (
+def _sql_ahash_words(gray00_r: str) -> str:
+    """The closed-form 64-bit aHash CTE body, parameterized on the red
+    term of cell (0,0) so the perturbed twin reuses it (see
+    mm_ahash_hamming_near_pairs)."""
+    return f"""
       SELECT p.doc_id,
              CAST(SUM(CASE WHEN cell < 32 AND gray * 64 > total
                            THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
-               AS ahash_w0,
+               AS w0,
              CAST(SUM(CASE WHEN cell >= 32 AND gray * 64 > total
                            THEN (1::BIGINT << (cell - 32)) ELSE 0 END)
-                  AS BIGINT) AS ahash_w1
-      FROM p JOIN t USING (doc_id) GROUP BY p.doc_id
-    )
+                  AS BIGINT) AS w1
+      FROM (
+        SELECT doc_id, y * 8 + x AS cell,
+               CASE WHEN (x*w)//8 = 0 AND (y*h)//8 = 0 THEN {gray00_r}
+                    ELSE (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256 END
+             + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+             + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
+        FROM grid
+      ) p
+      JOIN (
+        SELECT doc_id, SUM(
+               CASE WHEN (x*w)//8 = 0 AND (y*h)//8 = 0 THEN {gray00_r}
+                    ELSE (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256 END
+             + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
+             + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256) AS total
+        FROM grid GROUP BY doc_id
+      ) t USING (doc_id)
+      GROUP BY p.doc_id
+    """
+
+
+@query(
+    "mm_crosscodec_dedup_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM d),
+    grid AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM gx),
+    hh AS ({_sql_ahash_words("doc_id % 256")})
     SELECT b.doc_id AS bmp_doc_id, q.doc_id AS png_doc_id,
-           b.ahash_w0, b.ahash_w1
-    FROM hh b JOIN hh q
-      ON b.ahash_w0 = q.ahash_w0 AND b.ahash_w1 = q.ahash_w1
+           b.w0 AS ahash_w0, b.w1 AS ahash_w1
+    FROM hh b JOIN hh q ON b.w0 = q.w0 AND b.w1 = q.w1
     """,
 )
 def mm_crosscodec_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3019,38 +3025,6 @@ def mm_crosscodec_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ahash_w0") == F.col("_w0"))
         & (F.col("ahash_w1") == F.col("_w1")),
     ).select("bmp_doc_id", "png_doc_id", "ahash_w0", "ahash_w1")
-
-
-def _sql_ahash_words(gray00_r: str) -> str:
-    """The closed-form 64-bit aHash CTE body, parameterized on the red
-    term of cell (0,0) so the perturbed twin reuses it (see
-    mm_ahash_hamming_near_pairs)."""
-    return f"""
-      SELECT p.doc_id,
-             CAST(SUM(CASE WHEN cell < 32 AND gray * 64 > total
-                           THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
-               AS w0,
-             CAST(SUM(CASE WHEN cell >= 32 AND gray * 64 > total
-                           THEN (1::BIGINT << (cell - 32)) ELSE 0 END)
-                  AS BIGINT) AS w1
-      FROM (
-        SELECT doc_id, y * 8 + x AS cell,
-               CASE WHEN (x*w)//8 = 0 AND (y*h)//8 = 0 THEN {gray00_r}
-                    ELSE (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256 END
-             + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
-             + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256 AS gray
-        FROM grid
-      ) p
-      JOIN (
-        SELECT doc_id, SUM(
-               CASE WHEN (x*w)//8 = 0 AND (y*h)//8 = 0 THEN {gray00_r}
-                    ELSE (((x*w)//8)*7 + ((y*h)//8)*3 + doc_id) % 256 END
-             + (((x*w)//8)*5 + ((y*h)//8)*11 + 2*doc_id) % 256
-             + (((x*w)//8) + ((y*h)//8) + 3*doc_id) % 256) AS total
-        FROM grid GROUP BY doc_id
-      ) t USING (doc_id)
-      GROUP BY p.doc_id
-    """
 
 
 @query(

@@ -1497,26 +1497,12 @@ _IVF_INDEX_DIRS: dict[str, str] = {}
 
 
 def _oracle_stream_ivf_query_topk() -> str:
-    # Identical answer contract to the batch sim_ivf_rel_coarse_topk:
-    # every served result row re-derived by DuckDB from the inlined
-    # plane literals + exact cosine + deterministic rank tiebreak.
-    from .northstar import SQL_COSINE, _sql_ivf_cell64
+    # Identical answer contract to the batch paths — literally the SAME
+    # oracle object (northstar.ORACLE_IVF_COARSE_TOPK), so the
+    # stream-served ≡ batch ≡ oracle claim cannot drift (round-9 review).
+    from .northstar import ORACLE_IVF_COARSE_TOPK
 
-    return f"""
-    WITH celled AS (
-      SELECT vec_id, embedding, {_sql_ivf_cell64('embedding')} AS cell
-      FROM embeddings
-    )
-    SELECT query_id, cand_id, cos_sim, rank FROM (
-      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-             round({SQL_COSINE}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY round({SQL_COSINE}, 6) DESC,
-                                         b.vec_id) AS rank
-      FROM (SELECT * FROM celled WHERE vec_id < 10) a
-      JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-    ) WHERE rank <= 3
-    """
+    return ORACLE_IVF_COARSE_TOPK
 
 
 @query("stream_ivf_query_topk", oracle=_oracle_stream_ivf_query_topk())

@@ -211,3 +211,69 @@ def test_journal_compaction_folds_and_preserves_view(spark, tmp_path):
 
     # nothing below the mark left -> no-op
     assert compact_ivm_journal(spark, base_dir, journal, upto_batch_id=1) == 0
+
+
+def test_compaction_fence_survives_crash_before_cleanup(spark, tmp_path):
+    """Crash window: the new base (with its _compacted_upto fence) is
+    swapped in but the folded journal partitions were never deleted. The
+    read path must IGNORE the stale partitions (their deltas already
+    live in the base — re-applying them would double-count), and the
+    next compaction must treat them as cleanup, not fold input."""
+    import shutil
+
+    from crane_stream_processing_spark.streaming.ivm import (
+        compact_ivm_journal,
+        compacted_upto,
+        read_journal,
+    )
+
+    feed = str(tmp_path / "feed")
+    journal = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = str(tmp_path / "base")
+    _base(spark).write.mode("overwrite").parquet(base_dir)
+    waves = [
+        [(1, 1, D("3.0000"))],   # batch 0
+        [(3, 1, D("4.0000"))],   # batch 1
+        [(4, 1, D("9.0000"))],   # batch 2 (checkpoint tail, never folded)
+    ]
+    for i, rows in enumerate(waves):
+        _write_feed_file(spark, feed, i, rows)
+    _run(spark, feed, journal, ckpt, max_files=1)
+
+    # snapshot batch 0's partition, compact through batch 1, then
+    # simulate the crash-before-cleanup by restoring the folded
+    # partition into the journal
+    saved = str(tmp_path / "saved_b0")
+    shutil.copytree(os.path.join(journal, "__batch_id=0"), saved)
+    assert compact_ivm_journal(spark, base_dir, journal, upto_batch_id=1) == 2
+    shutil.copytree(saved, os.path.join(journal, "__batch_id=0"))
+
+    assert compacted_upto(base_dir) == 1
+    # the fence excludes the stale partition: only batch 2's delta reads
+    rows = read_journal(spark, journal, "o_custkey", base_dir).collect()
+    assert {(r.o_custkey, r.dn) for r in rows} == {(4, 1)}
+    view = {
+        r.o_custkey: (r.n_orders, float(r.total_price))
+        for r in ivm_fold_view(
+            spark.read.parquet(base_dir),
+            read_journal(spark, journal, "o_custkey", base_dir),
+        ).collect()
+    }
+    assert view == {1: (3, 13.0), 2: (1, 5.0), 3: (2, 11.0), 4: (1, 9.0)}
+
+    # next compaction sweeps the stale partition as cleanup (fold count
+    # 1: only batch 2), and the fence advances
+    assert compact_ivm_journal(spark, base_dir, journal, upto_batch_id=2) == 1
+    assert compacted_upto(base_dir) == 2
+    assert not any(
+        d.startswith("__batch_id=") for d in os.listdir(journal)
+    )
+    final = {
+        r.o_custkey: (r.n_orders, float(r.total_price))
+        for r in ivm_fold_view(
+            spark.read.parquet(base_dir),
+            spark.createDataFrame([], "o_custkey long, dn long, dv decimal(28,4)"),
+        ).collect()
+    }
+    assert final == view
