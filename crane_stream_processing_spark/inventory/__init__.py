@@ -31,7 +31,7 @@ from ..catalog import load_table
 __all__ = [
     "Query", "REGISTRY", "query", "t", "t_cpu", "dsum", "davg",
     "register_query_cache", "release_query_caches", "protect_host_caches",
-    "cached_fixture", "register_scratch_dir",
+    "cached_fixture", "register_scratch_dir", "register_conf_restore",
 ]
 
 
@@ -152,6 +152,22 @@ def register_query_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session confs a query builder raised for ITS plan (planner thresholds
+# read lazily at the caller's plan time, so restore-at-builder-exit would
+# lose the rewrite) — restored to their recorded prior value by the next
+# release_query_caches sweep. setdefault: if several queries touch the
+# same key before a sweep, the FIRST recorded prior wins (it is the
+# host's value).
+_CONF_RESTORES: dict[str, str] = {}
+
+
+def register_conf_restore(key: str, prev: str) -> None:
+    """Record a session conf to restore at the next
+    :func:`release_query_caches` (round-9 advice: a graded query must not
+    permanently mutate a host-owned session's planner behavior)."""
+    _CONF_RESTORES.setdefault(key, prev)
+
+
 def protect_host_caches(spark: SparkSession) -> bool:
     """Snapshot every currently-persistent RDD id as host-owned (scoped
     to this SparkContext's applicationId) so :func:`release_query_caches`
@@ -214,6 +230,15 @@ def release_query_caches(spark: SparkSession) -> None:
             spark.streams.resetTerminated()
         except Exception:  # noqa: BLE001
             pass
+    # Restore planner confs a query raised for its own plan (see
+    # register_conf_restore) — a key is forgotten only when its restore
+    # SUCCEEDED, mirroring the memory-sink retry discipline.
+    for key in list(_CONF_RESTORES):
+        try:
+            spark.conf.set(key, _CONF_RESTORES[key])
+        except Exception:  # noqa: BLE001 — transient: retry next sweep
+            continue
+        _CONF_RESTORES.pop(key, None)
     try:
         protected = _PROTECTED_RDD_IDS.get(
             spark.sparkContext.applicationId, set()

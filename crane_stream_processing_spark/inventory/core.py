@@ -954,54 +954,10 @@ def io_minmax_partial_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_IVM_DIRS: dict[str, str] = {}
 
 
-@query(
-    "io_cdc_ivm_maintenance",
-    oracle="""
-    WITH u AS (
-      SELECT event_id, value * 3 AS new_value FROM events
-      WHERE event_id % 7 = 0 AND event_id % 11 <> 0
-    ),
-    d AS (SELECT event_id FROM events WHERE event_id % 11 = 0),
-    i AS (
-      SELECT CAST(event_id % 50 AS BIGINT) AS user_id,
-             CAST(event_id % 100 AS DOUBLE) AS value
-      FROM events WHERE event_id % 13 = 0
-    ),
-    merged AS (
-      SELECT e.user_id, COALESCE(u.new_value, e.value) AS value
-      FROM events e LEFT JOIN u ON e.event_id = u.event_id
-      WHERE e.event_id NOT IN (SELECT event_id FROM d)
-      UNION ALL
-      SELECT user_id, value FROM i
-    )
-    SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
-    FROM merged GROUP BY user_id
-    """,
-)
-def io_cdc_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC FEED → MAINTAINED VIEW — the round-8 verdict's item #4,
-    composing the upsert feed shape of `io_batch_cdc_merge` (mod-7
-    UPDATEs ×3, mod-11 DELETEs, mod-13 INSERTs at synthesized keys) with
-    `io_incremental_agg_maintenance`'s signed-delta refresh: the
-    materialized per-user COUNT + exact-decimal SUM(value) view absorbs
-    the full change feed WITHOUT rescanning events. Every UPDATE expands
-    into the canonical DELETE+INSERT pair — (−1, −old_value) then
-    (+1, +new_value) — which is how a view maintainer consumes a
-    Debezium-style feed carrying before/after images; updates whose key
-    is ALSO deleted are excluded from the update leg (the delete wins,
-    matching the CDC merge's semantics), and INSERT rows carry their own
-    synthesized user_id (a new fact row arrives with all its columns).
-    The base view enters as ONE row per user (never fact rows), the
-    delta is O(changes), and the oracle recomputes the view FROM SCRATCH
-    over the post-CDC row set — the IVM correctness theorem for the full
-    upsert path. Decimal sums keep the money exact on both engines; the
-    UPDATE's new value is computed in double (value*3, identical IEEE)
-    before the exact decimal cast. At 100 TB: refresh cost is
-    O(feed + groups) — the fixture synthesizes the feed from the events
-    table for the bounded grade (predicates push to those scans), while
-    a production run reads a landed feed table, the shape
-    `stream_incremental_agg_maintenance` executes for real."""
+def cdc_ivm_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process+sf) the CDC-IVM base state: the
+    per-user COUNT + exact-decimal SUM(value) view over events — shared
+    by the batch upsert query and its streaming twin."""
     from ..catalog import ensure_engine_confs
 
     ensure_engine_confs(spark)  # fixture memo may skip load_table
@@ -1020,9 +976,16 @@ def io_cdc_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.write.mode("overwrite").parquet(d)
         return d
 
-    base_agg = spark.read.parquet(
-        cached_fixture(_CDC_IVM_DIRS, sf_dir, _build_base)
-    )
+    return cached_fixture(_CDC_IVM_DIRS, sf_dir, _build_base)
+
+
+def cdc_signed_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC upsert feed expanded to SIGNED change rows (user_id, dn,
+    dv) — ONE definition for the batch query and the streaming twin's
+    landed files: mod-7 UPDATEs become the canonical DELETE+INSERT pair
+    (−1, −old) / (+1, +new·3) carrying before/after images, mod-11
+    DELETEs subtract their row, delete-wins on update∩delete keys, and
+    mod-13 INSERTs arrive with their full synthesized row."""
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     dec = F.col("value").cast("decimal(28,4)")
     upd = ev.filter(
@@ -1047,12 +1010,65 @@ def io_cdc_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,4)")
         .alias("dv"),
     )
+    return upd_del.unionByName(upd_ins).unionByName(dels).unionByName(ins)
+
+
+CDC_IVM_ORACLE = """
+    WITH u AS (
+      SELECT event_id, value * 3 AS new_value FROM events
+      WHERE event_id % 7 = 0 AND event_id % 11 <> 0
+    ),
+    d AS (SELECT event_id FROM events WHERE event_id % 11 = 0),
+    i AS (
+      SELECT CAST(event_id % 50 AS BIGINT) AS user_id,
+             CAST(event_id % 100 AS DOUBLE) AS value
+      FROM events WHERE event_id % 13 = 0
+    ),
+    merged AS (
+      SELECT e.user_id, COALESCE(u.new_value, e.value) AS value
+      FROM events e LEFT JOIN u ON e.event_id = u.event_id
+      WHERE e.event_id NOT IN (SELECT event_id FROM d)
+      UNION ALL
+      SELECT user_id, value FROM i
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM merged GROUP BY user_id
+    """
+
+
+@query("io_cdc_ivm_maintenance", oracle=CDC_IVM_ORACLE)
+def io_cdc_ivm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC FEED → MAINTAINED VIEW — the round-8 verdict's item #4,
+    composing the upsert feed shape of `io_batch_cdc_merge` (mod-7
+    UPDATEs ×3, mod-11 DELETEs, mod-13 INSERTs at synthesized keys) with
+    `io_incremental_agg_maintenance`'s signed-delta refresh: the
+    materialized per-user COUNT + exact-decimal SUM(value) view absorbs
+    the full change feed WITHOUT rescanning events. Every UPDATE expands
+    into the canonical DELETE+INSERT pair — (−1, −old_value) then
+    (+1, +new_value) — which is how a view maintainer consumes a
+    Debezium-style feed carrying before/after images; updates whose key
+    is ALSO deleted are excluded from the update leg (the delete wins,
+    matching the CDC merge's semantics), and INSERT rows carry their own
+    synthesized user_id (a new fact row arrives with all its columns).
+    The base view enters as ONE row per user (never fact rows), the
+    delta is O(changes), and the oracle recomputes the view FROM SCRATCH
+    over the post-CDC row set — the IVM correctness theorem for the full
+    upsert path. Decimal sums keep the money exact on both engines; the
+    UPDATE's new value is computed in double (value*3, identical IEEE)
+    before the exact decimal cast. At 100 TB: refresh cost is
+    O(feed + groups) — the fixture synthesizes the feed from the events
+    table for the bounded grade (predicates push to those scans), while
+    a production run reads a landed feed table, the shape the streaming
+    twin `stream_cdc_ivm_maintenance` executes for real (the signed
+    expansion, base view and oracle are ONE definition:
+    :func:`cdc_signed_feed` / :func:`cdc_ivm_base_dir` /
+    ``CDC_IVM_ORACLE``)."""
     from ..streaming.ivm import signed_fold
 
+    base_agg = spark.read.parquet(cdc_ivm_base_dir(spark, sf_dir))
     delta = (
-        upd_del.unionByName(upd_ins)
-        .unionByName(dels)
-        .unionByName(ins)
+        cdc_signed_feed(spark, sf_dir)
         .groupBy("user_id")
         .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
     )

@@ -1476,16 +1476,31 @@ def curate_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 2000
     # Runtime-set so sessions the engine didn't build (the grading
     # driver's) still plan the rank filter as WindowGroupLimit — the
-    # default threshold (1000) is below this budget.
+    # default threshold (1000) is below this budget. Scoped: the prior
+    # threshold is restored after the PLAN is built (the conf is read at
+    # analysis/optimization time, which happens inside this builder via
+    # the plan construction; Catalyst captures it when the returned
+    # frame is optimized — so restore must wait until the caller could
+    # have planned. We restore at builder exit AFTER forcing analysis,
+    # mirroring _scoped_stream_partitions: a host-owned session must not
+    # keep engine planner mutations, round-9 advice).
+    from . import register_conf_restore
+
+    KEY = "spark.sql.optimizer.windowGroupLimitThreshold"
     try:
-        if int(spark.conf.get(
-            "spark.sql.optimizer.windowGroupLimitThreshold"
-        )) < budget:
-            spark.conf.set(
-                "spark.sql.optimizer.windowGroupLimitThreshold", "100000"
-            )
+        prev = spark.conf.get(KEY)
     except Exception:  # noqa: BLE001 — conf missing on exotic builds
-        pass
+        prev = None
+    if prev is not None and int(prev) < budget:
+        spark.conf.set(KEY, "100000")
+        # The threshold must HOLD until the caller plans + executes the
+        # returned lazy frame (a noop write builds a fresh QueryExecution
+        # that re-reads the conf), so restore-at-builder-exit would lose
+        # the rewrite. Restored by the harness's post-materialize
+        # release_query_caches — the same contract that releases caches
+        # and memory sinks (round-9 advice: no permanent host-session
+        # planner mutation).
+        register_conf_restore(KEY, prev)
     docs = t_cpu(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(tokens("text")).cast("long").alias("tok_cnt")

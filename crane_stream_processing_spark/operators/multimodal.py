@@ -558,6 +558,29 @@ def synthesize_wav_scaled(docs: DataFrame, gain: int = 2) -> DataFrame:
     )
 
 
+def synthesize_wav_perturbed(docs: DataFrame, window_frames: int = 8) -> DataFrame:
+    """doc_id → real WAV of the SAME signal as synthesize_wav but with
+    ONE energy window edited: the samples of window ``doc_id mod
+    n_windows`` (n_windows = ⌈n/window_frames⌉) are doubled — a locally
+    louder re-encode (one edit burst), exact in int16 headroom (ramp
+    spans ±256, edit → ±512). Quadrupling one window's integer energy
+    flips AT MOST TWO energy-delta comparisons (the edges w−1→w and
+    w→w+1), so the edited file's fingerprint sits within Hamming
+    distance 2 of the original's — the bound behind the banded near-dup
+    join's pigeonhole guarantee (see mm_wav_fp_hamming_near_pairs)."""
+
+    def _payload(i: int) -> bytes:
+        n = 200 + i % 300
+        s = _pcm_ramp(i, n)
+        nw = (n + window_frames - 1) // window_frames
+        k = i % nw
+        s = s.copy()
+        s[k * window_frames : (k + 1) * window_frames] *= 2
+        return encode_wav_pcm16(s, 8000 * (1 + i % 3))
+
+    return _synthesize_media(docs, "audio", "audio/wav", _payload)
+
+
 def wav_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL WAV decode: the UDF sees only payload bytes and
     must recover every feature by parsing the container."""

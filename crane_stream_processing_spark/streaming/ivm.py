@@ -16,25 +16,27 @@ The journal grows one partition per trigger, so a long-running maintainer
 periodically COMPACTS: fold the journal partitions for batch ids strictly
 below the last committed batch into a new base, then drop them.
 
-Crash-safety is FENCED, not assumed: the base directory carries a
-``_compacted_upto`` marker recording the highest batch id ever folded
-into it, written into the staging directory BEFORE the swap. Readers
-(:func:`read_journal`) exclude journal partitions at or below the
-fence — so a crash after the base swap but before the partition cleanup
-leaves stale partitions that are IGNORED, never double-applied, and the
-next compaction removes them. Two residual windows are documented rather
-than hidden: (a) the base swap is two directory renames, so a concurrent
-reader can hit a brief path-not-found between them — compaction assumes
-a single maintainer that does not serve reads mid-swap (pause the read
-path or retry on not-found); (b) a crash between the renames leaves the
-old base at ``<base>.__retired`` with ``<base>`` absent — recovery is to
-rename it back, losing only the compaction (the journal partitions are
-still intact because cleanup runs last). Replay safety (same as every
-offset-log sink): a batch can only replay while it is the LAST
-uncommitted entry in the checkpoint's offset log — once batch N+1 has
-committed, batches ≤ N can never be redelivered, so folding them is
-sound; compacting the tail batch before its commit is the one forbidden
-move, hence the explicit ``upto_batch_id`` argument.
+Crash-safety is ATOMIC, not assumed: each compacted base is written into
+its own VERSIONED directory (``<base>.__upto<N>`` — named by the highest
+batch id folded into it, so a retried compaction overwrites its own
+staging rather than colliding), and the only mutation readers can
+observe is an atomic pointer flip — the 1-line ``<base>.__current``
+manifest is written to a temp name and ``os.rename``d into place (atomic
+replace on POSIX). Readers (:func:`current_base` / :func:`read_journal`)
+resolve the live base THROUGH the pointer, so the current base path is
+never absent at any crash point: die before the flip and the pointer
+still names the old base (the half-built versioned dir is inert and gets
+overwritten by the retry); die after the flip but before cleanup and the
+fence (the ``upto`` recorded in the pointer) makes the already-folded
+journal partitions IGNORED, never double-applied — the next compaction
+removes them as cleanup. The previous base generation is retained until
+the following compaction retires it, so an in-flight reader that
+resolved the pointer just before a flip still has a live directory.
+Replay safety (same as every offset-log sink): a batch can only replay
+while it is the LAST uncommitted entry in the checkpoint's offset log —
+once batch N+1 has committed, batches ≤ N can never be redelivered, so
+folding them is sound; compacting the tail batch before its commit is
+the one forbidden move, hence the explicit ``upto_batch_id`` argument.
 """
 
 from __future__ import annotations
@@ -51,9 +53,10 @@ __all__ = [
     "read_journal",
     "signed_fold",
     "compacted_upto",
+    "current_base",
 ]
 
-_MARKER = "_compacted_upto"
+_POINTER = ".__current"  # <base>.__current: {"upto": N} — atomic flip target
 
 
 def signed_fold(
@@ -114,14 +117,35 @@ def start_ivm_maintenance(
 
 def compacted_upto(base_dir: str | None) -> int:
     """The base's compaction fence: highest batch id ever folded into it
-    (−1 when no compaction has run / no base given)."""
+    (−1 when no compaction has run / no base given). Read from the
+    atomic ``<base>.__current`` pointer manifest."""
     if base_dir is None:
         return -1
-    path = os.path.join(base_dir, _MARKER)
+    path = base_dir.rstrip("/") + _POINTER
     if not os.path.exists(path):
         return -1
     with open(path) as f:
         return int(json.load(f)["upto"])
+
+
+def current_base(base_dir: str) -> str:
+    """Resolve the LIVE base directory through the pointer manifest: the
+    original ``base_dir`` until a compaction ever ran, then
+    ``<base>.__upto<fence>``. The pointer flips atomically (temp-write +
+    rename), so this path always exists at every crash point."""
+    fence = compacted_upto(base_dir)
+    if fence < 0:
+        return base_dir
+    return base_dir.rstrip("/") + f".__upto{fence}"
+
+
+def _journal_partitions(journal_dir: str) -> list[tuple[int, str]]:
+    """(batch_id, dirname) for every ``__batch_id=`` partition present."""
+    return sorted(
+        (int(d.split("=", 1)[1]), d)
+        for d in os.listdir(journal_dir)
+        if d.startswith("__batch_id=")
+    )
 
 
 def read_journal(
@@ -134,13 +158,21 @@ def read_journal(
     ``__batch_id`` is the idempotency ledger, not data. When ``base_dir``
     is given, partitions at or below its compaction fence are EXCLUDED:
     they are stale leftovers of a compaction that crashed between the
-    base swap and the cleanup, and their deltas already live in the
-    base — the fence is what makes that crash window safe."""
-    df = spark.read.parquet(journal_dir)
+    pointer flip and the cleanup, and their deltas already live in the
+    base — the fence is what makes that crash window safe. A fully
+    compacted journal (zero live partitions — the steady state of a
+    long-running maintainer) returns an EMPTY frame with the journal
+    schema instead of tripping parquet schema inference on an empty
+    directory (round-9 advice)."""
     fence = compacted_upto(base_dir)
-    if fence >= 0:
-        df = df.filter(F.col("__batch_id") > fence)
-    return df.select(key, "dn", "dv")
+    live = [d for b, d in _journal_partitions(journal_dir) if b > fence]
+    if not live:
+        return spark.createDataFrame(
+            [], f"{key} long, dn long, dv decimal(28,4)"
+        )
+    return spark.read.parquet(
+        *[os.path.join(journal_dir, d) for d in live]
+    ).select(key, "dn", "dv")
 
 
 def compact_ivm_journal(
@@ -157,54 +189,65 @@ def compact_ivm_journal(
     maintenance cycle that keeps read-time fold cost
     O(groups + recent batches) forever:
 
-    1. new_base = :func:`signed_fold`(base, folded partials) — one
-       groupBy over |groups| + |partials| rows, never facts.
-    2. The ``_compacted_upto`` fence marker is written INTO the staging
-       directory before the swap, so from the instant the new base is
-       visible, :func:`read_journal` ignores the folded partitions even
-       if step 3 never runs (crash-safe against double-apply).
-    3. The base swaps in via two renames (old → ``.__retired``, staging
-       → base) and the folded partitions are deleted as cleanup.
+    1. new_base = :func:`signed_fold`(current base, folded partials) —
+       one groupBy over |groups| + |partials| rows, never facts — written
+       into its own versioned directory ``<base>.__upto<N>`` (a retried
+       compaction overwrites the same staging, idempotent).
+    2. The ``<base>.__current`` pointer flips ATOMICALLY (temp-write +
+       ``os.rename``) to name the new version and record the fence.
+       From that instant :func:`current_base` resolves the new base and
+       :func:`read_journal` ignores the folded partitions even if step 3
+       never runs (crash-safe against double-apply); before that instant
+       readers see the old base + full journal. No crash point leaves
+       the base path absent.
+    3. Cleanup: the folded journal partitions are deleted and base
+       generations OLDER than the one just retired are removed (the
+       immediately-previous generation is kept one cycle for in-flight
+       readers that resolved the pointer pre-flip).
 
-    See the module docstring for the two documented residual windows
-    (reader not-found during the swap; ``.__retired`` recovery) and the
+    See the module docstring for the crash analysis and the
     replay-safety precondition on ``upto_batch_id``. Returns the number
     of journal partitions folded."""
     import shutil
 
     fence = compacted_upto(base_dir)
     parts = [
-        d
-        for d in os.listdir(journal_dir)
-        if d.startswith("__batch_id=")
-        and fence < int(d.split("=", 1)[1]) <= upto_batch_id
+        (b, d)
+        for b, d in _journal_partitions(journal_dir)
+        if fence < b <= upto_batch_id
     ]
     # stale leftovers at or below the fence are pure cleanup — their
     # deltas are already in the base
-    stale = [
-        d
-        for d in os.listdir(journal_dir)
-        if d.startswith("__batch_id=") and int(d.split("=", 1)[1]) <= fence
-    ]
+    stale = [d for b, d in _journal_partitions(journal_dir) if b <= fence]
     for d in stale:
         shutil.rmtree(os.path.join(journal_dir, d), ignore_errors=True)
     if not parts:
         return 0
     folded = spark.read.parquet(
-        *[os.path.join(journal_dir, d) for d in parts]
+        *[os.path.join(journal_dir, d) for _, d in parts]
     ).select(key, "dn", "dv")
+    old_live = current_base(base_dir)
     new_base = signed_fold(
-        spark.read.parquet(base_dir), folded, key, count_col, sum_col
+        spark.read.parquet(old_live), folded, key, count_col, sum_col
     )
-    staging = base_dir.rstrip("/") + ".__compacting"
-    retired = base_dir.rstrip("/") + ".__retired"
-    new_base.write.mode("overwrite").parquet(staging)
-    with open(os.path.join(staging, _MARKER), "w") as f:
+    root = base_dir.rstrip("/")
+    versioned = root + f".__upto{int(upto_batch_id)}"
+    new_base.write.mode("overwrite").parquet(versioned)
+    # THE atomic flip: temp-write the 1-line manifest, rename into place
+    pointer = root + _POINTER
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"upto": int(upto_batch_id)}, f)
-    shutil.rmtree(retired, ignore_errors=True)
-    os.rename(base_dir, retired)
-    os.rename(staging, base_dir)
-    shutil.rmtree(retired, ignore_errors=True)
-    for d in parts:
+    os.rename(tmp, pointer)
+    # cleanup (all post-flip, all crash-tolerant): folded journal
+    # partitions, then base generations older than the one just retired
+    for _, d in parts:
         shutil.rmtree(os.path.join(journal_dir, d), ignore_errors=True)
+    parent, name = os.path.split(root)
+    for entry in os.listdir(parent or "."):
+        if not entry.startswith(name + ".__upto"):
+            continue
+        v = int(entry.rsplit(".__upto", 1)[1])
+        if v < fence:  # strictly older than the retired generation
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
     return len(parts)

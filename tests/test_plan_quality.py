@@ -752,3 +752,12 @@ def test_hamming_near_pairs_banded_equi_join(spark, sf_dir):
     plan = _plan(spark, "mm_ahash_hamming_near_pairs", sf_dir, mode="simple")
     assert "NestedLoop" not in plan, plan
     assert "band_idx" in plan and "band_val" in plan
+
+
+def test_wav_fp_hamming_near_pairs_banded_equi_join(spark, sf_dir):
+    """The audio near-dup twin: candidate generation must be an equi
+    join on (n_windows, band_idx, band_val) — never a nested loop; the
+    exact Hamming filter verifies candidates after the join."""
+    plan = _plan(spark, "mm_wav_fp_hamming_near_pairs", sf_dir, mode="simple")
+    assert "NestedLoop" not in plan, plan
+    assert "band_idx" in plan and "band_val" in plan and "nw" in plan

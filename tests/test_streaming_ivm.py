@@ -162,10 +162,12 @@ def _view_from_batch(spark, base_df, feed_dir):
 def test_journal_compaction_folds_and_preserves_view(spark, tmp_path):
     """Compacting journal partitions <= N into the base must leave the
     folded view bit-identical, delete exactly those partitions, and
-    carry zero-count group deletion through the rewrite. The base swap
-    is rename-atomic (old dir retired, staging renamed in)."""
+    carry zero-count group deletion through the rewrite. The new base
+    lands in a versioned directory and becomes live via the atomic
+    pointer flip (resolved through current_base)."""
     from crane_stream_processing_spark.streaming.ivm import (
         compact_ivm_journal,
+        current_base,
         read_journal,
     )
 
@@ -188,8 +190,8 @@ def test_journal_compaction_folds_and_preserves_view(spark, tmp_path):
         return {
             r.o_custkey: (r.n_orders, float(r.total_price))
             for r in ivm_fold_view(
-                spark.read.parquet(base_dir),
-                read_journal(spark, journal, "o_custkey"),
+                spark.read.parquet(current_base(base_dir)),
+                read_journal(spark, journal, "o_custkey", base_dir),
             ).collect()
         }
 
@@ -202,10 +204,15 @@ def test_journal_compaction_folds_and_preserves_view(spark, tmp_path):
     left = {d for d in os.listdir(journal) if d.startswith("__batch_id=")}
     assert left == {"__batch_id=2"}
     assert view() == before
+    # the live base is the versioned dir; the original remains on disk
+    # (previous generation, kept one cycle for in-flight readers)
+    assert current_base(base_dir) == base_dir + ".__upto1"
+    assert os.path.isdir(base_dir)
 
     # customer 2 zeroed out in batch 0 must NOT resurface in the new base
     base_keys = {
-        r.o_custkey for r in spark.read.parquet(base_dir).collect()
+        r.o_custkey
+        for r in spark.read.parquet(current_base(base_dir)).collect()
     }
     assert 2 not in base_keys
 
@@ -224,6 +231,7 @@ def test_compaction_fence_survives_crash_before_cleanup(spark, tmp_path):
     from crane_stream_processing_spark.streaming.ivm import (
         compact_ivm_journal,
         compacted_upto,
+        current_base,
         read_journal,
     )
 
@@ -256,7 +264,7 @@ def test_compaction_fence_survives_crash_before_cleanup(spark, tmp_path):
     view = {
         r.o_custkey: (r.n_orders, float(r.total_price))
         for r in ivm_fold_view(
-            spark.read.parquet(base_dir),
+            spark.read.parquet(current_base(base_dir)),
             read_journal(spark, journal, "o_custkey", base_dir),
         ).collect()
     }
@@ -272,8 +280,190 @@ def test_compaction_fence_survives_crash_before_cleanup(spark, tmp_path):
     final = {
         r.o_custkey: (r.n_orders, float(r.total_price))
         for r in ivm_fold_view(
-            spark.read.parquet(base_dir),
-            spark.createDataFrame([], "o_custkey long, dn long, dv decimal(28,4)"),
+            spark.read.parquet(current_base(base_dir)),
+            # the fully-compacted steady state: read_journal must return
+            # an empty typed frame, not trip schema inference (r9 advice)
+            read_journal(spark, journal, "o_custkey", base_dir),
         ).collect()
     }
     assert final == view
+
+
+def test_compaction_crash_windows_leave_base_always_readable(
+    spark, tmp_path, monkeypatch
+):
+    """The round-9 advice's atomicity bar: kill the compactor at BOTH
+    positions the old two-rename design was vulnerable at — (a) after
+    the new base is fully written but before it becomes live, (b) after
+    it becomes live but before cleanup — and at each point a reader
+    resolving through current_base() must see an EXISTING directory
+    whose fold is correct. The only mutation in the whole cycle is the
+    atomic pointer rename, so there is no reader-visible gap."""
+    import shutil as real_shutil
+
+    from crane_stream_processing_spark.streaming import ivm as ivm_mod
+    from crane_stream_processing_spark.streaming.ivm import (
+        compact_ivm_journal,
+        compacted_upto,
+        current_base,
+        read_journal,
+    )
+
+    feed = str(tmp_path / "feed")
+    journal = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = str(tmp_path / "base")
+    _base(spark).write.mode("overwrite").parquet(base_dir)
+    waves = [
+        [(1, 1, D("3.0000"))],   # batch 0
+        [(3, 1, D("4.0000"))],   # batch 1
+        [(4, 1, D("9.0000"))],   # batch 2 (checkpoint tail, never folded)
+    ]
+    for i, rows in enumerate(waves):
+        _write_feed_file(spark, feed, i, rows)
+    _run(spark, feed, journal, ckpt, max_files=1)
+
+    def view():
+        return {
+            r.o_custkey: (r.n_orders, float(r.total_price))
+            for r in ivm_fold_view(
+                spark.read.parquet(current_base(base_dir)),
+                read_journal(spark, journal, "o_custkey", base_dir),
+            ).collect()
+        }
+
+    expect = {1: (3, 13.0), 2: (1, 5.0), 3: (2, 11.0), 4: (1, 9.0)}
+    assert view() == expect
+
+    # (a) crash BETWEEN writing the new base and the pointer flip: fail
+    # the flip itself (the single os.rename)
+    def boom_rename(src, dst):
+        raise OSError("injected crash before pointer flip")
+
+    monkeypatch.setattr(ivm_mod.os, "rename", boom_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        compact_ivm_journal(spark, base_dir, journal, upto_batch_id=1)
+    monkeypatch.undo()
+    # pointer never flipped: reader sees the ORIGINAL base + full
+    # journal — identical view, live path exists
+    assert compacted_upto(base_dir) == -1
+    assert current_base(base_dir) == base_dir
+    assert os.path.isdir(current_base(base_dir))
+    assert view() == expect
+
+    # retry succeeds and OVERWRITES the half-built versioned dir
+    assert compact_ivm_journal(spark, base_dir, journal, upto_batch_id=1) == 2
+    assert view() == expect
+
+    # (b) crash AFTER the flip, before cleanup: fail the first rmtree
+    def boom_rmtree(path, ignore_errors=False):
+        raise OSError("injected crash before cleanup")
+
+    monkeypatch.setattr(real_shutil, "rmtree", boom_rmtree)
+    with pytest.raises(OSError, match="injected crash"):
+        compact_ivm_journal(spark, base_dir, journal, upto_batch_id=2)
+    monkeypatch.undo()
+    # pointer flipped: fence excludes the folded-but-not-deleted batch-2
+    # partition, the live base exists, the view is unchanged
+    assert compacted_upto(base_dir) == 2
+    assert current_base(base_dir) == base_dir + ".__upto2"
+    assert os.path.isdir(current_base(base_dir))
+    assert view() == expect
+    # next cycle sweeps the stale partition as cleanup, folds nothing new
+    assert compact_ivm_journal(spark, base_dir, journal, upto_batch_id=2) == 0
+    assert not any(
+        d.startswith("__batch_id=") for d in os.listdir(journal)
+    )
+    assert view() == expect
+
+
+def test_cdc_feed_restart_and_delete_wins(spark, tmp_path):
+    """The CDC-shaped maintainer contract behind stream_cdc_ivm_maintenance:
+    an upsert feed (UPDATEs expanded to DELETE+INSERT signed pairs with
+    before/after images; the update leg of an update∩delete key already
+    dropped by the expansion — delete wins) drains under checkpoint C;
+    a SECOND feed wave lands and a new query on the SAME checkpoint must
+    process only the new files, leave old journal partitions untouched,
+    and fold to exactly the post-CDC state."""
+    from crane_stream_processing_spark.streaming.ivm import (
+        read_journal,
+        signed_fold,
+    )
+
+    feed = str(tmp_path / "feed")
+    journal = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, 2, "10.0000"), (2, 1, "5.0000"), (3, 1, "7.0000")],
+        "user_id long, n_events long, total_dec string",
+    ).select(
+        "user_id", "n_events",
+        F.col("total_dec").cast("decimal(28,4)").alias("total_dec"),
+    )
+
+    def run():
+        reader = spark.readStream.schema(
+            "user_id long, dn long, dv decimal(28,4)"
+        ).option("maxFilesPerTrigger", 1)
+        q, sink = start_ivm_maintenance(
+            reader.parquet(feed), journal, ckpt, key="user_id"
+        )
+        q.awaitTermination()
+        return sink
+
+    def view():
+        return {
+            r.user_id: (r.n_events, float(r.total_dec))
+            for r in signed_fold(
+                base,
+                read_journal(spark, journal, "user_id"),
+                "user_id", "n_events", "total_dec",
+            ).collect()
+        }
+
+    # wave 0: UPDATE user 1 (before 4.0 → after 12.0, the canonical
+    # signed pair) + DELETE user 2's only event (group must drop)
+    _write_feed_file_cdc(spark, feed, 0, [
+        (1, -1, D("-4.0000")), (1, 1, D("12.0000")),
+        (2, -1, D("-5.0000")),
+    ])
+    run()
+    assert view() == {1: (2, 18.0), 3: (1, 7.0)}
+
+    # restart: INSERT user 4 + the delete-wins residue for user 3 (the
+    # update leg was dropped by the expansion; only the delete lands)
+    _write_feed_file_cdc(spark, feed, 1, [
+        (4, 1, D("9.0000")), (3, -1, D("-7.0000")),
+    ])
+    before = {
+        d: os.path.getmtime(os.path.join(journal, d))
+        for d in os.listdir(journal)
+        if d.startswith("__batch_id=")
+    }
+    run()
+    after = {
+        d: os.path.getmtime(os.path.join(journal, d))
+        for d in os.listdir(journal)
+        if d.startswith("__batch_id=")
+    }
+    assert len(after) == len(before) + 1
+    for d, mt in before.items():
+        assert after[d] == pytest.approx(mt), f"{d} rewritten on restart"
+    assert view() == {1: (2, 18.0), 4: (1, 9.0)}
+
+
+def _write_feed_file_cdc(spark, feed_dir, idx, rows):
+    """CDC twin of _write_feed_file (user_id-keyed schema)."""
+    import glob
+    import shutil
+
+    stage = os.path.join(feed_dir, f"..__cdcstage{idx}")
+    spark.createDataFrame(
+        rows, "user_id long, dn long, dv decimal(28,4)"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.makedirs(feed_dir, exist_ok=True)
+    dst = os.path.join(feed_dir, f"feed{idx}.parquet")
+    shutil.move(part, dst)
+    os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
+    shutil.rmtree(stage, ignore_errors=True)
