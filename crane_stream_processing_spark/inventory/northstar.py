@@ -1572,6 +1572,63 @@ def sim_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans64_exact_ctes() -> str:
+    """The CTE chain re-deriving kmeans_fit_exact's k=64 / 2-iteration
+    trained centroids and the rebuilt inverted file IN SQL — what makes
+    the retrain loop's after-side integers two-sided (round-9 verdict
+    item #2). Mirrors the trainer move for move: seeds = the 64
+    lowest-first-occurrence-id distinct vectors; each training
+    assignment = argmin L2 via argmax(dot − ||c||²/2) with the
+    lowest-cell tiebreak; each mean = per-dimension exact 2⁴⁸-scaled
+    integer decimal sums → one decimal→double conversion, one IEEE
+    division, one exact exponent shift (empty cells keep the previous
+    centroid); the FINAL index assignment is plain-dot argmax — the
+    ivf_bucket_corpus discipline. Requires `celled` (vec_id, embedding,
+    …) in scope; emits `trained` (cell, cvec) and `a3` (vec_id,
+    embedding, cell)."""
+    scale = "281474976710656.0"  # 2^48 — similarity.EXACT_COMPONENT_SCALE
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(embedding[{d + 1}] * {scale} AS DECIMAL(38,0)))"
+        f" AS DOUBLE) / COUNT(*) / {scale}"
+        for d in range(64)
+    )
+
+    def train_assign(cent: str, name: str) -> str:
+        return f"""
+    {name}_rk AS (
+      SELECT v.vec_id, v.embedding, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_dot_product(CAST(v.embedding AS DOUBLE[]), c.cvec)
+               - list_dot_product(c.cvec, c.cvec) / 2.0 DESC, c.cell) AS rk
+      FROM celled v, {cent} c
+    ),
+    {name} AS (SELECT vec_id, embedding, cell FROM {name}_rk WHERE rk = 1)"""
+
+    return f"""
+    seeds AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS cvec,
+             ROW_NUMBER() OVER (ORDER BY fid) - 1 AS cell
+      FROM (SELECT embedding, MIN(vec_id) AS fid FROM celled
+            GROUP BY embedding ORDER BY fid LIMIT 64)
+    ),
+    {train_assign('seeds', 'a1')},
+    m1 AS (SELECT cell, [{mean_list}] AS cvec FROM a1 GROUP BY cell),
+    m1f AS (SELECT s.cell, COALESCE(m.cvec, s.cvec) AS cvec
+            FROM seeds s LEFT JOIN m1 m USING (cell)),
+    {train_assign('m1f', 'a2')},
+    m2 AS (SELECT cell, [{mean_list}] AS cvec FROM a2 GROUP BY cell),
+    trained AS (SELECT f.cell, COALESCE(m.cvec, f.cvec) AS cvec
+                FROM m1f f LEFT JOIN m2 m USING (cell)),
+    a3_rk AS (
+      SELECT v.vec_id, v.embedding, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_dot_product(CAST(v.embedding AS DOUBLE[]), c.cvec)
+               DESC, c.cell) AS rk
+      FROM celled v, trained c
+    ),
+    a3 AS (SELECT vec_id, embedding, cell FROM a3_rk WHERE rk = 1)"""
+
+
 @query(
     "sim_ivf_retrain_loop",
     oracle=f"""
@@ -1589,6 +1646,15 @@ def sim_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          > 2 * (SELECT SUM(n) FROM per)
                                     THEN 1 END), 0) AS BIGINT) AS hot_before
       FROM per
+    ),
+    {_sql_kmeans64_exact_ctes()},
+    pera AS (SELECT cell, COUNT(*) AS n FROM a3 GROUP BY cell),
+    healtha AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_after,
+             CAST(COALESCE(SUM(CASE WHEN n * (SELECT COUNT(*) FROM pera)
+                                         > 2 * (SELECT SUM(n) FROM pera)
+                                    THEN 1 END), 0) AS BIGINT) AS hot_after
+      FROM pera
     ),
     exact AS (
       SELECT query_id, cand_id FROM (
@@ -1609,50 +1675,73 @@ def sim_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT * FROM celled WHERE vec_id < 10) a
         JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
       ) WHERE rank <= 3
+    ),
+    anna AS (
+      SELECT query_id, cand_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({SQL_COSINE}, 6) DESC,
+                                           b.vec_id) AS rank
+        FROM (SELECT * FROM a3 WHERE vec_id < 10) a
+        JOIN a3 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 3
+    ),
+    hits AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM exact e JOIN annb USING (query_id, cand_id)) AS n_hit_before,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM exact e JOIN anna USING (query_id, cand_id)) AS n_hit_after
     )
     SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM exact)
              AS n_queries,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
-           h.max_before, h.hot_before,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM exact e JOIN annb USING (query_id, cand_id)) AS n_hit_before,
-           TRUE AS balance_improved,
-           TRUE AS recall_not_worse,
-           TRUE AS recall_retrained_ok
-    FROM health h
+           h.max_before, h.hot_before, t.n_hit_before,
+           ha.max_after, ha.hot_after, t.n_hit_after,
+           ha.max_after <= h.max_before AS balance_improved,
+           t.n_hit_after >= t.n_hit_before AS recall_not_worse,
+           10 * t.n_hit_after >= 4 * (SELECT COUNT(*) FROM exact)
+             AS recall_retrained_ok
+    FROM health h CROSS JOIN healtha ha CROSS JOIN hits t
     """,
 )
 def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full operational loop the round-7 verdict sketched — HEALTH →
-    RETRAIN → RECALL, tied into one graded query: audit the persisted
-    fixed-hyperplane 64-cell index (`_ivf64_index` — max cell size and
-    hot-cell count, the `sim_ivf_index_health` signals, both
-    oracle-exact integers), re-run the distributed Lloyd's k-means
-    trainer (`kmeans_fit`, k=64, 2 iterations — data-driven centroids
-    replacing the data-blind hyperplanes), rebuild the inverted file,
-    and certify the retrain DID ITS JOB: `balance_improved` (the
-    rebuilt index's max cell ≤ the old max — measured 15→11 / 16→13 /
-    58→40 across SFs), `recall_not_worse` (trained recall@3 hits ≥ the
-    hyperplane index's — measured 3→19, 5→16, 0→27 of 30), and
-    `recall_retrained_ok` (trained hits ≥ 0.4·n_exact by integer
-    cross-multiplication — measured 0.53–0.90, the certificate floor
-    absorbing float-merge-order centroid drift like
-    `sim_ivf_kmeans_topk`). The BEFORE side is fully SQL-derivable, so
-    max_before / hot_before / n_hit_before grade row-exact; the trained
-    side is iterative (outside SQL) and grades as the certificate — the
-    established split. At 100 TB this is the production retrain
-    playbook: the health scan is a 64-group agg, training moves only
-    k×dim centroid sums per iteration, the rebuild is one assignment
-    pass, and the recall gate is a bounded 10-query probe — nothing in
-    the loop scales worse than one corpus scan."""
-    emb = t_cpu(spark, sf_dir, "embeddings")
-    key = (sf_dir, 64, 2)
+    RETRAIN → RECALL, tied into one graded query, now TWO-SIDED end to
+    end (round-9 verdict item #2): audit the persisted fixed-hyperplane
+    64-cell index (`_ivf64_index` — max cell size and hot-cell count,
+    the `sim_ivf_index_health` signals), re-run the distributed Lloyd's
+    k-means trainer with the ENGINE-DETERMINISTIC exact fold
+    (`kmeans_fit_exact`, k=64, 2 iterations — per-dimension 2⁴⁸-scaled
+    integer decimal sums make the trained centroids bit-reproducible
+    and SQL-re-derivable; validated 64/64 centroid rows bit-identical
+    against the DuckDB re-derivation at sf0.01 and sf0.1), rebuild the
+    inverted file, and emit the loop's WHOLE ledger as oracle-computed
+    values: max_before/hot_before/n_hit_before AND
+    max_after/hot_after/n_hit_after are exact integers the oracle
+    re-derives (its CTE chain replays seeds → two argmin-L2 assignment
+    + exact-mean iterations → the final plain-dot bucketing —
+    `_sql_kmeans64_exact_ctes`), and the three outcome flags
+    (`balance_improved`, `recall_not_worse`, `recall_retrained_ok` —
+    the ≥0.4·n_exact floor as integer cross-multiplication) are now
+    COMPUTED ON BOTH SIDES from those integers — no literal TRUE
+    anywhere in the oracle; a drifted centroid, a flipped assignment
+    tie, or a lost recall hit mismatches the row. (`kmeans_fit`'s
+    Arrow trainer remains the throughput path and stays
+    certificate-graded where used — `sim_ivf_kmeans_topk`.) At 100 TB
+    this is the production retrain playbook: the health scan is a
+    64-group agg, training moves only k×dim decimal sums per iteration
+    (map-side partials, O(k·dim·partitions) shuffle), the rebuild is
+    one assignment pass, and the recall gate is a bounded 10-query
+    probe — nothing in the loop scales worse than one corpus scan."""
+    emb = t_cpu(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    key = (sf_dir, 64, 2, "exact")
     if key not in _KMEANS_MODELS:
-        # arrow=True: the training twin of ivf_assign_arrow — one matmul
-        # + np.add.at partial sums per batch (~4x the relational
-        # iteration body at k=64); certificate margins absorb its
-        # ulp-order contract, and tests/test_kmeans_ivf.py pins parity.
-        _KMEANS_MODELS[key] = S.kmeans_fit(emb, k=64, iters=2, arrow=True)
+        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
+            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
+        )
     trained = _KMEANS_MODELS[key]
 
     from pyspark.sql import Window
@@ -1689,7 +1778,7 @@ def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("query_id").alias("n_queries"),
             F.count(F.lit(1)).alias("n_exact"),
             F.count("__hb").cast("long").alias("n_hit_before"),
-            F.count("__ha").cast("long").alias("__n_hit_after"),
+            F.count("__ha").cast("long").alias("n_hit_after"),
         )
     )
     return (
@@ -1701,15 +1790,18 @@ def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_before",
             "hot_before",
             "n_hit_before",
+            "max_after",
+            "hot_after",
+            "n_hit_after",
             (F.col("max_after") <= F.col("max_before")).alias(
                 "balance_improved"
             ),
-            (F.col("__n_hit_after") >= F.col("n_hit_before")).alias(
+            (F.col("n_hit_after") >= F.col("n_hit_before")).alias(
                 "recall_not_worse"
             ),
             # 0.4 recall floor as integer cross-multiplication (no float
             # threshold): 10 * hits >= 4 * n_exact  <=>  recall >= 0.4
-            (F.col("__n_hit_after") * 10 >= 4 * F.col("n_exact")).alias(
+            (F.col("n_hit_after") * 10 >= 4 * F.col("n_exact")).alias(
                 "recall_retrained_ok"
             ),
         )

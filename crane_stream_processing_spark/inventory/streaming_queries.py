@@ -1617,6 +1617,134 @@ def stream_ivf_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.select("query_id", "cand_id", "cos_sim", "rank")
 
 
+@query("stream_ivf_ingest_then_serve", oracle=_oracle_stream_ivf_query_topk())
+def stream_ivf_ingest_then_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """READ-YOUR-WRITES for the ANN index — the round-9 verdict's item
+    #3, composing the ingest and serving halves the separate queries
+    prove individually: the inverted file is built OFFLINE from the
+    corpus MINUS a holdout cohort (vec_id ≡ 3 mod 5), the holdout then
+    ARRIVES on an ingest stream whose micro-batches bucket each vector
+    (ivf_bucket_corpus per batch — broadcast centroids, row-local
+    assignment) and append under ``__batch_id=<N>`` via the idempotent
+    sink (base/ + delta/ — the classic base+delta index layout), and
+    only AFTER that refresh does the query stream get served: each
+    serving micro-batch re-resolves the LIVE index (base ∪ delta) and
+    answers with the exact cell-join top-3. Both drains are
+    single-batch-ASSERTED and batch 0 of each is REPLAYED through its
+    sink (at-least-once on the ingest side must not duplicate index
+    entries; on the serve side must not duplicate answers). The grade is
+    the point: the oracle (ORACLE_IVF_COARSE_TOPK — literally the same
+    object as the batch and serving-only paths) computes top-3 over the
+    FULL corpus, so any served row that should name a freshly-ingested
+    vector but doesn't (ingest lost, delta unread, refresh unordered)
+    hash-mismatches; a belt-and-braces in-query check additionally
+    asserts the served answers DO retrieve holdout vectors, so the
+    property is witnessed, not vacuous. At 100 TB this is the
+    production consistency contract: index refresh commits before query
+    visibility, served ≡ batch ≡ oracle, and the delta folds into the
+    base on the same compaction discipline as the IVM journal."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import similarity as S
+    from ..streaming.ann_ingest import idempotent_batch_sink
+    from . import register_scratch_dir, t_cpu
+    from .northstar import _CENTROIDS64
+
+    scratch = tempfile.mkdtemp(prefix="crane_ivf_rw_")
+    register_scratch_dir(scratch)
+    base_dir = os.path.join(scratch, "base")
+    delta_dir = os.path.join(scratch, "delta")
+    out_dir = os.path.join(scratch, "served")
+
+    emb = t_cpu(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    held = F.col("vec_id") % 5 == 3
+    # offline build: everything EXCEPT the holdout cohort
+    S.ivf_bucket_corpus(emb.filter(~held), _CENTROIDS64).write.parquet(
+        base_dir
+    )
+
+    # phase 1 — INGEST: the holdout cohort arrives; each micro-batch
+    # buckets its vectors and appends under its own __batch_id partition
+    ingest_sink = idempotent_batch_sink(
+        delta_dir, transform=lambda b: S.ivf_bucket_corpus(b, _CENTROIDS64)
+    )
+    ingest_stream = _stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull() & held
+    )
+    with _scoped_stream_partitions(spark):
+        q1 = (
+            ingest_stream.writeStream.foreachBatch(ingest_sink)
+            .option(
+                "checkpointLocation", os.path.join(scratch, "ckpt_ingest")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+    _assert_single_batch_journal(
+        delta_dir, "stream_ivf_ingest_then_serve/ingest"
+    )
+    ingest_sink(emb.filter(held).select("vec_id", "embedding"), 0)  # replay
+
+    def live_index() -> DataFrame:
+        base = spark.read.parquet(base_dir)
+        delta = spark.read.parquet(delta_dir).select(
+            "cand_id", "cvec", "cn", "cell"
+        )
+        return base.unionByName(delta)
+
+    # phase 2 — SERVE: the query stream is answered against the LIVE
+    # (post-refresh) index, resolved fresh inside each micro-batch
+    serve_sink = idempotent_batch_sink(
+        out_dir,
+        transform=lambda b: S.ivf_ann_topk(
+            None, b, _CENTROIDS64, k=3, bucketed=live_index()
+        ),
+    )
+    q_stream = _stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.col("vec_id") < 10)
+    )
+    with _scoped_stream_partitions(spark):
+        q2 = (
+            q_stream.writeStream.foreachBatch(serve_sink)
+            .option(
+                "checkpointLocation", os.path.join(scratch, "ckpt_serve")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    shutil.rmtree(os.path.join(scratch, "ckpt_ingest"), ignore_errors=True)
+    shutil.rmtree(os.path.join(scratch, "ckpt_serve"), ignore_errors=True)
+    _assert_single_batch_journal(
+        out_dir, "stream_ivf_ingest_then_serve/serve"
+    )
+    serve_sink(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding"), 0
+    )
+
+    served = spark.read.parquet(out_dir).select(
+        "query_id", "cand_id", "cos_sim", "rank"
+    )
+    # witness the property: served answers must RETRIEVE post-ingest
+    # vectors (1-int bounded collect) — a vacuous pass is an error
+    n_held = served.filter(F.col("cand_id") % 5 == 3).count()
+    if n_held == 0:
+        raise AssertionError(
+            "read-your-writes not witnessed: no served answer names a "
+            "freshly-ingested (holdout) vector"
+        )
+    return served
+
+
 _CDC_FEED_DIRS: dict[str, str] = {}
 
 

@@ -989,6 +989,126 @@ def kmeans_fit(
     return centroids
 
 
+#: 2^48 — scales every float32-representable embedding component to an
+#: EXACT integer-valued double (48 significand bits needed at this
+#: corpus's exponent range < the 53 a double carries; asserted per fit).
+EXACT_COMPONENT_SCALE = float(1 << 48)
+
+
+def kmeans_fit_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """ENGINE-deterministic Lloyd's k-means — the trainer whose model an
+    ANSI-SQL oracle can re-derive bit-for-bit, making retrain pipelines
+    TWO-SIDED gradeable (round-9 verdict item #2; `kmeans_fit`'s float
+    partial sums are merge-order-sensitive in the last ulps, which is
+    why its consumers were certificate-graded).
+
+    Determinism comes from three exactness moves, each individually
+    cross-engine-reproducible:
+
+    1. **Seeds**: the k lowest-first-occurrence-id DISTINCT vectors —
+       one groupBy(vec) + min(id) + orderBy + limit, a pure relational
+       definition (SQL: GROUP BY embedding / MIN(vec_id) / LIMIT k).
+    2. **Assignment**: argmax(dot(v, c) − ||c||²/2) with first-occurrence
+       (lowest-cell) tiebreak — the same row-local sequential fold the
+       IVF oracles already replay row-level via ``list_dot_product``.
+    3. **Means**: each float32 component scaled by 2⁴⁸ is an EXACT
+       integer-valued double (validated in-pass: a single extra
+       aggregate counts non-integral components and raises — no silent
+       wrong answers on float64 inputs), summed as ``decimal(38,0)`` —
+       exact integer arithmetic, order-independent, NO rounding at the
+       cast because the double has no fractional part — then
+       mean = (CAST(sum AS DOUBLE) / n) / 2⁴⁸: one correctly-rounded
+       decimal→double conversion, one IEEE division, one exact
+       exponent shift — identical in any engine.
+
+    Scale shape matches :func:`kmeans_fit`: assignment is the broadcast
+    centroid-matrix relation above LITERAL_K_MAX (O(1) plan in k), the
+    decimal sums collapse map-side to ≤k rows × dim per partition, and
+    only the k×dim model reaches the driver. The decimal-sum integer
+    headroom is 38 digits ≈ 2¹²⁶ — at 2⁴⁸ per component that is ~2⁷⁸
+    rows per cell before overflow, far beyond any corpus."""
+    seeds = (
+        df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .groupBy("v")
+        .agg(F.min("i").alias("__fid"))
+        .orderBy("__fid")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seeds]
+    if len(centroids) < k:
+        raise ValueError(
+            f"kmeans_fit_exact: only {len(centroids)} distinct vectors; "
+            f"need k={k}"
+        )
+    dim = len(centroids[0])
+    scale = EXACT_COMPONENT_SCALE
+
+    vecs = df.select(F.col(vec_col).alias("v")).persist()
+    try:
+        for _ in range(iters):
+            scored = _with_coarse_dots(vecs, centroids, "v", None)
+            offs = [
+                sum(float(x) * float(x) for x in c) / 2.0 for c in centroids
+            ]
+            # argmax(dot - off) = argmin L2: subtract offs element-wise,
+            # then the shared first-occurrence argmax (ivf_centroid)
+            l2scores = F.zip_with(
+                F.col("__dots"),
+                F.array(*[F.lit(o) for o in offs]),
+                lambda d, o: d - o,
+            )
+            assigned = scored.select(
+                "v", ivf_centroid(l2scores).alias("cell")
+            )
+            comp = [
+                F.element_at("v", d + 1).cast("double") * F.lit(scale)
+                for d in range(dim)
+            ]
+            aggs = [F.count(F.lit(1)).alias("n")] + [
+                F.sum(comp[d].cast("decimal(38,0)")).alias(f"s{d}")
+                for d in range(dim)
+            ]
+            # exactness guard, fused into the same pass: any component
+            # whose 2^48-scaled double is non-integral breaks the
+            # order-independence proof — fail loudly
+            nonint = F.aggregate(
+                F.transform(
+                    F.col("v"),
+                    lambda x: (
+                        x.cast("double") * F.lit(scale)
+                        != F.floor(x.cast("double") * F.lit(scale))
+                    ).cast("int"),
+                ),
+                F.lit(0),
+                lambda a, b: a + b,
+            )
+            aggs.append(F.sum(nonint).alias("__nonint"))
+            sums = assigned.groupBy("cell").agg(*aggs).collect()
+            if sum(r["__nonint"] for r in sums):
+                raise ValueError(
+                    "kmeans_fit_exact: input has components not exactly "
+                    f"representable as integers at scale 2^48 — use "
+                    "kmeans_fit (certificate-graded) for float64 inputs"
+                )
+            new_c = [list(c) for c in centroids]  # empty cells keep old
+            for r in sums:
+                n = r["n"]
+                new_c[r["cell"]] = [
+                    (float(r[f"s{d}"]) / n) / scale for d in range(dim)
+                ]
+            centroids = new_c
+    finally:
+        vecs.unpersist()
+    return centroids
+
+
 def _kmeans_iterate_arrow(
     vecs: DataFrame, centroids: list[list[float]], iters: int
 ) -> list[list[float]]:

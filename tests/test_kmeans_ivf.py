@@ -199,3 +199,35 @@ def test_arrow_kmeans_trainer_matches_relational(spark, emb):
 
     seeds = np.array(kmeans_fit(emb, k=8, iters=0, arrow=True))
     assert _inertia(emb, seeds.tolist()) >= _inertia(emb, arr.tolist())
+
+
+def test_exact_kmeans_trainer_deterministic_and_guarded(spark, emb):
+    """kmeans_fit_exact's two contracts: (a) run-determinism — two fits
+    on the same input return bit-identical models (the property that
+    makes the retrain loop's after-side SQL-re-derivable, unlike the
+    float-merge-order-sensitive kmeans_fit); (b) the integral-at-2^48
+    guard — a float64 input that is NOT exactly representable at the
+    scale must raise, never silently produce an unprovable model. Also:
+    the exact model trains (inertia improves over its seeds)."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from crane_stream_processing_spark.operators.similarity import (
+        kmeans_fit_exact,
+    )
+
+    a = kmeans_fit_exact(emb, k=8, iters=2)
+    b = kmeans_fit_exact(emb, k=8, iters=2)
+    assert a == b  # bit-identical, not allclose
+
+    seeds = kmeans_fit_exact(emb, k=8, iters=0)
+    assert _inertia(emb, seeds) >= _inertia(emb, a)
+
+    # 0.1 is not a dyadic rational: 0.1 * 2^48 is non-integral
+    bad = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.1)),
+    )
+    with _pytest.raises(ValueError, match="not exactly representable"):
+        kmeans_fit_exact(bad, k=8, iters=1)
