@@ -8,6 +8,17 @@ Each query is forced with a noop-format write (full execution, no driver
 collect bottleneck — results could be large at high SF). One warm-up run of
 the flagship query absorbs JVM/codegen start-up so per-query numbers reflect
 steady-state plan execution.
+
+Per-query time is OPERATOR time: wall-clock minus the fixture-build
+seconds the query spent synthesizing its test corpus (encoded media
+blobs, landed change feeds, persisted indexes — work a production
+deployment never pays because its assets already exist; the reference's
+own benchmark likewise times only the streaming pass,
+server/Crane.go:63-99). Fixture builds are memoized per (process, sf)
+and their wall-clock is accumulated in inventory.fixture_seconds();
+bench snapshots it around each query and reports the split —
+``queries`` holds operator seconds, ``fixture_s`` the per-query fixture
+seconds, ``fixture_total_sec`` the run's total (round-9 verdict #1).
 """
 
 from __future__ import annotations
@@ -19,6 +30,7 @@ import time
 
 from crane_stream_processing_spark.inventory import (
     REGISTRY,
+    fixture_seconds,
     release_query_caches,
 )
 from crane_stream_processing_spark.session import get_spark
@@ -155,8 +167,10 @@ def main() -> None:
         print(f"bench: warm-up FAILED: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    fixtures: dict[str, float] = {}
     failed: list[str] = []
     for name in sorted(REGISTRY):
+        f0 = fixture_seconds()
         t0 = time.perf_counter()
         try:
             force(REGISTRY[name].fn(spark, sf_dir))
@@ -165,7 +179,11 @@ def main() -> None:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             release_query_caches(spark)
             continue
-        timings[name] = round(time.perf_counter() - t0, 4)
+        wall = time.perf_counter() - t0
+        fx = fixture_seconds() - f0
+        timings[name] = round(max(wall - fx, 0.0), 4)
+        if fx > 0:
+            fixtures[name] = round(fx, 4)
         # AFTER the timing capture (the release's py4j sweep must not
         # contaminate the measured query), BEFORE the next query's t0:
         # no cache (recursive-CTE edge list, label-coherence int8 rows,
@@ -177,18 +195,24 @@ def main() -> None:
     # per-query minimum. Run-to-run variance on a shared box lands ±1-3 s
     # on arbitrary queries (co-tenant load), which would swamp the signal
     # exactly where it matters; min-of-2 on queries >1.5 s bounds the extra
-    # wall-clock to a fraction of the first pass.
+    # wall-clock to a fraction of the first pass. Fixtures are memoized,
+    # so rerun deltas are normally zero — still subtracted in case a tmp
+    # reaper forced a rebuild mid-run.
     for name in [n for n, s in timings.items() if s > 1.5]:
+        f0 = fixture_seconds()
         t0 = time.perf_counter()
         try:
             force(REGISTRY[name].fn(spark, sf_dir))
         except Exception:
             release_query_caches(spark)
             continue
-        timings[name] = min(timings[name], round(time.perf_counter() - t0, 4))
+        wall = time.perf_counter() - t0
+        fx = fixture_seconds() - f0
+        timings[name] = min(timings[name], round(max(wall - fx, 0.0), 4))
         release_query_caches(spark)
 
     total = round(sum(timings.values()), 4)
+    fixture_total = round(fixture_seconds(), 4)
     # One bad streaming suite must not void the whole run's JSON line
     # (same contract as the per-query loop above).
     try:
@@ -202,7 +226,9 @@ def main() -> None:
         "metric": "inventory_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # OPERATOR seconds (wall minus fixture build)
+        "fixture_s": fixtures,  # per-query fixture-build seconds
+        "fixture_total_sec": fixture_total,
         "failed": failed,
         "sf": sf_val,
         "apps_throughput": apps,
@@ -237,6 +263,7 @@ def main() -> None:
                 "n_failed": len(failed),
                 "failed": failed[:10],
                 "queries": slowest5,
+                "fixture_total_sec": fixture_total,
                 "apps_lines_per_sec": apps_lps,
                 "detail_file": detail_file,
             }

@@ -91,6 +91,27 @@ def register_scratch_dir(path: str) -> str:
     return path
 
 
+# Wall-clock seconds spent BUILDING per-process fixtures (encoded media
+# corpora, landed feeds, persisted indexes, rendered files). Fixture
+# synthesis is test-harness work a production deployment never pays —
+# its assets/feeds already exist on disk — so bench.py snapshots this
+# around each query and reports fixture_s separately from operator_s
+# (round-9 verdict item #1). The reference's own benchmark times only
+# the streaming pass, not dataset generation (server/Crane.go:63-99).
+_FIXTURE_SECONDS: list[float] = [0.0]
+
+
+def fixture_seconds() -> float:
+    """Cumulative fixture-build seconds this process (monotone)."""
+    return _FIXTURE_SECONDS[0]
+
+
+def add_fixture_seconds(sec: float) -> None:
+    """Credit fixture-build time recorded outside cached_fixture (e.g.
+    per-call scratch synthesis a query must rebuild each run)."""
+    _FIXTURE_SECONDS[0] += sec
+
+
 def cached_fixture(cache: dict, key, build, path_of=None):
     """Memoize a per-(process, key) temp fixture with LIVENESS
     re-validation: a tmp-reaper on a long-lived session can delete a
@@ -106,7 +127,11 @@ def cached_fixture(cache: dict, key, build, path_of=None):
     val = cache.get(key)
     if val is not None and os.path.isdir(path_of(val)):
         return val
+    import time
+
+    t0 = time.perf_counter()
     val = build()
+    _FIXTURE_SECONDS[0] += time.perf_counter() - t0
     cache[key] = val
     _FIXTURE_CLEANUP.add(path_of(val))
     return val
@@ -350,15 +375,27 @@ def _load_all() -> None:
 # — the audio dedup key: energy-delta fingerprint proven exactly
 # loudness-invariant through two real encode→decode paths), then a
 # 44-row backfill
-# re-proving the round-8 window's families. A green round-9 window
-# keeps the cumulative union closed at 266/266.
+# re-proving the round-8 window's families. The green round-9 window
+# kept the cumulative union closed at 266/266. Round 10 (this list,
+# seeded by tools/rotate_priority.py) fronts the FOUR round-10
+# additions (mm_wav_fp_hamming_near_pairs — banded-Hamming audio
+# near-dup over the energy-delta fingerprint, the image recipe's
+# modality twin; stream_ivf_ingest_then_serve — READ-YOUR-WRITES for
+# the ANN index: holdout vectors ingested through the idempotent sink,
+# then the query stream served against the refreshed base∪delta index;
+# stream_cdc_ivm_maintenance — the CDC upsert feed landed and drained
+# through the journal maintainer; stream_ivm_compaction_cycle — a full
+# multi-batch journal→base compaction graded against the from-scratch
+# recompute), keeps sim_ivf_retrain_loop fronted because its grade
+# CHANGED this round (the after-side is now oracle-computed via the
+# exact-k-means SQL re-derivation — no literal TRUE cells), then a
+# 45-row backfill re-proving the round-8/9 windows' families. A green
+# round-10 window closes the cumulative union at 270/270.
 GRADE_PRIORITY: list[str] = [
-    # the SIX round-9 additions (never driver-graded): the CDC->IVM
-    # composition, the cross-codec multimodal dedup pipeline, the
-    # banded-Hamming image near-dup join, the streaming IVM twin, the
-    # online IVF query-serving path, and the volume-invariant audio
-    # fingerprint — then a 44-row backfill re-proving the round-8
-    # window's families (seeded by tools/rotate_priority.py)
+    "mm_wav_fp_hamming_near_pairs",
+    "stream_ivf_ingest_then_serve",
+    "stream_cdc_ivm_maintenance",
+    "stream_ivm_compaction_cycle",
     "io_cdc_ivm_maintenance",
     "mm_crosscodec_dedup_pairs",
     "mm_ahash_hamming_near_pairs",
@@ -405,10 +442,6 @@ GRADE_PRIORITY: list[str] = [
     "dedup_lsh_tuning_curve",
     "text_shingle_novelty_deciles",
     "sim_ivf_rel_coarse_topk",
-    "mm_wav_rms_energy_windows",
-    "stream_dedup_minhash",
-    "join_asof_tolerance_7d_purchase",
-    "join_asof_nearest_purchase",
 ]
 
 

@@ -2729,8 +2729,7 @@ def mm_wav_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind media_decode_real. Scale: both stages are Arrow-batched
     mapInPandas, partition-parallel, zero shuffle (reference parity:
     Crane has no media path; this is north-star surface)."""
-    docs = t(spark, sf_dir, "documents")
-    return M.wav_features(M.synthesize_wav(docs))
+    return M.wav_features(_media(spark, sf_dir, "wav"))
 
 
 @query(
@@ -2757,13 +2756,16 @@ def mm_wav_rms_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the hand-written parser (operators/multimodal.py
     decode_wav_pcm), and emit per 64-frame window the integer-exact
     energy (sum of squares), peak amplitude, and RMS. 1→n_windows rows
-    per file, Arrow-batched mapInPandas, zero shuffle. The oracle
+    per file, Arrow-batched mapInPandas over the LANDED media fixture
+    (media_fixture_dir — encoding is fixture synthesis, not operator
+    time), zero shuffle in the decode stage. The oracle
     re-derives every window from the closed-form signal; sum_sq/peak are
     exact BIGINTs and the UNROUNDED rms is bit-identical because IEEE
     division + correctly-rounded sqrt over equal integer inputs match in
     any engine — a float column graded with NO rounding ladder."""
-    docs = t(spark, sf_dir, "documents")
-    return M.wav_energy_windows(M.synthesize_wav(docs), window_frames=64)
+    return M.wav_energy_windows(
+        _media(spark, sf_dir, "wav"), window_frames=64
+    )
 
 
 def _energy_delta_fp(energies: DataFrame) -> DataFrame:
@@ -2791,6 +2793,56 @@ def _energy_delta_fp(energies: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_windows"),
         )
     )
+
+
+_MEDIA_DIRS: dict[tuple[str, str], str] = {}
+_MEDIA_PARTS: dict[tuple[str, str], int] = {}
+
+
+def media_fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Land an encoded media corpus ONCE per (process, sf, kind) — the
+    round-9 verdict's item #1: encoding (zlib DEFLATE, RIFF container
+    writes) is FIXTURE SYNTHESIS, not the operator under test — a real
+    deployment's assets already exist in the landing zone — so the
+    graded/benched cost of every mm_* query is the decode→feature path
+    only. Same discipline as _ivm_feed_dir; build time lands in
+    inventory.fixture_seconds() and bench.py reports it separately."""
+    import tempfile
+
+    from . import cached_fixture
+
+    builders = {
+        "bmp": M.synthesize_bmp,
+        "png": M.synthesize_png,
+        "png_pert": M.synthesize_png_perturbed,
+        "wav": M.synthesize_wav,
+        "wav_scaled": M.synthesize_wav_scaled,
+        "wav_pert": M.synthesize_wav_perturbed,
+    }
+
+    def _build() -> str:
+        d = tempfile.mkdtemp(prefix=f"crane_media_{kind}_")
+        builders[kind](t(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(d)
+        return d
+
+    return cached_fixture(_MEDIA_DIRS, (sf_dir, kind), _build)
+
+
+def _media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """The landed media corpus, partitioned for the CPU-heavy decode:
+    blobs are a few hundred bytes each, so the parquet scan yields far
+    fewer partitions than cores — repartition (t_cpu discipline; the
+    tiny payload shuffle is cheaper than a 1-thread decode)."""
+    df = spark.read.parquet(media_fixture_dir(spark, sf_dir, kind))
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = (sf_dir, kind)
+    if key not in _MEDIA_PARTS:
+        _MEDIA_PARTS[key] = df.rdd.getNumPartitions()
+    if _MEDIA_PARTS[key] < p:
+        df = df.repartition(p)
+    return df
 
 
 _SQL_WAV_FP = """
@@ -2844,12 +2896,13 @@ def mm_wav_volume_invariant_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     float sneaking into the energy path flips graded rows. At 100 TB:
     1→1 per file, Arrow-batched decode, one lag window per file —
     partition-parallel, no corpus-wide state."""
-    docs = t(spark, sf_dir, "documents")
     ea = _energy_delta_fp(
-        M.wav_energy_windows(M.synthesize_wav(docs), window_frames=64)
+        M.wav_energy_windows(_media(spark, sf_dir, "wav"), window_frames=64)
     )
     eb = _energy_delta_fp(
-        M.wav_energy_windows(M.synthesize_wav_scaled(docs), window_frames=64)
+        M.wav_energy_windows(
+            _media(spark, sf_dir, "wav_scaled"), window_frames=64
+        )
     ).select(
         F.col("media_id").alias("_mid"),
         F.col("fp").alias("_fp"),
@@ -2930,16 +2983,17 @@ def mm_wav_fp_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets/band, never n² — the mm_ahash_hamming_near_pairs recipe on
     the audio modality. Plan-asserted equi join
     (tests/test_plan_quality.py)."""
-    docs = t(spark, sf_dir, "documents")
     fa = _energy_delta_fp(
-        M.wav_energy_windows(M.synthesize_wav(docs), window_frames=8)
+        M.wav_energy_windows(_media(spark, sf_dir, "wav"), window_frames=8)
     ).select(
         F.col("media_id").alias("orig_doc_id"),
         F.col("fp").alias("a_fp"),
         F.col("n_windows").alias("nw"),
     )
     fb = _energy_delta_fp(
-        M.wav_energy_windows(M.synthesize_wav_perturbed(docs), window_frames=8)
+        M.wav_energy_windows(
+            _media(spark, sf_dir, "wav_pert"), window_frames=8
+        )
     ).select(
         F.col("media_id").alias("edited_doc_id"),
         F.col("fp").alias("b_fp"),
@@ -3009,9 +3063,9 @@ def mm_bmp_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     order back to RGB channel sums. A padding or row-order bug shifts
     every channel sum, so the closed-form oracle pins the full byte
     layout. file_bytes doubles as the container-size certificate
-    (54 + stride·h). Arrow-batched mapInPandas, zero shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    return M.bmp_features(M.synthesize_bmp(docs))
+    (54 + stride·h). Arrow-batched mapInPandas over the landed media
+    fixture (media_fixture_dir), zero shuffle in the decode stage."""
+    return M.bmp_features(_media(spark, sf_dir, "bmp"))
 
 
 @query(
@@ -3051,9 +3105,9 @@ def mm_bmp_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-quantization recipe applied to pixels. The oracle re-derives
     each bit in closed form from the generative pixel formula, so a
     stride/row-order/threshold bug anywhere in the decode→hash chain
-    flips graded bits. Arrow-batched mapInPandas, zero shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    return M.bmp_ahash(M.synthesize_bmp(docs))
+    flips graded bits. Arrow-batched mapInPandas over the landed media
+    fixture (media_fixture_dir), zero shuffle in the decode stage."""
+    return M.bmp_ahash(_media(spark, sf_dir, "bmp"))
 
 
 @query(
@@ -3092,8 +3146,7 @@ def mm_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay behind media_decode_real (need external libs). Arrow-batched
     mapInPandas, zero shuffle (reference parity: Crane has no media
     path; north-star surface)."""
-    docs = t(spark, sf_dir, "documents")
-    return M.png_features(M.synthesize_png(docs))
+    return M.png_features(_media(spark, sf_dir, "png"))
 
 
 @query(
@@ -3132,8 +3185,7 @@ def mm_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (ahash_w0, ahash_w1) whether assets arrived as BMP or
     PNG. Any defilter/CRC/inflate bug flips graded bits. Arrow-batched
     mapInPandas, zero shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    return M.png_ahash(M.synthesize_png(docs))
+    return M.png_ahash(_media(spark, sf_dir, "png"))
 
 
 def _sql_ahash_words(gray00_r: str) -> str:
@@ -3204,10 +3256,9 @@ def mm_crosscodec_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded recipes the sim_* family grades."""
     from . import register_query_cache
 
-    docs = t(spark, sf_dir, "documents")
     OFF = 1 << 40
-    bmp = M.synthesize_bmp(docs)
-    png = M.synthesize_png(docs).withColumn(
+    bmp = _media(spark, sf_dir, "bmp")
+    png = _media(spark, sf_dir, "png").withColumn(
         "media_id", F.col("media_id") + OFF
     )
     # the self-join reads the decoded fingerprints twice; persist the
@@ -3267,13 +3318,12 @@ def mm_ahash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never n²; raise bands (8×8-bit) for higher thresholds — the
     sim_lsh/multiprobe recipe on pixel space. Plan-asserted equi
     (tests/test_plan_quality.py)."""
-    docs = t(spark, sf_dir, "documents")
-    ha = M.png_ahash(M.synthesize_png(docs)).select(
+    ha = M.png_ahash(_media(spark, sf_dir, "png")).select(
         F.col("media_id").alias("orig_doc_id"),
         F.col("ahash_w0").alias("a0"),
         F.col("ahash_w1").alias("a1"),
     )
-    hb = M.png_ahash(M.synthesize_png_perturbed(docs)).select(
+    hb = M.png_ahash(_media(spark, sf_dir, "png_pert")).select(
         F.col("media_id").alias("edited_doc_id"),
         F.col("ahash_w0").alias("b0"),
         F.col("ahash_w1").alias("b1"),
