@@ -388,14 +388,17 @@ def _load_all() -> None:
 # multi-batch journal→base compaction graded against the from-scratch
 # recompute), keeps sim_ivf_retrain_loop fronted because its grade
 # CHANGED this round (the after-side is now oracle-computed via the
-# exact-k-means SQL re-derivation — no literal TRUE cells), then a
-# 45-row backfill re-proving the round-8/9 windows' families. A green
-# round-10 window closes the cumulative union at 270/270.
+# exact-k-means SQL re-derivation — no literal TRUE cells), plus
+# sim_ivf_trained_topk (trained-index ANN with the row-level grade the
+# exact trainer makes possible), then a backfill re-proving the
+# round-8/9 windows' families. A green round-10 window closes the
+# cumulative union at 271/271.
 GRADE_PRIORITY: list[str] = [
     "mm_wav_fp_hamming_near_pairs",
     "stream_ivf_ingest_then_serve",
     "stream_cdc_ivm_maintenance",
     "stream_ivm_compaction_cycle",
+    "sim_ivf_trained_topk",
     "io_cdc_ivm_maintenance",
     "mm_crosscodec_dedup_pairs",
     "mm_ahash_hamming_near_pairs",
@@ -441,7 +444,6 @@ GRADE_PRIORITY: list[str] = [
     "evt_merge_overlapping_sessions",
     "dedup_lsh_tuning_curve",
     "text_shingle_novelty_deciles",
-    "sim_ivf_rel_coarse_topk",
 ]
 
 

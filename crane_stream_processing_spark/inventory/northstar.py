@@ -1809,6 +1809,60 @@ def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_trained_topk",
+    oracle=f"""
+    WITH celled AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+    ),
+    {_sql_kmeans64_exact_ctes()}
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM (SELECT * FROM a3 WHERE vec_id < 10) a
+      JOIN a3 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-index ANN with a ROW-LEVEL grade — the query
+    `kmeans_fit_exact` makes possible for the first time: every prior
+    trained-centroid consumer (`sim_ivf_kmeans_topk`,
+    `sim_ivf_retrain_loop` pre-round-10) could only be
+    certificate-graded because float-merge-order drift in the trainer
+    made the model irreproducible across engines; with the exact
+    trainer the k=64 / 2-iteration model is bit-identical to the
+    oracle's CTE re-derivation, so the SERVED ANSWERS themselves —
+    (query_id, cand_id, cos_sim, rank) over the trained inverted file —
+    grade hash-exact, the same row-level contract the fixed-hyperplane
+    paths (`sim_ivf_rel_coarse_topk`) always had. This is the
+    production serving configuration: data-driven cells (balanced by
+    Lloyd's, the retrain loop's measured max-cell improvement) under
+    the standard cell-equi-join + within-cell exact-cosine top-3. At
+    100 TB: identical plan shape to every IVF query — broadcast
+    centroid matrix, O(1) plan in k, candidates pruned to the query's
+    cell; training cost is the retrain loop's O(k·dim·partitions)
+    shuffle per iteration, paid offline."""
+    emb = t_cpu(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    key = (sf_dir, 64, 2, "exact")
+    if key not in _KMEANS_MODELS:
+        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
+            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
+        )
+    trained = _KMEANS_MODELS[key]
+    return S.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), trained, k=3
+    )
+
+
+@query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH sets AS (

@@ -32,6 +32,9 @@ journal partitions IGNORED, never double-applied — the next compaction
 removes them as cleanup. The previous base generation is retained until
 the following compaction retires it, so an in-flight reader that
 resolved the pointer just before a flip still has a live directory.
+(The ORIGINAL base directory is never deleted — it anchors the naming
+scheme and is the no-pointer fallback; one stale copy of the initial
+state is the bounded cost.)
 Replay safety (same as every offset-log sink): a batch can only replay
 while it is the LAST uncommitted entry in the checkpoint's offset log —
 once batch N+1 has committed, batches ≤ N can never be redelivered, so
@@ -93,12 +96,28 @@ def start_ivm_maintenance(
     checkpoint: str,
     key: str = "o_custkey",
     available_now: bool = True,
+    base_dir: str | None = None,
+    compact_every: int | None = None,
+    count_col: str = "n_orders",
+    sum_col: str = "total_dec",
 ):
     """Start the streaming IVM maintainer over a signed-change feed.
     Returns ``(StreamingQuery, sink)`` — the sink is exposed so tests and
     the graded query can force a deterministic replay (call it again with
     a batch id). Used by the graded
-    ``stream_incremental_agg_maintenance`` and tests/test_streaming_ivm.py."""
+    ``stream_incremental_agg_maintenance`` and tests/test_streaming_ivm.py.
+
+    With ``base_dir`` + ``compact_every=N``, the maintainer runs its own
+    compaction cycle IN-LINE: after writing batch id B ≡ 0 (mod N), it
+    folds journal partitions up to B−1 into a new base generation (the
+    atomic pointer flip of :func:`compact_ivm_journal`). Replay-safe by
+    construction: while batch B is being processed, batch B−1 has
+    already committed in the offset log and can never be redelivered —
+    so ≤ B−1 is always sound to fold; and if batch B itself replays,
+    the sink overwrite is idempotent and the retried compaction finds
+    nothing below the fence (returns 0). This is the amortized
+    maintenance a long-running deployment runs — read cost stays
+    O(groups + compact_every partitions) forever."""
     from .ann_ingest import idempotent_batch_sink
 
     sink = idempotent_batch_sink(
@@ -107,6 +126,24 @@ def start_ivm_maintenance(
             F.sum("dn").alias("dn"), F.sum("dv").alias("dv")
         ),
     )
+    if compact_every:
+        if base_dir is None:
+            raise ValueError("compact_every requires base_dir")
+        inner = sink
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:  # noqa: F811
+            inner(batch_df, batch_id)
+            if batch_id > 0 and batch_id % compact_every == 0:
+                compact_ivm_journal(
+                    batch_df.sparkSession,
+                    base_dir,
+                    journal_dir,
+                    upto_batch_id=batch_id - 1,
+                    key=key,
+                    count_col=count_col,
+                    sum_col=sum_col,
+                )
+
     writer = feed_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )

@@ -467,3 +467,53 @@ def _write_feed_file_cdc(spark, feed_dir, idx, rows):
     shutil.move(part, dst)
     os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_auto_compaction_inside_maintainer(spark, tmp_path):
+    """compact_every=2: the maintainer folds the journal in-line as it
+    drains — after five 1-file micro-batches, compactions fired at
+    batch ids 2 and 4 (each folding everything below the then-current
+    batch), the journal holds only the uncompacted tail, the base
+    resolved through the pointer carries the folded state, and the
+    total view equals a from-scratch fold of the whole feed."""
+    from crane_stream_processing_spark.streaming.ivm import (
+        compacted_upto,
+        current_base,
+        read_journal,
+    )
+
+    feed = str(tmp_path / "feed")
+    journal = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = str(tmp_path / "base")
+    _base(spark).write.mode("overwrite").parquet(base_dir)
+    waves = [
+        [(1, 1, D("3.0000"))],                         # batch 0
+        [(2, -1, D("-5.0000"))],                       # batch 1 (cust 2 -> 0)
+        [(3, 1, D("4.0000"))],                         # batch 2 -> compact <=1
+        [(4, 1, D("9.0000"))],                         # batch 3
+        [(1, 1, D("2.0000"))],                         # batch 4 -> compact <=3
+    ]
+    for i, rows in enumerate(waves):
+        _write_feed_file(spark, feed, i, rows)
+    reader = spark.readStream.schema(FEED_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    )
+    q, _ = start_ivm_maintenance(
+        reader.parquet(feed), journal, ckpt,
+        base_dir=base_dir, compact_every=2,
+    )
+    q.awaitTermination()
+
+    assert compacted_upto(base_dir) == 3
+    live = {d for d in os.listdir(journal) if d.startswith("__batch_id=")}
+    assert live == {"__batch_id=4"}
+    view = {
+        r.o_custkey: (r.n_orders, float(r.total_price))
+        for r in ivm_fold_view(
+            spark.read.parquet(current_base(base_dir)),
+            read_journal(spark, journal, "o_custkey", base_dir),
+        ).collect()
+    }
+    # base(1:2/10, 2:1/5, 3:1/7) + all five waves, cust 2 dropped
+    assert view == {1: (4, 15.0), 3: (2, 11.0), 4: (1, 9.0)}
