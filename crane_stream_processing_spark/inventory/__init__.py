@@ -389,16 +389,18 @@ def _load_all() -> None:
 # recompute), keeps sim_ivf_retrain_loop fronted because its grade
 # CHANGED this round (the after-side is now oracle-computed via the
 # exact-k-means SQL re-derivation — no literal TRUE cells), plus
-# sim_ivf_trained_topk (trained-index ANN with the row-level grade the
+# sim_ivf_trained_topk / sim_ivf_trained_nprobe_topk (trained-index
+# ANN serving, single- and multi-probe, with the row-level grade the
 # exact trainer makes possible), then a backfill re-proving the
 # round-8/9 windows' families. A green round-10 window closes the
-# cumulative union at 271/271.
+# cumulative union at 272/272.
 GRADE_PRIORITY: list[str] = [
     "mm_wav_fp_hamming_near_pairs",
     "stream_ivf_ingest_then_serve",
     "stream_cdc_ivm_maintenance",
     "stream_ivm_compaction_cycle",
     "sim_ivf_trained_topk",
+    "sim_ivf_trained_nprobe_topk",
     "io_cdc_ivm_maintenance",
     "mm_crosscodec_dedup_pairs",
     "mm_ahash_hamming_near_pairs",
@@ -443,7 +445,6 @@ GRADE_PRIORITY: list[str] = [
     "evt_rate_limit_audit",
     "evt_merge_overlapping_sessions",
     "dedup_lsh_tuning_curve",
-    "text_shingle_novelty_deciles",
 ]
 
 

@@ -1863,6 +1863,64 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_trained_nprobe_topk",
+    oracle=f"""
+    WITH celled AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+    ),
+    {_sql_kmeans64_exact_ctes()},
+    qprobe AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(CAST(v.embedding AS DOUBLE[]), c.cvec)
+                 DESC, c.cell) AS pr
+        FROM (SELECT * FROM celled WHERE vec_id < 10) v, trained c
+      ) WHERE pr <= 2
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round({SQL_COSINE}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({SQL_COSINE}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM qprobe a JOIN a3 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ivf_trained_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe search on the TRAINED index, row-level graded — the
+    boundary-recall knob (`ivf_ann_topk_nprobe`: each query probes its
+    2 nearest trained cells — descending centroid dot, low-cell
+    tiebreak, exactly the `probe_cells` contract) composed with the
+    `kmeans_fit_exact` model the oracle can re-derive: the oracle
+    replays the trainer's CTE chain, takes each query's top-2 trained
+    cells by dot via the same deterministic ordering, and re-ranks the
+    union of both cells' candidates — so the nprobe mechanics
+    themselves (probe selection, disjoint-cell candidate union, exact
+    within-probe cosine top-3) grade hash-exact on a DATA-DRIVEN index,
+    not just the fixed-hyperplane one. At 100 TB: candidates are
+    2×avg-cell ≈ corpus/32 per query — the recall/cost dial
+    `sim_ivf_recall_at_k` measures, here in its production (trained)
+    configuration."""
+    emb = t_cpu(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    key = (sf_dir, 64, 2, "exact")
+    if key not in _KMEANS_MODELS:
+        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
+            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
+        )
+    trained = _KMEANS_MODELS[key]
+    return S.ivf_ann_topk_nprobe(
+        emb, emb.filter(F.col("vec_id") < 10), trained, k=3, nprobe=2
+    )
+
+
+@query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH sets AS (
