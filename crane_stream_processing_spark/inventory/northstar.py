@@ -1572,6 +1572,23 @@ def sim_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained64(spark: SparkSession, sf_dir: str):
+    """The per-(process, sf) exact-trained k=64 / 2-iteration model and
+    its not-null corpus frame — ONE definition for the retrain loop and
+    both trained serving queries (review finding: three hand-synced
+    copies would let the training filter / k / iters / cache key drift
+    between queries whose oracles share one CTE re-derivation)."""
+    emb = t_cpu(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    key = (sf_dir, 64, 2, "exact")
+    if key not in _KMEANS_MODELS:
+        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
+            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
+        )
+    return emb, _KMEANS_MODELS[key]
+
+
 def _sql_kmeans64_exact_ctes() -> str:
     """The CTE chain re-deriving kmeans_fit_exact's k=64 / 2-iteration
     trained centroids and the rebuilt inverted file IN SQL — what makes
@@ -1734,15 +1751,7 @@ def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partials, O(k·dim·partitions) shuffle), the rebuild is
     one assignment pass, and the recall gate is a bounded 10-query
     probe — nothing in the loop scales worse than one corpus scan."""
-    emb = t_cpu(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
-    key = (sf_dir, 64, 2, "exact")
-    if key not in _KMEANS_MODELS:
-        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
-            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
-        )
-    trained = _KMEANS_MODELS[key]
+    emb, trained = _trained64(spark, sf_dir)
 
     from pyspark.sql import Window
 
@@ -1848,15 +1857,7 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid matrix, O(1) plan in k, candidates pruned to the query's
     cell; training cost is the retrain loop's O(k·dim·partitions)
     shuffle per iteration, paid offline."""
-    emb = t_cpu(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
-    key = (sf_dir, 64, 2, "exact")
-    if key not in _KMEANS_MODELS:
-        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
-            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
-        )
-    trained = _KMEANS_MODELS[key]
+    emb, trained = _trained64(spark, sf_dir)
     return S.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 10), trained, k=3
     )
@@ -1906,15 +1907,7 @@ def sim_ivf_trained_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×avg-cell ≈ corpus/32 per query — the recall/cost dial
     `sim_ivf_recall_at_k` measures, here in its production (trained)
     configuration."""
-    emb = t_cpu(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
-    )
-    key = (sf_dir, 64, 2, "exact")
-    if key not in _KMEANS_MODELS:
-        _KMEANS_MODELS[key] = S.kmeans_fit_exact(
-            emb.filter(S.l2norm("embedding") > 0), k=64, iters=2
-        )
-    trained = _KMEANS_MODELS[key]
+    emb, trained = _trained64(spark, sf_dir)
     return S.ivf_ann_topk_nprobe(
         emb, emb.filter(F.col("vec_id") < 10), trained, k=3, nprobe=2
     )
@@ -2957,21 +2950,30 @@ def _media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     return df
 
 
-_SQL_WAV_FP = """
+def _sql_wav_fp(samp: str, window: int = 64, n_alias: str = "n_windows") -> str:
+    """THE closed-form energy-delta fingerprint CTE body — ONE
+    definition parameterized on the sample expression, the window width
+    and the window-count alias, shared by the volume-invariance oracle
+    (window 64) and the banded near-dup oracle (window 8) so the
+    fingerprint algebra cannot drift between them (review finding; the
+    _sql_ahash_words discipline for audio). Emits (doc_id, fp,
+    <n_alias>); requires ``s`` (doc_id, n, i) in scope."""
+    return f"""
       SELECT doc_id,
              CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND e > prev
                   THEN (1::BIGINT << CAST(win_idx - 1 AS INT))
                   ELSE 0 END), 0) AS BIGINT) AS fp,
-             CAST(COUNT(*) AS BIGINT) AS n_windows
+             CAST(COUNT(*) AS BIGINT) AS {n_alias}
       FROM (
         SELECT doc_id, win_idx, e,
                LAG(e) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev
         FROM (
-          SELECT doc_id, i // 64 AS win_idx, SUM({samp} * {samp}) AS e
-          FROM s GROUP BY doc_id, i // 64
+          SELECT doc_id, i // {window} AS win_idx,
+                 SUM(({samp}) * ({samp})) AS e
+          FROM s GROUP BY doc_id, i // {window}
         )
       ) GROUP BY doc_id
-"""
+    """
 
 
 @query(
@@ -2979,8 +2981,8 @@ _SQL_WAV_FP = """
     oracle=f"""
     WITH d AS (SELECT doc_id, 200 + (doc_id % 300) AS n FROM documents),
     s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
-    fa AS ({_SQL_WAV_FP.format(samp="(((doc_id * 7 + i * 13) % 512) - 256)")}),
-    fb AS ({_SQL_WAV_FP.format(samp="(2 * (((doc_id * 7 + i * 13) % 512) - 256))")})
+    fa AS ({_sql_wav_fp("(((doc_id * 7 + i * 13) % 512) - 256)")}),
+    fb AS ({_sql_wav_fp("(2 * (((doc_id * 7 + i * 13) % 512) - 256))")})
     SELECT fa.doc_id AS media_id, fa.fp, fa.n_windows,
            (fa.fp = fb.fp AND fa.n_windows = fb.n_windows)
              AS volume_invariant
@@ -3031,27 +3033,6 @@ def mm_wav_volume_invariant_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_wav_fp8(samp: str) -> str:
-    """Closed-form 8-frame-window energy-delta fingerprint CTE body,
-    parameterized on the sample expression so the perturbed twin reuses
-    it (the audio analog of _sql_ahash_words). Emits (doc_id, fp, nw)."""
-    return f"""
-      SELECT doc_id,
-             CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND e > prev
-                  THEN (1::BIGINT << CAST(win_idx - 1 AS INT))
-                  ELSE 0 END), 0) AS BIGINT) AS fp,
-             CAST(COUNT(*) AS BIGINT) AS nw
-      FROM (
-        SELECT doc_id, win_idx, e,
-               LAG(e) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev
-        FROM (
-          SELECT doc_id, i // 8 AS win_idx, SUM(({samp}) * ({samp})) AS e
-          FROM s GROUP BY doc_id, i // 8
-        )
-      ) GROUP BY doc_id
-    """
-
-
 _SQL_WAV_RAMP = "(((doc_id * 7 + i * 13) % 512) - 256)"
 
 
@@ -3060,10 +3041,11 @@ _SQL_WAV_RAMP = "(((doc_id * 7 + i * 13) % 512) - 256)"
     oracle=f"""
     WITH d AS (SELECT doc_id, 200 + (doc_id % 300) AS n FROM documents),
     s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
-    fa AS ({_sql_wav_fp8(_SQL_WAV_RAMP)}),
-    fb AS ({_sql_wav_fp8(
+    fa AS ({_sql_wav_fp(_SQL_WAV_RAMP, window=8, n_alias="nw")}),
+    fb AS ({_sql_wav_fp(
         "CASE WHEN i // 8 = doc_id % ((n + 7) // 8) THEN 2 * "
-        + _SQL_WAV_RAMP + " ELSE " + _SQL_WAV_RAMP + " END"
+        + _SQL_WAV_RAMP + " ELSE " + _SQL_WAV_RAMP + " END",
+        window=8, n_alias="nw",
     )})
     SELECT fa.doc_id AS orig_doc_id, fb.doc_id AS edited_doc_id,
            CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming

@@ -25,15 +25,15 @@ from crane_stream_processing_spark.inventory.streaming_queries import (
 FEED_SCHEMA = "o_custkey long, dn long, dv decimal(28,4)"
 
 
-def _write_feed_file(spark, feed_dir, idx, rows):
+def _write_feed_file(spark, feed_dir, idx, rows, schema=None):
     """One parquet file per call — with maxFilesPerTrigger=1 each file is
-    its own micro-batch, in mtime order."""
+    its own micro-batch, in mtime order. ``schema`` defaults to the
+    o_custkey feed; the CDC tests pass the user_id-keyed twin."""
     import glob
     import shutil
-    import time
 
     stage = os.path.join(feed_dir, f"..__stage{idx}")
-    spark.createDataFrame(rows, FEED_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, schema or FEED_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)
     part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
@@ -454,19 +454,10 @@ def test_cdc_feed_restart_and_delete_wins(spark, tmp_path):
 
 def _write_feed_file_cdc(spark, feed_dir, idx, rows):
     """CDC twin of _write_feed_file (user_id-keyed schema)."""
-    import glob
-    import shutil
-
-    stage = os.path.join(feed_dir, f"..__cdcstage{idx}")
-    spark.createDataFrame(
-        rows, "user_id long, dn long, dv decimal(28,4)"
-    ).coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    os.makedirs(feed_dir, exist_ok=True)
-    dst = os.path.join(feed_dir, f"feed{idx}.parquet")
-    shutil.move(part, dst)
-    os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
-    shutil.rmtree(stage, ignore_errors=True)
+    _write_feed_file(
+        spark, feed_dir, idx, rows,
+        schema="user_id long, dn long, dv decimal(28,4)",
+    )
 
 
 def test_auto_compaction_inside_maintainer(spark, tmp_path):

@@ -780,7 +780,7 @@ def hamming_probe(spark, n: int) -> dict:
         F.col("a1").alias("b1"),
     )
 
-    def bands(df, w0c, w1c, idc, prefix):
+    def bands(df, w0c, w1c, idc):
         m = F.lit(0xFFFF)
         arr = F.array(
             F.col(w0c).bitwiseAND(m),
@@ -793,8 +793,8 @@ def hamming_probe(spark, n: int) -> dict:
             F.posexplode(arr).alias("band_idx", "band_val"),
         )
 
-    ea = bands(base, "a0", "a1", "doc_id", "a")
-    eb = bands(pert, "b0", "b1", "p_id", "b")
+    ea = bands(base, "a0", "a1", "doc_id")
+    eb = bands(pert, "b0", "b1", "p_id")
     n_docs = base.count()
     t0 = time.perf_counter()
     joined = ea.join(eb, ["band_idx", "band_val"])
