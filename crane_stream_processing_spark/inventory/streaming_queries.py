@@ -1770,6 +1770,122 @@ def stream_ivf_ingest_then_serve(
     return served
 
 
+@query(
+    "stream_bottomk_sample",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    ORDER BY h, doc_id LIMIT 100
+    """,
+)
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFORM CORPUS SAMPLING MAINTAINED OVER A STREAM — the
+    reservoir-sampling requirement (keep a fixed-size uniform sample of
+    everything seen so far) made deterministic and distributed: the
+    sample is the BOTTOM-K of a uniform hash (md5 of the id — the
+    min-wise/bottom-k sketch), so it is a pure FUNCTION of the set seen,
+    not of arrival order or RNG state. Each micro-batch folds
+    ``bottomk(state ∪ batch)`` and publishes the new sample as a
+    versioned directory behind the same atomic pointer flip as the IVM
+    base (streaming.ivm's manifest discipline). Exactly-once here comes
+    from ALGEBRA, not partition bookkeeping — a third replay-safety
+    mechanism beside the idempotent partition overwrite and the fenced
+    journal: bottom-k is idempotent under re-merge of any already-seen
+    subset (min-wise sets absorb duplicates), so an at-least-once
+    redelivery of ANY batch — not just the offset-log tail — leaves the
+    sample bit-identical (asserted in-query by re-merging batch 0's
+    rows after the drain). Graded against the batch bottom-k oracle:
+    the streamed sample must equal the global one exactly. At 100 TB:
+    state is k rows regardless of corpus size, each trigger costs one
+    local top-k heap per partition + a k-row merge (WindowGroupLimit
+    shape), and the same hash prefix property gives consistent samples
+    across refreshes — the corpus-sampling primitive
+    `sample_uniform_k_docs` runs at rest, kept fresh continuously."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import register_scratch_dir
+
+    K = 100
+    scratch = tempfile.mkdtemp(prefix="crane_bottomk_")
+    register_scratch_dir(scratch)
+    state_root = os.path.join(scratch, "sample")
+
+    def bottomk(df: DataFrame) -> DataFrame:
+        # distinct FIRST: min-wise idempotence is a SET property — a
+        # redelivered element must collapse with its stored copy before
+        # the cut, or the duplicate occupies a sample slot (the in-query
+        # replay assertion below caught exactly this in review)
+        return (
+            df.distinct().orderBy("h", "doc_id").limit(K)
+            .select("doc_id", "h")
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        )
+        ptr = state_root + ".__ptr"
+        cur_v = -1
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur_v = int(f.read())
+            cur = spark.read.parquet(state_root + f".__v{cur_v}")
+            merged = bottomk(cur.unionByName(hashed))
+        else:
+            merged = bottomk(hashed)
+        # ALWAYS a fresh version dir (cur+1, never the batch id): the
+        # fold READS the current version, so writing in place would
+        # delete its own input mid-plan; a replayed batch simply mints
+        # another version with bit-identical content — the pointer
+        # number is bookkeeping, the SET is what the grade holds.
+        new_v = cur_v + 1
+        merged.write.mode("overwrite").parquet(state_root + f".__v{new_v}")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.rename(tmp, ptr)  # atomic publish — the IVM pointer discipline
+        # retire generations older than the previous (reader-safe lag)
+        import shutil as _sh
+
+        for v in range(new_v - 2, -1, -1):
+            old = state_root + f".__v{v}"
+            if os.path.isdir(old):
+                _sh.rmtree(old, ignore_errors=True)
+            else:
+                break
+
+    docs = _stream_docs(spark, sf_dir).select("doc_id")
+    ckpt = os.path.join(scratch, "ckpt")
+    with _scoped_stream_partitions(spark):
+        q = (
+            docs.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def current() -> DataFrame:
+        with open(state_root + ".__ptr") as f:
+            return spark.read.parquet(state_root + f".__v{int(f.read())}")
+
+    before = {(r.doc_id, r.h) for r in current().collect()}
+    # Forced replay of batch 0's rows: min-wise algebra must absorb the
+    # duplicate delivery with a bit-identical sample (replay-idempotence
+    # BY ALGEBRA, no batch-id fencing needed for this operator)
+    fold(t(spark, sf_dir, "documents").select("doc_id"), 0)
+    after = {(r.doc_id, r.h) for r in current().collect()}
+    if before != after:
+        raise AssertionError(
+            "bottom-k sample changed under replay — min-wise idempotence "
+            "violated"
+        )
+    return current().select("doc_id", "h")
+
+
 _CDC_FEED_DIRS: dict[str, str] = {}
 
 
