@@ -1806,71 +1806,19 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from . import register_scratch_dir
+    from ..streaming.sampling import start_bottomk_sampler
 
-    K = 100
     scratch = tempfile.mkdtemp(prefix="crane_bottomk_")
     register_scratch_dir(scratch)
     state_root = os.path.join(scratch, "sample")
-
-    def bottomk(df: DataFrame) -> DataFrame:
-        # distinct FIRST: min-wise idempotence is a SET property — a
-        # redelivered element must collapse with its stored copy before
-        # the cut, or the duplicate occupies a sample slot (the in-query
-        # replay assertion below caught exactly this in review)
-        return (
-            df.distinct().orderBy("h", "doc_id").limit(K)
-            .select("doc_id", "h")
-        )
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = batch_df.select(
-            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
-        )
-        ptr = state_root + ".__ptr"
-        cur_v = -1
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur_v = int(f.read())
-            cur = spark.read.parquet(state_root + f".__v{cur_v}")
-            merged = bottomk(cur.unionByName(hashed))
-        else:
-            merged = bottomk(hashed)
-        # ALWAYS a fresh version dir (cur+1, never the batch id): the
-        # fold READS the current version, so writing in place would
-        # delete its own input mid-plan; a replayed batch simply mints
-        # another version with bit-identical content — the pointer
-        # number is bookkeeping, the SET is what the grade holds.
-        new_v = cur_v + 1
-        merged.write.mode("overwrite").parquet(state_root + f".__v{new_v}")
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.rename(tmp, ptr)  # atomic publish — the IVM pointer discipline
-        # retire generations older than the previous (reader-safe lag)
-        import shutil as _sh
-
-        for v in range(new_v - 2, -1, -1):
-            old = state_root + f".__v{v}"
-            if os.path.isdir(old):
-                _sh.rmtree(old, ignore_errors=True)
-            else:
-                break
-
-    docs = _stream_docs(spark, sf_dir).select("doc_id")
     ckpt = os.path.join(scratch, "ckpt")
+    docs = _stream_docs(spark, sf_dir).select("doc_id")
     with _scoped_stream_partitions(spark):
-        q = (
-            docs.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        q, fold, current = start_bottomk_sampler(
+            docs, state_root, ckpt, k=100
         )
         q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-
-    def current() -> DataFrame:
-        with open(state_root + ".__ptr") as f:
-            return spark.read.parquet(state_root + f".__v{int(f.read())}")
 
     before = {(r.doc_id, r.h) for r in current().collect()}
     # Forced replay of batch 0's rows: min-wise algebra must absorb the
