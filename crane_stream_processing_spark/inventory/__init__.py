@@ -402,6 +402,7 @@ GRADE_PRIORITY: list[str] = [
     "sim_ivf_trained_topk",
     "sim_ivf_trained_nprobe_topk",
     "stream_bottomk_sample",
+    "stream_weighted_es_sample",
     "io_cdc_ivm_maintenance",
     "mm_crosscodec_dedup_pairs",
     "mm_ahash_hamming_near_pairs",
@@ -444,7 +445,6 @@ GRADE_PRIORITY: list[str] = [
     "src_xml_roundtrip",
     "join_bloom_runtime_filter",
     "evt_rate_limit_audit",
-    "evt_merge_overlapping_sessions",
 ]
 
 

@@ -1834,6 +1834,74 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current().select("doc_id", "h")
 
 
+@query(
+    "stream_weighted_es_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                CHR(0))), 1, 8)) AS BIGINT)
+              + 1) / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, es_key FROM (
+      SELECT doc_id,
+             round(-ln(u) * 1000.0 / n_chars, 6) AS es_key,
+             ROW_NUMBER() OVER (
+               ORDER BY round(-ln(u) * 1000.0 / n_chars, 6), doc_id) AS rk
+      FROM d
+    ) WHERE rk <= 50
+    """,
+)
+def stream_weighted_es_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement MAINTAINED OVER A STREAM —
+    the same min-wise state machine as `stream_bottomk_sample` with the
+    Efraimidis–Spirakis A-Res key plugged in as the sampler's key stage
+    (`streaming.sampling.es_keyed` — the identical −ln(u)·1000/w
+    rounded expression the batch operator `sample_weighted_es_topk`
+    ranks by): bottom-k of the ES key IS the length-proportional draw,
+    so the streamed sample must equal the batch draw row-for-row
+    (graded against the same oracle shape). Every property carries over
+    unchanged because both samplers are bottom-k over a deterministic
+    per-element key: k-row state at any corpus size, the atomic
+    pointer-flip publish, and exactly-once BY ALGEBRA — a redelivered
+    batch re-derives identical keys and the distinct-before-cut absorbs
+    them (asserted in-query via a forced full re-merge). This is the
+    'keep a weight-proportional sample of the growing corpus'
+    requirement (importance-weighted eval sets, length-balanced probes)
+    answered incrementally."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import register_scratch_dir
+    from ..streaming.sampling import es_keyed, start_bottomk_sampler
+
+    scratch = tempfile.mkdtemp(prefix="crane_essample_")
+    register_scratch_dir(scratch)
+    state_root = os.path.join(scratch, "sample")
+    ckpt = os.path.join(scratch, "ckpt")
+    docs = _stream_docs(spark, sf_dir).select("doc_id", "n_chars")
+    with _scoped_stream_partitions(spark):
+        q, fold, current = start_bottomk_sampler(
+            docs, state_root, ckpt, k=50,
+            keyed=es_keyed("n_chars"), key_type="double",
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    before = {(r.doc_id, r.h) for r in current().collect()}
+    # forced full re-merge: identical keys re-derive, the set absorbs
+    fold(t(spark, sf_dir, "documents").select("doc_id", "n_chars"), 0)
+    after = {(r.doc_id, r.h) for r in current().collect()}
+    if before != after:
+        raise AssertionError(
+            "weighted sample changed under replay — min-wise idempotence "
+            "violated"
+        )
+    return current().select("doc_id", F.col("h").alias("es_key"))
+
+
 _CDC_FEED_DIRS: dict[str, str] = {}
 
 

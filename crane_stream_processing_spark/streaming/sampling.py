@@ -33,7 +33,29 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bottomk_sampler", "start_bottomk_sampler"]
+__all__ = ["bottomk_sampler", "start_bottomk_sampler", "es_keyed"]
+
+
+def es_keyed(weight_col: str, id_col: str = "doc_id"):
+    """The Efraimidis–Spirakis A-Res key as a sampler ``keyed`` stage —
+    ONE definition with the batch operator
+    (:func:`..operators.sampling.weighted_topk_es` builds the identical
+    expression): u from the id hash (+1 so ln never sees 0), key =
+    round(−ln(u)·1000/w, 6) with zero/negative weights excluded.
+    Bottom-k of this key IS the weighted sample without replacement, so
+    the streaming sampler inherits the batch operator's draw exactly."""
+    from ..operators.sampling import _HEX_DIGITS, hash_uniform_hex
+
+    def keyed(df: DataFrame) -> DataFrame:
+        u = (
+            F.conv(hash_uniform_hex(id_col), 16, 10).cast("long") + 1
+        ) / F.lit(float(16 ** _HEX_DIGITS))
+        return df.filter(F.col(weight_col) > 0).select(
+            id_col,
+            F.round(-F.log(u) * 1000.0 / F.col(weight_col), 6).alias("h"),
+        )
+
+    return keyed
 
 
 def bottomk_sampler(
@@ -41,14 +63,29 @@ def bottomk_sampler(
     state_root: str,
     k: int = 100,
     id_col: str = "doc_id",
+    keyed=None,
+    key_type: str = "string",
 ):
     """Build the sampler's ``(fold, current)`` pair over ``state_root``.
     ``fold(batch_df, batch_id)`` merges a batch (any DataFrame carrying
     ``id_col``) into the published sample; ``current()`` reads the live
     sample (``id_col``, ``h``) through the pointer. Exposed separately
     from the query starter so tests and the graded query can force
-    deterministic replays (call ``fold`` again with any batch)."""
+    deterministic replays (call ``fold`` again with any batch).
+
+    ``keyed`` maps a batch to its (id_col, h) key relation and decides
+    WHAT distribution the sample draws: the default md5-of-id gives a
+    UNIFORM sample; pass the Efraimidis–Spirakis key (−ln(u)/w rounded
+    — see :func:`es_keyed`) for a WEIGHTED sample without replacement —
+    the same min-wise state machine serves both because both are
+    bottom-k over a deterministic per-element key. ``key_type`` is the
+    ``h`` column's type for the empty pre-first-fold frame."""
     ptr = state_root + ".__ptr"
+    if keyed is None:
+        def keyed(df: DataFrame) -> DataFrame:
+            return df.select(
+                id_col, F.md5(F.col(id_col).cast("string")).alias("h")
+            )
 
     def bottomk(df: DataFrame) -> DataFrame:
         # distinct FIRST: min-wise idempotence is a SET property — a
@@ -67,13 +104,13 @@ def bottomk_sampler(
     def current() -> DataFrame:
         v = current_version()
         if v < 0:
-            return spark.createDataFrame([], f"{id_col} long, h string")
+            return spark.createDataFrame(
+                [], f"{id_col} long, h {key_type}"
+            )
         return spark.read.parquet(state_root + f".__v{v}")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = batch_df.select(
-            id_col, F.md5(F.col(id_col).cast("string")).alias("h")
-        )
+        hashed = keyed(batch_df)
         cur_v = current_version()
         if cur_v >= 0:
             merged = bottomk(current().unionByName(hashed))
@@ -108,11 +145,14 @@ def start_bottomk_sampler(
     k: int = 100,
     id_col: str = "doc_id",
     available_now: bool = True,
+    keyed=None,
+    key_type: str = "string",
 ):
     """Start the sampler over a streaming DataFrame. Returns
     ``(StreamingQuery, fold, current)``."""
     fold, current = bottomk_sampler(
-        stream_df.sparkSession, state_root, k=k, id_col=id_col
+        stream_df.sparkSession, state_root, k=k, id_col=id_col,
+        keyed=keyed, key_type=key_type,
     )
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
