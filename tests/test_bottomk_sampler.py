@@ -97,3 +97,34 @@ def test_fold_on_empty_state_and_small_corpus(spark, tmp_path):
     assert _ids(current()) == set(range(7))
     fold(rows, 0)
     assert _ids(current()) == set(range(7))
+
+
+def test_es_keyed_matches_batch_operator(spark):
+    """The streaming sampler's weighted key stage must derive the SAME
+    (id, key) pairs as the batch weighted_topk_es operator — the
+    one-definition contract behind stream_weighted_es_sample grading
+    against the batch draw."""
+    from crane_stream_processing_spark.operators.sampling import (
+        weighted_topk_es,
+    )
+    from crane_stream_processing_spark.streaming.sampling import es_keyed
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 90) for i in range(200)] + [(999, 0)],
+        "doc_id long, w long",
+    )
+    batch = {
+        (r.doc_id, r.es_key)
+        for r in weighted_topk_es(df, 20, "w", "doc_id")
+        .select("doc_id", "es_key")
+        .collect()
+    }
+    stream_keys = (
+        es_keyed("w")(df)
+        .orderBy("h", "doc_id")
+        .limit(20)
+        .select("doc_id", F.col("h").alias("es_key"))
+    )
+    assert {(r.doc_id, r.es_key) for r in stream_keys.collect()} == batch
+    # zero-weight rows are excluded by both
+    assert 999 not in {d for d, _ in batch}

@@ -182,6 +182,11 @@ _NLJ_ALLOWED = {
     # curate_dsir_importance/resample, feeding the histogram groupBys
     "sim_ivf_rel_coarse_topk",  # relational coarse quantizer: the 1-row
     # centroid-matrix broadcast crossJoin (bounded: ONE row) on each side
+    "sim_ivf_trained_topk",  # same 1-row centroid-matrix crossJoin —
+    # trained centroids are DATA above LITERAL_K_MAX; the search itself
+    # is the cell equi-join
+    "sim_ivf_trained_nprobe_topk",  # same bounded matrix crossJoin; the
+    # nprobe fan-out is a row-local explode, candidates via cell equi-join
     "sim_ivf_arrow_coarse_topk",  # same 1-row centroid-matrix crossJoin,
     # but only on the 10-query side (the corpus side assigns via the
     # Arrow exact-fold mapInPandas — no join at all)
