@@ -128,3 +128,37 @@ def test_es_keyed_matches_batch_operator(spark):
     assert {(r.doc_id, r.es_key) for r in stream_keys.collect()} == batch
     # zero-weight rows are excluded by both
     assert 999 not in {d for d, _ in batch}
+
+
+def test_weighted_sampler_multibatch_equals_batch_draw(spark, tmp_path):
+    """The weighted (ES-keyed) sampler folded over three batches must
+    equal the batch weighted_topk_es draw over the union — batch
+    boundaries cannot leak into the sample."""
+    from crane_stream_processing_spark.operators.sampling import (
+        weighted_topk_es,
+    )
+    from crane_stream_processing_spark.streaming.sampling import (
+        bottomk_sampler,
+        es_keyed,
+    )
+
+    state = str(tmp_path / "ws")
+    fold, current = bottomk_sampler(
+        spark, state, k=15, keyed=es_keyed("w"), key_type="double"
+    )
+    all_rows = [(i, 5 + (i * 13) % 50) for i in range(120)]
+    for b in range(3):
+        fold(
+            spark.createDataFrame(all_rows[b * 40 : (b + 1) * 40],
+                                  "doc_id long, w long"),
+            b,
+        )
+    got = {(r.doc_id, r.h) for r in current().collect()}
+    want = {
+        (r.doc_id, r.es_key)
+        for r in weighted_topk_es(
+            spark.createDataFrame(all_rows, "doc_id long, w long"),
+            15, "w", "doc_id",
+        ).select("doc_id", "es_key").collect()
+    }
+    assert got == want

@@ -231,3 +231,27 @@ def test_exact_kmeans_trainer_deterministic_and_guarded(spark, emb):
     )
     with _pytest.raises(ValueError, match="not exactly representable"):
         kmeans_fit_exact(bad, k=8, iters=1)
+
+
+def test_exact_kmeans_hand_computed_means(spark):
+    """kmeans_fit_exact on a hand-separable float32-representable
+    corpus: two clear clusters, k=2, 1 iteration — the trained
+    centroids must be EXACTLY the cluster means (decimal-exact sums /
+    count / 2^48 shift), and the seed order must follow
+    first-occurrence id order. Guards the exact-fold arithmetic against
+    refactors independently of the SQL-oracle parity."""
+    from crane_stream_processing_spark.operators.similarity import (
+        kmeans_fit_exact,
+    )
+
+    # dyadic components (exact at 2^48); ids chosen so seeds = rows 1,2
+    rows = [
+        (1, [0.25, 0.0]), (2, [8.0, 8.25]),
+        (3, [0.5, 0.25]), (4, [8.5, 7.75]), (5, [0.75, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_fit_exact(df, k=2, iters=1)
+    # assignment to seeds (0.25,0) and (8,8.25): {1,3,5} -> cell 0,
+    # {2,4} -> cell 1; means exactly:
+    assert got[0] == [(0.25 + 0.5 + 0.75) / 3, (0.0 + 0.25 + 0.5) / 3]
+    assert got[1] == [(8.0 + 8.5) / 2, (8.25 + 7.75) / 2]
