@@ -1592,10 +1592,20 @@ def curate_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     an engine ulp."""
     from ..operators.text import dsir_logweights
 
+    from . import register_query_cache
+
     docs = t_cpu(spark, sf_dir, "documents")
     wt = dsir_logweights(docs, "doc_id", "text", F.col("lang") == "en")
-    scored = docs.select("doc_id", "lang").join(
-        wt.select("doc_id", "dsir_logweight"), "doc_id"
+    # Three consumers (raw histogram, the ES draw, and the selected
+    # histogram via the draw) each re-derive the scored relation;
+    # uncached that is three re-folds of the DSIR weight join (the plan
+    # showed 6 Generate subtrees before the dsir_logweights-internal
+    # cache landed). O(docs) rows of 3 narrow columns, released
+    # post-query by the harness sweep.
+    scored = register_query_cache(
+        docs.select("doc_id", "lang")
+        .join(wt.select("doc_id", "dsir_logweight"), "doc_id")
+        .cache()
     )
     sel = SA.weighted_topk_es(
         scored.withColumn("w", F.exp("dsir_logweight")), 50, "w", "doc_id"

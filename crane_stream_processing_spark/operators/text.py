@@ -12,6 +12,20 @@ from pyspark.sql import functions as F
 from ..functions import let, md5_hex, tokens
 
 
+def _shared_cache(df: DataFrame) -> DataFrame:
+    """Cache an intermediate that several branches of ONE query's plan
+    consume, registered for post-query release (inventory harnesses call
+    release_query_caches after materializing). Spark performs no
+    cross-branch common-subexpression reuse on DataFrame lineage, so an
+    uncached shared stage — e.g. the bigram-explode bucket counts the
+    DSIR model AND the per-doc scorer both fold — executes once per
+    consumer (measured: 3 full tokenize+md5 passes in
+    curate_dsir_importance's plan, guide §1.2 step 1)."""
+    from ..inventory import register_query_cache
+
+    return register_query_cache(df.cache())
+
+
 def _argmax_label(scores: Column, labels: list[str]) -> Column:
     """argmax over a let-bound score array → label, ties toward earlier
     labels, 'und' when the best score is 0. The binding makes each score
@@ -438,51 +452,31 @@ def dsir_logweights(
     doc scoring is one map-side-combinable groupBy. Returns
     (doc_id, n_bigrams, dsir_logweight) for EVERY input doc (zero-bigram
     docs weigh 0.0)."""
-    n_buckets = 16 ** n_buckets_hex_chars
-    bg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        is_target.alias("is_tgt"),
-        F.explode(token_bigrams(text_col)).alias("b"),
-    ).select(
-        "doc_id",
-        "is_tgt",
-        F.substring(F.md5("b"), 1, n_buckets_hex_chars).alias("bkt"),
-    )
-    pc = bg.groupBy("doc_id", "is_tgt", "bkt").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    tbl = pc.groupBy("bkt").agg(
-        F.sum("c").alias("r_cnt"),
-        F.coalesce(F.sum(F.when(F.col("is_tgt"), F.col("c"))), F.lit(0)).alias(
-            "t_cnt"
-        ),
-    )
-    tot = tbl.agg(F.sum("r_cnt").alias("rt"), F.sum("t_cnt").alias("tt"))
-    nb = F.lit(float(n_buckets))
-    llr = tbl.crossJoin(F.broadcast(tot)).select(
-        "bkt",
-        (
-            F.log((F.col("t_cnt") + F.lit(1.0)) / (F.col("tt") + nb))
-            - F.log((F.col("r_cnt") + F.lit(1.0)) / (F.col("rt") + nb))
-        ).alias("w"),
-    )
-    wt = (
-        pc.join(F.broadcast(llr), "bkt")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * F.col("w")), 6).alias(
-                "dsir_logweight"
-            ),
-        )
-    )
+    # Round-10 shape: train the broadcast LLR-array model once
+    # (dsir_model_array — one 16^n-group aggregate with effective
+    # map-side combine), then score each document ROW-LOCALLY with the
+    # same fold `stream_dsir_score` serves with. The previous form
+    # exploded every bigram into an O(docs x 16^n)-group aggregate and
+    # joined it back per doc — at 100 TB that shuffles the whole bigram
+    # multiset twice; the fold form shuffles nothing per doc (the model
+    # rides a 1-row broadcast crossJoin). Values are identical under the
+    # 6-dp round (verified row-for-row vs the previous form at
+    # sf0.001/0.01/0.1): both engines already sum the same per-bucket
+    # terms in engine-arbitrary order, which the ln-last-ulp + round
+    # discipline absorbs.
+    model = dsir_model_array(docs, text_col, is_target, n_buckets_hex_chars)
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(wt, "doc_id", "left")
+        docs.select(
+            F.col(id_col).alias("doc_id"), token_bigrams(text_col).alias("bg")
+        )
+        .crossJoin(F.broadcast(model))
         .select(
             "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+            F.size("bg").cast("bigint").alias("n_bigrams"),
+            F.round(
+                dsir_fold_score(F.col("bg"), F.col("llr"), n_buckets_hex_chars),
+                6,
+            ).alias("dsir_logweight"),
         )
     )
 
@@ -602,11 +596,16 @@ def dsir_model_array(
         .cast("int")
         .alias("idx"),
     )
-    tbl = bkt.groupBy("idx").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_tgt"), F.lit(1))), F.lit(0)
-        ).alias("t_cnt"),
+    # tot (corpus totals) and the model fold both derive from tbl;
+    # uncached, the bigram explode beneath it runs once per consumer.
+    # tbl is <= 16^n rows — trivially cacheable at any corpus size.
+    tbl = _shared_cache(
+        bkt.groupBy("idx").agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_tgt"), F.lit(1))), F.lit(0)
+            ).alias("t_cnt"),
+        )
     )
     grid = docs.sparkSession.range(n_buckets).select(
         F.col("id").cast("int").alias("idx")
