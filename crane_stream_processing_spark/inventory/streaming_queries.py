@@ -145,6 +145,23 @@ def _stream_events_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real.union(sent)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a micro-batch out to the session's full parallelism BEFORE a
+    CPU-heavy row-local stage (banding md5s, HOF dot folds, Arrow
+    decode). A bounded availableNow drain of a single parquet file
+    arrives as ONE scan partition — parquet cannot split inside a row
+    group — so without this the heavy stage runs on one core however
+    many the cluster has (guide §2.5, input skew from an unsplittable
+    file: repartition immediately after the read). The count is the
+    cluster's defaultParallelism — scale-adaptive, not a local-mode
+    constant; at production trigger sizes the source already yields at
+    least that many splits and this is a cheap round-robin rebalance of
+    one trigger's rows (the rows are about to be rewritten/shuffled by
+    the stage anyway, and the exchange moves raw inputs, not the
+    expanded band/code rows the stage produces)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 @contextmanager
 def _scoped_stream_partitions(spark: SparkSession):
     """Scope the stateful-operator partition count down for the single-box
@@ -721,7 +738,7 @@ def stream_mm_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     path. No watermark needed — the pipeline is stateless 1→1."""
     from ..operators import multimodal as M
 
-    hashed = M.bmp_ahash(_stream_media(spark, sf_dir, "bmp"))
+    hashed = M.bmp_ahash(_spread(_stream_media(spark, sf_dir, "bmp")))
     _run_to_memory(hashed, "stream_mm_ahash_fingerprint", "append")
     return spark.table("stream_mm_ahash_fingerprint")
 
@@ -743,7 +760,7 @@ def stream_mm_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no state, O(new blobs) per trigger."""
     from ..operators import multimodal as M
 
-    hashed = M.png_ahash(_stream_media(spark, sf_dir, "png"))
+    hashed = M.png_ahash(_spread(_stream_media(spark, sf_dir, "png")))
     _run_to_memory(hashed, "stream_mm_png_ahash", "append")
     return spark.table("stream_mm_png_ahash")
 
@@ -768,7 +785,9 @@ def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(new docs) per trigger at any corpus size."""
     from .curation import build_pii_redact
 
-    out = build_pii_redact(_stream_docs(spark, sf_dir).select("doc_id", "text"))
+    out = build_pii_redact(
+        _spread(_stream_docs(spark, sf_dir).select("doc_id", "text"))
+    )
     _run_to_memory(out, "stream_pii_redact", "append")
     return spark.table("stream_pii_redact")
 
@@ -819,7 +838,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
     )
-    banded = D.lsh_bands(staged, "doc_id", "text")
+    banded = D.lsh_bands(_spread(staged), "doc_id", "text")
     deduped = (
         banded.withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark(["band_idx", "band_hash"])
@@ -868,7 +887,7 @@ def stream_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..streaming.ann_ingest import idempotent_batch_sink
 
-    docs = _stream_docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_stream_docs(spark, sf_dir).select("doc_id", "text"))
     banded = D.lsh_bands(docs, "doc_id", "text").select(
         F.col("doc").alias("doc_id"),
         F.col("band_idx").cast("long").alias("band_idx"),
@@ -888,15 +907,19 @@ def stream_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     # Forced replay of batch 0 (availableNow drains the table as one
     # batch — ASSERTED): the idempotent sink overwrites __batch_id=0.
+    # The redelivered rows are the journal's own recorded batch-0
+    # contents (the round-9-advice option): bit-identical to what a
+    # Spark retry would recompute (banding is deterministic and the
+    # final index is row-graded against the banding oracle), without
+    # paying a second full banding pass. localCheckpoint materializes
+    # them BEFORE the sink overwrites the very files they came from;
+    # the persistent RDD is swept by the next release_query_caches.
     _assert_single_batch_journal(out_dir, "stream_dedup_index_ingest")
-    batch0 = D.lsh_bands(
-        t(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
-        "text",
-    ).select(
-        F.col("doc").alias("doc_id"),
-        F.col("band_idx").cast("long").alias("band_idx"),
-        "band_hash",
+    batch0 = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("__batch_id") == 0)
+        .drop("__batch_id")
+        .localCheckpoint()
     )
     sink(batch0, 0)
     from . import register_scratch_dir
@@ -970,8 +993,10 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
     from .northstar import _CENTROIDS64
 
-    emb = _stream_embeddings(spark, sf_dir).filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    emb = _spread(
+        _stream_embeddings(spark, sf_dir).filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
     )
     assigned = S.ivf_assign(emb, _CENTROIDS64)
     _run_to_memory(assigned, "stream_ivf_ingest", "append")
@@ -1057,8 +1082,10 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
     from .northstar import _CENTROIDS64
 
-    emb = _stream_embeddings(spark, sf_dir).filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    emb = _spread(
+        _stream_embeddings(spark, sf_dir).filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
     )
     cmat = F.broadcast(S.centroid_matrix(spark, _CENTROIDS64))
     pqmat = F.broadcast(S.pq_codebook_matrix(spark, _pq_stream_books()))
@@ -1219,7 +1246,7 @@ def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = dsir_model_array(
         t(spark, sf_dir, "documents"), "text", F.col("lang") == "en"
     )
-    docs = _stream_docs(spark, sf_dir)
+    docs = _spread(_stream_docs(spark, sf_dir))
     staged = docs.select(
         "doc_id", token_bigrams("text").alias("bg")
     ).crossJoin(F.broadcast(model))
@@ -1419,7 +1446,7 @@ def stream_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("doc_id") - F.min("doc_id") + 1).alias("s")
     ).first()["s"]
     out = build_curate_stream(
-        _stream_docs(spark, sf_dir).select("doc_id", "text"),
+        _spread(_stream_docs(spark, sf_dir).select("doc_id", "text")),
         model,
         dedup_horizon=f"{int(span)} seconds",
     )
@@ -1697,7 +1724,8 @@ def stream_ivf_ingest_then_serve(
     # phase 1 — INGEST: the holdout cohort arrives; each micro-batch
     # buckets its vectors and appends under its own __batch_id partition
     ingest_sink = idempotent_batch_sink(
-        delta_dir, transform=lambda b: S.ivf_bucket_corpus(b, _CENTROIDS64)
+        delta_dir,
+        transform=lambda b: S.ivf_bucket_corpus(_spread(b), _CENTROIDS64),
     )
     ingest_stream = _stream_embeddings(spark, sf_dir).filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull() & held

@@ -90,6 +90,14 @@ def ivfpq_index_sink(
     from ..operators import similarity as S
 
     def encode(batch_df: DataFrame) -> DataFrame:
+        # A small trigger (or a single-row-group file drain) arrives as
+        # one scan partition, which would run the whole Arrow matmul
+        # kernel on one core; rebalance up to the cluster's parallelism
+        # first. Guarded like inventory.t_cpu: a production trigger that
+        # already has >= that many splits is left untouched.
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
         return S.ivfpq_encode_arrow(
             batch_df,
             centroids,
