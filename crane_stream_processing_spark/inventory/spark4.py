@@ -198,9 +198,21 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing) so it cannot pin memory across later queries."""
     from pyspark.sql import Window
 
-    from . import register_query_cache
+    from . import register_conf_restore, register_query_cache
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # Each of the ~depth recursion steps is its own job whose frontier
+    # join shuffles BOTH sides at the session's static partition count
+    # (AQE does not re-plan inside UnionLoop), so per-step cost is
+    # dominated by task launches on near-empty partitions. Derive the
+    # recursion's partition count from the INPUT's scan splits instead
+    # (guide §2: scale-adaptive, never a local-mode constant): at sf0.1
+    # orders is one split -> 1-partition steps (measured 5.4 -> 4.7 s);
+    # at 100 TB the scan yields thousands of splits and the steps keep
+    # that parallelism. The cached edge list is hash-partitioned on the
+    # join key at the same count, so its side of every step reuses the
+    # cached layout. Conf restored by the post-query release sweep.
+    rec_parts = max(t(spark, sf_dir, "orders").rdd.getNumPartitions(), 1)
     edges = register_query_cache(
         t(spark, sf_dir, "orders")
         .select(
@@ -208,8 +220,18 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_orderkey").over(w).alias("next_key"),
             F.row_number().over(w).alias("rk"),
         )
+        .repartition(rec_parts, "o_orderkey")
         .cache()
     )
+    # Materialize the cache BEFORE scoping the partition count down:
+    # shuffle.partitions is read at action time, and the window pass
+    # itself should keep the session's full parallelism — only the
+    # recursion steps run at the input-derived count. 1-long bounded
+    # action (count of the edge table).
+    edges.count()
+    key = "spark.sql.shuffle.partitions"
+    register_conf_restore(key, spark.conf.get(key))
+    spark.conf.set(key, str(rec_parts))
     edges.createOrReplaceTempView("order_chain_edges")
     return spark.sql(
         """
