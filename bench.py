@@ -114,7 +114,14 @@ def app_throughput(spark, sf_dir: str) -> dict:
             big = lines_df.crossJoin(
                 spark.range(copies).select(F.col("id").alias("__copy"))
             ).select("value")
-            big.repartition(8).write.mode("overwrite").text(fixture)
+            # One text file per core: the availableNow drain parallelizes
+            # per input file, so an 8-file fixture capped the tokenize/
+            # parse stage at 8 tasks regardless of session size. The
+            # timer below starts after the fixture lands, so this only
+            # changes the measured STREAMING pass's parallelism.
+            big.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").text(fixture)
             # Timer starts AFTER the fixture lands: the batch write of
             # ~40 MB is comparable work to streaming it back, and the
             # reported number is STREAMING throughput.

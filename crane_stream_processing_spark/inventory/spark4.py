@@ -198,7 +198,7 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing) so it cannot pin memory across later queries."""
     from pyspark.sql import Window
 
-    from . import register_conf_restore, register_query_cache
+    from . import register_query_cache
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # Each of the ~depth recursion steps is its own job whose frontier
@@ -211,10 +211,14 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB the scan yields thousands of splits and the steps keep
     # that parallelism. The cached edge list is hash-partitioned on the
     # join key at the same count, so its side of every step reuses the
-    # cached layout. Conf restored by the post-query release sweep.
+    # cached layout. The narrowed shuffle.partitions lives in a CLONE
+    # session (shared SparkContext/caches, private SQLConf, read at the
+    # recursion's action time), so the host session's planner conf is
+    # never mutated — building this query mid-session leaks nothing.
     rec_parts = max(t(spark, sf_dir, "orders").rdd.getNumPartitions(), 1)
+    rec = spark.newSession()
     edges = register_query_cache(
-        t(spark, sf_dir, "orders")
+        t(rec, sf_dir, "orders")
         .select(
             "o_orderkey",
             F.lead("o_orderkey").over(w).alias("next_key"),
@@ -223,17 +227,15 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(rec_parts, "o_orderkey")
         .cache()
     )
-    # Materialize the cache BEFORE scoping the partition count down:
-    # shuffle.partitions is read at action time, and the window pass
-    # itself should keep the session's full parallelism — only the
+    # Materialize the cache BEFORE scoping the clone's partition count
+    # down: shuffle.partitions is read at action time, and the window
+    # pass itself should keep the session's full parallelism — only the
     # recursion steps run at the input-derived count. 1-long bounded
     # action (count of the edge table).
     edges.count()
-    key = "spark.sql.shuffle.partitions"
-    register_conf_restore(key, spark.conf.get(key))
-    spark.conf.set(key, str(rec_parts))
-    edges.createOrReplaceTempView("order_chain_edges")
-    return spark.sql(
+    rec.conf.set("spark.sql.shuffle.partitions", str(rec_parts))
+    edges.createOrReplaceTempView("order_chain_edges")  # clone-scoped view
+    return rec.sql(
         """
         WITH RECURSIVE chain(root_key, o_orderkey, depth) AS (
           SELECT o_orderkey, o_orderkey, 1 FROM order_chain_edges WHERE rk = 1
