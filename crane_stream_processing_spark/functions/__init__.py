@@ -83,7 +83,17 @@ def dot(a: Column | str, b: Column | str) -> Column:
     no intermediate product array is materialized per pair (measured 51 s
     → 25 s on the 2M-pair sf0.1 sum). DuckDB twin:
     ``list_dot_product(a::DOUBLE[], b::DOUBLE[])`` (also a left-to-right
-    double fold, so values match bit-for-bit)."""
+    double fold, so values match bit-for-bit).
+
+    Measured NEGATIVE (round 10, tools/exp_dot_unroll.py): unrolling the
+    sum into a flat 64-wide expression is ~3× faster PER CORE on a large
+    pair scan (380k cosines, single scan partition: 8.6 s → 2.6 s,
+    bit-equal), but swapping it in here made every sim/dedup registry
+    query 3-8× SLOWER at bench SF — those plans are codegen/compile
+    bound, not compute-bound, and the ~450-node tree per dot site (×
+    tens of sites on the literal-centroid paths) blows past janino/JIT
+    method limits. Keep the fold; revisit per-site unrolling only for
+    genuinely throughput-bound deployments."""
     ca, cb = _c(a), _c(b)
     folded = F.aggregate(
         F.sequence(F.lit(0), F.size(ca) - 1),

@@ -363,6 +363,12 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(D.token_shingles(F.col("toks"))).alias("g"),
         )
         .filter(F.size("g") > 0)
+        # NOT checkpointed (measured negative, round 10): the probe side
+        # filters to doc_id < 100 and Catalyst pushes that predicate into
+        # its own scan branch, so the "duplicate" chain tokenizes only
+        # the 100 probe docs — materializing the full corpus here costs
+        # more than the 5%-sized extra branch saves (A/B: 249→275 tasks,
+        # 3.9→5.5 s).
     )
     a = sets.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("pa"), F.col("g").alias("ga")
@@ -1771,7 +1777,14 @@ def sim_ivf_retrain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     before = _ivf64_index(spark, sf_dir)
-    after = S.ivf_bucket_corpus(emb, trained, relational=True)
+    # Materialize the rebuilt inverted file ONCE: it feeds two plan
+    # branches (health(after) and the retrained ANN's corpus side), and
+    # each branch would otherwise replan + re-execute the k=64
+    # broadcast-matrix argmin assignment over the corpus. `before` stays
+    # lazy — it is a parquet fixture read, cheap per branch. Values are
+    # preserved exactly; the persisted RDD is swept by
+    # release_query_caches after grading.
+    after = S.ivf_bucket_corpus(emb, trained, relational=True).localCheckpoint()
     q = emb.filter(F.col("vec_id") < 10)
     exact = S.cosine_topk(emb, q, k=3).select("query_id", "cand_id")
     annb = S.ivf_ann_topk(

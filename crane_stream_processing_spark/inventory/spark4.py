@@ -215,7 +215,16 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (shared SparkContext/caches, private SQLConf, read at the
     # recursion's action time), so the host session's planner conf is
     # never mutated — building this query mid-session leaks nothing.
-    rec_parts = max(t(spark, sf_dir, "orders").rdd.getNumPartitions(), 1)
+    # Floor the width at min(8, cores): deriving it from scan splits
+    # ALONE collapsed to 1 partition at bench SF (one parquet split), and
+    # a 1-wide recursion serializes every step onto one core — measured
+    # 5.5 s (1-wide) vs 4.3 s (8-wide) vs 5.0 s (32-wide) for the
+    # recursion at sf0.1 on an idle box. The floor is core-count-capped
+    # (never a local constant), and at scale the split count dominates.
+    rec_parts = max(
+        t(spark, sf_dir, "orders").rdd.getNumPartitions(),
+        min(8, spark.sparkContext.defaultParallelism),
+    )
     rec = spark.newSession()
     edges = register_query_cache(
         t(rec, sf_dir, "orders")

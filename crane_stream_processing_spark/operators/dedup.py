@@ -337,9 +337,17 @@ def connected_components(
         # (restored after — each localCheckpoint action plans under it)
         spark.conf.set(key, str(min(int(prev), num_partitions)))
     try:
-        edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        edges = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # Materialize the PAIR list before the symmetrizing union: the two
+        # union branches are separate physical subtrees, so an un-cut
+        # lineage would execute the caller's pair-generation join (the
+        # expensive part — e.g. the LSH-bucketed cosine scan) once PER
+        # branch. Checkpointing the directed pairs first runs it exactly
+        # once; the union then reads the materialized rows twice.
+        directed = pairs.select(
+            F.col(id_a).alias("u"), F.col(id_b).alias("v")
+        ).localCheckpoint(eager=True)
+        edges = directed.union(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         if num_partitions:
             edges = edges.repartition(num_partitions)
@@ -349,7 +357,8 @@ def connected_components(
             edges.select("u")
             .distinct()
             .select(F.col("u").alias("node"), F.col("u").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the initial signature probe below materializes it
+            .localCheckpoint(eager=False)
         )
         def signature(lb: DataFrame):
             # Type-agnostic convergence probe: an exact decimal sum of
@@ -369,11 +378,15 @@ def connected_components(
                 edges.join(labels, edges.v == labels.node)
                 .select(edges.u.alias("node"), F.col("label"))
             )
+            # LAZY checkpoint: the signature action right below both
+            # materializes the round's labels into the checkpoint AND
+            # returns the convergence probe — one scheduled job per round
+            # instead of two (eager checkpoint job + separate probe job).
             labels = (
                 labels.unionByName(nbr)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur_sum = signature(labels)
             if cur_sum == prev_sum:

@@ -42,10 +42,16 @@ def pagerank(
 
     Input: an edge list with weight column (multi-edges pre-aggregated).
     Output: (node, rank) with full-precision rank."""
+    # Materialize the edge list FIRST: norm and nodes are separate eager
+    # actions (and nodes is a two-branch union), so an un-cut lineage
+    # would re-execute the caller's whole edge-derivation chain — for the
+    # nation graph, the lineitem⋈orders⋈customer⋈supplier build — two or
+    # three times before the first iteration. One checkpoint of the tiny
+    # aggregated edge list runs that chain exactly once.
     e = edges.select(
         F.col(src).alias("eu"), F.col(dst).alias("ev"),
         F.col(weight).cast("double").alias("ew"),
-    )
+    ).localCheckpoint()
     outw = e.groupBy("eu").agg(F.sum("ew").alias("wu"))
     norm = (
         e.join(outw, "eu")
