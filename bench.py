@@ -170,6 +170,22 @@ def main() -> None:
             yield from it
 
         force(spark.range(0, 64, 1, 64).mapInPandas(_ident, "id long"))
+        # The Python DataSource path (spark 4 crane_clf source) runs its
+        # plan/read phases in SEPARATE worker pools from the UDF pool
+        # above — its first use pays ~5 s of per-session process
+        # spin-up (plan-time Python processes + per-task source
+        # workers), which otherwise lands inside src_clf_typed_scan's
+        # measured time. Same per-session/not-per-query rationale as
+        # the two warm-ups above; a one-line file keeps it ~1 s.
+        import tempfile
+
+        from crane_stream_processing_spark import datasource
+
+        warm_dir = tempfile.mkdtemp(prefix="crane_clf_warm_")
+        with open(os.path.join(warm_dir, "w.log"), "w") as fh:
+            fh.write('h - - [01/Jan/2024:00:00:00 +0000] "GET /w HTTP/1.0" 200 1\n')
+        datasource.register(spark)
+        force(spark.read.format("crane_clf").option("path", warm_dir).load())
     except Exception as e:
         print(f"bench: warm-up FAILED: {e}", file=sys.stderr)
 

@@ -141,10 +141,32 @@ def dedup_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (linear in corpus size). No separate short-doc pre-filter: the
     staged size(sh) > 0 filter inside lsh_candidate_pairs already drops
     <3-token docs (k-shingling of <k tokens is empty), and pairs can only
-    reference ids that survived it — one less tokenization per row."""
+    reference ids that survived it — one less tokenization per row.
+
+    One chain execution (round-10, guide §1.2/§2.4): the expensive
+    tokenize→shingle chain used to run 4× (two band-join legs + two
+    exact-set legs; the before-plan holds 4 parquet scans, 0
+    ReusedExchange). Now the DISTINCT shingle sets are materialized once
+    (localCheckpoint) and every consumer derives from them — valid
+    because a minhash (per-seed MIN over per-shingle md5s) is invariant
+    under duplicate shingles, so minhash(distinct(sh)) ≡ minhash(sh)
+    bit-for-bit; the signature relation is materialized once more, so
+    each band-join leg re-derives only the 4 trivial band md5s from 12
+    hex strings. At 100 TB the win is 3 saved executions of the
+    full-corpus chain; the materialization holds the same rows the legs
+    each recomputed before."""
     docs = t_cpu(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
-    return D.jaccard_pairs(docs, pairs, "doc_id", "text")
+    sets = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(D.token_shingles(tokens("text"))).alias("sh"),
+    ).localCheckpoint()
+    sig = (
+        sets.filter(F.size("sh") > 0)
+        .select("doc", D.minhash_signature(F.col("sh")).alias("sig"))
+        .localCheckpoint()
+    )
+    pairs = D.banded_candidate_pairs(D.signature_bands(sig))
+    return D.jaccard_pairs(docs, pairs, "doc_id", "text", sets_df=sets)
 
 
 _DEDUP_INDEX_DIRS: dict[str, str] = {}  # sf_dir → persisted band-bucket index
@@ -267,16 +289,35 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical, so the whole calibration — estimates included —
     grades row-level. Candidates come from the same banded self-join as
     dedup_minhash_lsh_jaccard; exact sets are joined back only for the
-    candidate pairs."""
+    candidate pairs.
+
+    One chain execution (round-10, guide §1.2/§2.4): the before-plan ran
+    the tokenize→shingle chain 6× and the minhash 4× (12 parquet scans,
+    0 ReusedExchange — two band legs + two exact-set legs + two
+    signature legs). The distinct shingle sets and the signature
+    relation are each materialized once (localCheckpoint; minhash over
+    distinct shingles is bit-identical — per-seed MIN is duplicate-
+    invariant) and all six consumers derive from them. The est-side
+    signature filter to size(sh) > 0 docs is equivalent: candidates can
+    only reference docs that survived banding's own short-doc filter."""
     docs = t_cpu(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
-    exact = D.jaccard_pairs(docs, pairs, "doc_id", "text").select(
-        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    sets = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(D.token_shingles(tokens("text"))).alias("sh"),
+    ).localCheckpoint()
+    staged = (
+        sets.filter(F.size("sh") > 0)
+        .select(
+            F.col("doc").alias("doc_id"),
+            D.minhash_signature(F.col("sh")).alias("mh"),
+        )
+        .localCheckpoint()
     )
-    staged = docs.select(
-        "doc_id", tokens("text").alias("toks")
-    ).select(
-        "doc_id", D.minhash_signature(D.token_shingles(F.col("toks"))).alias("mh")
+    pairs = D.banded_candidate_pairs(
+        D.signature_bands(staged, doc_col="doc_id", sig_col="mh")
+    )
+    exact = D.jaccard_pairs(docs, pairs, "doc_id", "text", sets_df=sets).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
     )
     sa = staged.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mha"))
     sb = staged.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mhb"))
@@ -356,6 +397,14 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH candidate set is the PRODUCTION full-corpus banded self-join,
     membership-checked per probe pair via (least, greatest) equi keys."""
     docs = t_cpu(spark, sf_dir, "documents")
+    # Materialized ONCE and shared by four consumers (round-10, guide
+    # §1.2/§2.4): the full-corpus probe leg (b), the 100-doc probe leg
+    # (a — reading 100 materialized rows costs nothing, unlike the
+    # earlier negative where the checkpoint served ONLY this pushed-down
+    # leg), and both band-join legs via the signature relation below
+    # (minhash over distinct shingles is bit-identical: per-seed MIN is
+    # duplicate-invariant). Before: the tokenize→shingle chain ran 3×
+    # full-corpus + 1× probe-pruned; after: once.
     sets = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select(
@@ -363,12 +412,7 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(D.token_shingles(F.col("toks"))).alias("g"),
         )
         .filter(F.size("g") > 0)
-        # NOT checkpointed (measured negative, round 10): the probe side
-        # filters to doc_id < 100 and Catalyst pushes that predicate into
-        # its own scan branch, so the "duplicate" chain tokenizes only
-        # the 100 probe docs — materializing the full corpus here costs
-        # more than the 5%-sized extra branch saves (A/B: 249→275 tasks,
-        # 3.9→5.5 s).
+        .localCheckpoint()
     )
     a = sets.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("pa"), F.col("g").alias("ga")
@@ -391,9 +435,12 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
         ).alias("u"),
     )
-    cand = D.lsh_candidate_pairs(docs, "doc_id", "text").withColumn(
-        "c", F.lit(1)
-    )
+    sig = sets.select(
+        "doc_id", D.minhash_signature(F.col("g")).alias("mh")
+    ).localCheckpoint()
+    cand = D.banded_candidate_pairs(
+        D.signature_bands(sig, doc_col="doc_id", sig_col="mh")
+    ).withColumn("c", F.lit(1))
     binned = pairs.join(cand, ["id_a", "id_b"], "left").select(
         F.expr("CAST((i * 10) DIV u AS BIGINT)").alias("jaccard_bin"), "c"
     )

@@ -103,6 +103,71 @@ def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Colu
     return let(shingle_col, body)
 
 
+def _band_structs(sig: Column, n_bands: int, band_rows: int) -> Column:
+    """Per-band md5 structs over a minhash signature array — the ONE
+    definition of the band hash, shared by the full lsh_bands pipeline
+    and signature_bands (banding a pre-computed signature relation)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(sig, b * band_rows + r + 1)
+                            for r in range(band_rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def signature_bands(
+    sig_df: DataFrame,
+    doc_col: str = "doc",
+    sig_col: str = "sig",
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Band an ALREADY-COMPUTED minhash-signature relation (doc, sig) into
+    (doc, band_idx, band_hash) rows — the tail of :func:`lsh_bands` for
+    callers that materialize the expensive tokens→shingles→minhash chain
+    once (localCheckpoint) and derive bands from it: re-deriving the
+    4 band md5s from 12 materialized hex strings is trivial next to
+    re-running the chain, so a banded self-join's two legs can share one
+    chain execution (guide §1.2/§2.4 — don't compute things twice)."""
+    n_bands = num_hashes // band_rows
+    return sig_df.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(
+            let(F.col(sig_col), lambda s: _band_structs(s, n_bands, band_rows))
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_hash")
+
+
+def banded_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a banded relation
+    (doc, band_idx, band_hash) — the self-join half of
+    :func:`lsh_candidate_pairs`, exposed so callers with a materialized
+    banding can reuse it."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_bands(
     df: DataFrame,
     id_col: str,
@@ -142,19 +207,7 @@ def lsh_bands(
         )
 
     def band_structs(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[F.element_at(sig, b * band_rows + r + 1) for r in range(band_rows)]
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(n_bands)
-            ]
-        )
+        return _band_structs(sig, n_bands, band_rows)
 
     passthrough = [c for c in df.columns if c not in (id_col, content_col)]
     staged = (
@@ -207,29 +260,31 @@ def lsh_candidate_pairs(
     banded = lsh_bands(
         df.select(id_col, content_col), id_col, content_col, num_hashes, band_rows
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+    return banded_candidate_pairs(banded)
 
 
 def jaccard_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, content_col: str, k: int = 3
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: join each side's
     distinct-shingle array, intersect/union row-locally. Runs only on the
-    LSH-surviving pairs — the expensive exactness is O(candidates)."""
-    sets_df = df.select(
-        F.col(id_col).alias("doc"), tokens(content_col).alias("toks")
-    ).select("doc", F.array_distinct(token_shingles(F.col("toks"), k)).alias("sh"))
+    LSH-surviving pairs — the expensive exactness is O(candidates).
+
+    ``sets_df`` (columns ``doc``, ``sh`` = distinct shingle array) lets a
+    caller that already materialized the shingle sets (localCheckpoint,
+    shared with the banding stage) skip recomputing the tokenize→shingle
+    chain once per join leg."""
+    if sets_df is None:
+        sets_df = df.select(
+            F.col(id_col).alias("doc"), tokens(content_col).alias("toks")
+        ).select(
+            "doc", F.array_distinct(token_shingles(F.col("toks"), k)).alias("sh")
+        )
     j = (
         pairs.join(sets_df.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
