@@ -60,10 +60,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is bounded by vocabulary size, not corpus size."""
     docs = t(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # tc is consumed twice (the vocab aggregate and the scoring join);
+    # materialize the corpus-wide tokenize+explode+shuffle once
+    # (round-10, guide §1.2/§2.4 — the plan otherwise re-executes it per
+    # consumer; swept by release_query_caches).
     tc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfs = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score_r = F.round(
@@ -133,7 +138,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence of ln (row membership is decided by the integer n_matched,
     never by the float)."""
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    # toks feeds dls (itself read twice) and tc: materialize the
+    # tokenize pass once; tc (term-filtered, tiny) is consumed by dfs
+    # and the scoring join — materialize so the explode+shuffle over the
+    # token arrays runs once (round-10, guide §1.2/§2.4).
+    toks = docs.select("doc_id", tokens("text").alias("tk")).localCheckpoint()
     dls = toks.select("doc_id", F.size("tk").alias("dl"))
     stats = dls.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -144,6 +153,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfs = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -380,12 +390,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. Log-bearing values are rounded (scale 4) and row selection is
     by integer doc_id, per the cross-engine float discipline above."""
     docs = t(spark, sf_dir, "documents")
+    # tc is consumed twice (the vocab aggregate and the scoring join);
+    # materialize the corpus-wide tokenize+explode+shuffle once
+    # (round-10, guide §1.2/§2.4 — the plan otherwise re-executes it per
+    # consumer; swept by release_query_caches).
     tc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    lm = tc.groupBy("term").agg(F.sum("tf").alias("cf"))
+    # lm feeds the corpus scalar and the scoring join — one shuffle, not
+    # one per consumer (vocabulary-sized; swept with the query).
+    lm = tc.groupBy("term").agg(F.sum("tf").alias("cf")).localCheckpoint()
     corpus = lm.agg(F.sum("cf").alias("total_cf"))
     lp = F.col("tf") * F.log(F.col("cf") / F.col("total_cf").cast("double"))
     return (
@@ -578,8 +595,16 @@ def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id", F.explode(token_bigrams("text", as_struct=True)).alias("b")
     )
-    bc = bg.groupBy("doc_id", "b.w1", "b.w2").agg(F.count(F.lit(1)).alias("tf"))
-    lm = bc.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    # bc is consumed by the LM derivation and the scoring join; lm by
+    # ctx, vocab and the join — materialize each once (round-10, guide
+    # §1.2/§2.4: the plan otherwise re-runs the corpus bigram explode up
+    # to 4×; both are bounded by distinct (doc,bigram) / vocab² rows).
+    bc = (
+        bg.groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    lm = bc.groupBy("w1", "w2").agg(F.sum("tf").alias("c2")).localCheckpoint()
     ctx = lm.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = lm.agg(F.countDistinct("w2").alias("v"))
     lp = F.col("tf") * F.log(
@@ -652,12 +677,19 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NTILE can fall back to a 2-pass percentile cut if one language
     dominates."""
     docs = t(spark, sf_dir, "documents")
+    # tc is consumed twice (the vocab aggregate and the scoring join);
+    # materialize the corpus-wide tokenize+explode+shuffle once
+    # (round-10, guide §1.2/§2.4 — the plan otherwise re-executes it per
+    # consumer; swept by release_query_caches).
     tc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    lm = tc.groupBy("term").agg(F.sum("tf").alias("cf"))
+    # lm feeds the corpus scalar and the scoring join — one shuffle, not
+    # one per consumer (vocabulary-sized; swept with the query).
+    lm = tc.groupBy("term").agg(F.sum("tf").alias("cf")).localCheckpoint()
     corpus = lm.agg(F.sum("cf").alias("total_cf"))
     lp = F.col("tf") * F.log(F.col("cf") / F.col("total_cf").cast("double"))
     scored = (
@@ -960,7 +992,11 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     docs = t_cpu(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    # toks feeds dls (itself read twice) and tc: materialize the
+    # tokenize pass once; tc (term-filtered, tiny) is consumed by dfs
+    # and the scoring join — materialize so the explode+shuffle over the
+    # token arrays runs once (round-10, guide §1.2/§2.4).
+    toks = docs.select("doc_id", tokens("text").alias("tk")).localCheckpoint()
     dls = toks.select("doc_id", F.size("tk").alias("dl"))
     stats = dls.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -971,6 +1007,7 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfs = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
