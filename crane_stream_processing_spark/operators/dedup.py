@@ -575,17 +575,23 @@ def substring_window_pairs(
     BEFORE the self-join — the same hot-bucket discipline as LSH
     banding — so no bucket can go quadratic. Output: id_a < id_b,
     n_shared_windows."""
+    # wins (the O(len)-md5-per-doc winnowing pass) is consumed by the
+    # boilerplate filter AND both self-join legs — without the
+    # materialization the plan executes the winnowing 3× (round-10,
+    # guide §1.2/§2.4). pruned is likewise read by both legs; both
+    # checkpoints are O(docs × fingerprints/doc) rows of (id, hash) and
+    # are swept by release_query_caches.
     wins = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(winnow_fingerprints(text_col, width, window)).alias("wh"),
-    )
+    ).localCheckpoint()
     keep = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") <= max_docs_per_window)
         .select("wh")
     )
-    pruned = wins.join(keep, "wh")
+    pruned = wins.join(keep, "wh").localCheckpoint()
     a = pruned.select(F.col("doc_id").alias("id_a"), "wh")
     b = pruned.select(F.col("doc_id").alias("id_b"), "wh")
     return (
