@@ -506,12 +506,17 @@ def text_shingle_novelty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on the shingle or doc_id — the same keys a 100 TB
     vocabulary build shuffles on anyway."""
     docs = t_cpu(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", tokens("text").alias("toks")).select(
+    # The tokenize→shingle→distinct chain feeds BOTH the first-seen
+    # aggregate and the join-back leg — uncheckpointed it executes twice
+    # (2 corpus scans in the committed before-plan). Materialize the
+    # COMPACT per-doc distinct-shingle arrays once (the change-#8
+    # discipline: checkpoint pre-explode, explode is cheap; swept by
+    # release_query_caches) and derive both legs from it.
+    shsets = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(D.token_shingles(F.col("toks")))
-        ).alias("g"),
-    )
+        F.array_distinct(D.token_shingles(tokens("text"))).alias("gs"),
+    ).localCheckpoint()
+    grams = shsets.select("doc_id", F.explode("gs").alias("g"))
     firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per = (
         grams.join(firstseen, "g")

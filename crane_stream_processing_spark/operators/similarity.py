@@ -1827,25 +1827,46 @@ def quantize_floor(
     return emb.select(q.alias("qv"))
 
 
-def integer_gram(qdf: DataFrame, dim: int) -> DataFrame:
-    """Distributed exact-integer Gram matrix G = QᵀQ over a quantized
-    vector column ``qv``: per-partition numpy int64 partials via
-    Arrow-batched mapInPandas — each partition emits exactly dim² rows,
-    so the shuffle moves dim²·partitions rows (model-sized) while the
-    corpus is read once and never re-shuffled. Integer addition is
-    associative: the result is bit-exact under any partitioning."""
+def integer_gram_partials(
+    qdf: DataFrame, dim: int, with_sums: bool = False
+) -> DataFrame:
+    """Per-partition integer partials for the quantized-vector statistics,
+    in ONE corpus pass: Gram cells QᵀQ as (i, j, partial) with i, j in
+    1..dim; with ``with_sums`` additionally the per-dimension column sums
+    as (i, 0, partial) and the row count as (0, 0, partial). Emitting the
+    sums/count from the same Arrow batches the Gram already walks is what
+    lets :func:`covariance_scaled` read the corpus once instead of three
+    times (round-10, guide §1.2) — integer addition is associative, so
+    every derived aggregate is bit-exact under any partitioning, identical
+    to the separate posexplode/count passes it replaces."""
 
     def _partial_gram(batches):
         import numpy as np
         import pandas as pd
 
         acc = np.zeros((dim, dim), dtype=np.int64)
+        sums = np.zeros(dim, dtype=np.int64)
+        n = 0
         for pdf in batches:
             if len(pdf):
                 m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
                 acc += m.T @ m
+                if with_sums:
+                    sums += m.sum(axis=0)
+                    n += len(pdf)
         i, j = np.nonzero(np.ones((dim, dim), dtype=bool))
-        yield pd.DataFrame({"i": i + 1, "j": j + 1, "partial": acc[i, j]})
+        out = {"i": i + 1, "j": j + 1, "partial": acc[i, j]}
+        if not with_sums:
+            yield pd.DataFrame(out)
+            return
+        d = np.arange(1, dim + 1, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([out["i"], d, [0]]),
+                "j": np.concatenate([out["j"], np.zeros(dim + 1, np.int64)]),
+                "partial": np.concatenate([out["partial"], sums, [n]]),
+            }
+        )
 
     from pyspark.sql import types as T
 
@@ -1856,8 +1877,18 @@ def integer_gram(qdf: DataFrame, dim: int) -> DataFrame:
             T.StructField("partial", T.LongType()),
         ]
     )
+    return qdf.mapInPandas(_partial_gram, schema=gram_schema)
+
+
+def integer_gram(qdf: DataFrame, dim: int) -> DataFrame:
+    """Distributed exact-integer Gram matrix G = QᵀQ over a quantized
+    vector column ``qv``: per-partition numpy int64 partials via
+    Arrow-batched mapInPandas — each partition emits exactly dim² rows,
+    so the shuffle moves dim²·partitions rows (model-sized) while the
+    corpus is read once and never re-shuffled. Integer addition is
+    associative: the result is bit-exact under any partitioning."""
     return (
-        qdf.mapInPandas(_partial_gram, schema=gram_schema)
+        integer_gram_partials(qdf, dim)
         .groupBy("i", "j")
         .agg(F.sum("partial").alias("g"))
     )
@@ -1874,18 +1905,34 @@ def covariance_scaled(
     — the mean-centering identity with the 1/n divisions cleared, so
     every value is an exact BIGINT and the whole statistic (the input to
     embedding whitening / anisotropy correction) grades row-level in any
-    engine. One corpus scan builds both the Gram (integer_gram) and the
-    column sums; the centering join touches only the 4096-row Gram
-    relation against two broadcast 64-row sum vectors."""
+    engine. ONE corpus scan builds the Gram, the column sums AND the row
+    count (integer_gram_partials with_sums — previously the sums were a
+    second full corpus pass through a posexplode shuffle and the count a
+    third scan; round-10, guide §1.2): the partials relation is
+    model-sized (dim²+dim+1 rows per partition), localCheckpointed once
+    (swept by release_query_caches), and the three aggregates derive from
+    it — bit-exact, integer addition is associative. The centering join
+    touches only the 4096-row Gram relation against two broadcast 64-row
+    sum vectors."""
     qdf = quantize_floor(emb, vec_col, scale)
-    g = integer_gram(qdf, dim)
-    sums = (
-        qdf.select(F.posexplode("qv").alias("i0", "q"))
-        .groupBy("i0")
-        .agg(F.sum("q").alias("s"))
-        .select((F.col("i0") + 1).alias("i"), "s")
+    # LAZY checkpoint: all three consumers live in the ONE final plan, so
+    # the first stage that touches the partials materializes them and the
+    # rest read the persisted blocks — no dedicated barrier job (the
+    # connected_components precedent, round-10 change #2).
+    p = integer_gram_partials(qdf, dim, with_sums=True).localCheckpoint(
+        eager=False
     )
-    n = qdf.agg(F.count(F.lit(1)).alias("n"))
+    g = (
+        p.filter(F.col("j") > 0)
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("g"))
+    )
+    sums = (
+        p.filter((F.col("i") > 0) & (F.col("j") == 0))
+        .groupBy("i")
+        .agg(F.sum("partial").alias("s"))
+    )
+    n = p.filter(F.col("i") == 0).agg(F.sum("partial").alias("n"))
     sa = F.broadcast(sums.select(F.col("i").alias("_si"), F.col("s").alias("s_i")))
     sb = F.broadcast(sums.select(F.col("i").alias("_sj"), F.col("s").alias("s_j")))
     return (
@@ -1926,7 +1973,11 @@ def pca_power_components(
     dim²·|G|max²… int64-safe through ~10⁹ rows at scale=8; a production
     run at unbounded n float-normalizes v between rounds (same plan
     shape, certificate grading instead of row-level)."""
-    g = integer_gram(quantize_floor(emb, vec_col, scale), dim)
+    # g feeds v1, v2's join AND the final v1⋈v2 — uncheckpointed, the
+    # corpus-wide partials pass re-executes once per consumer (3 scans in
+    # the committed before-plan). The Gram is dim² rows: materialize it
+    # once (round-10, guide §1.2/§5; swept by release_query_caches).
+    g = integer_gram(quantize_floor(emb, vec_col, scale), dim).localCheckpoint()
     v1 = g.groupBy("i").agg(F.sum("g").alias("v1"))  # G · 1⃗
     v2 = (
         g.join(F.broadcast(v1.select(F.col("i").alias("j"), "v1")), "j")

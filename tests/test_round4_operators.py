@@ -183,6 +183,39 @@ def test_covariance_scaled_matches_numpy(spark, emb):
     assert np.linalg.eigvalsh(expect.astype(np.float64)).min() >= -1e-3
 
 
+def test_gram_partials_with_sums_single_pass_rows(spark, emb):
+    """The round-10 single-pass partials (integer_gram_partials
+    with_sums=True) must carry EXACTLY the three statistics the old
+    three-pass covariance derived separately: Gram cells at (i>0, j>0),
+    column sums at (i>0, j=0), row count at (0, 0) — each equal to the
+    numpy ground truth when folded, under any partitioning (integer
+    addition is associative)."""
+    q = np.stack([
+        np.floor(np.asarray(r.embedding, dtype=np.float64) * 8).astype(np.int64)
+        for r in emb.collect()
+    ])
+    p = (
+        S.integer_gram_partials(
+            S.quantize_floor(emb.repartition(7), "embedding", 8),
+            64,
+            with_sums=True,
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("v"))
+        .collect()
+    )
+    got = {(r.i, r.j): r.v for r in p}
+    g = q.T @ q
+    s = q.sum(axis=0)
+    assert got[(0, 0)] == q.shape[0]
+    for i in range(64):
+        assert got[(i + 1, 0)] == s[i], i
+        for j in range(64):
+            assert got[(i + 1, j + 1)] == g[i, j], (i, j)
+    # no stray keys beyond the three statistic classes
+    assert len(got) == 64 * 64 + 64 + 1
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     """Salting must be result-invisible: the salted plan's output equals
     the plain unsalted join bit-for-bit."""
