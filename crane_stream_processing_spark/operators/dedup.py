@@ -493,12 +493,20 @@ def semantic_prune(
     from .similarity import centroid_dots, probe_cells
 
     cells = probe_cells(centroid_dots(F.col(vec_col), centroids), nprobe)
-    e = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(cells).alias("cell"),
-        l2norm(vec_col).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
+    # Both self-join legs read the soft-assigned relation — uncheckpointed
+    # the corpus-wide k-dot assignment pass executes once per leg
+    # (round-10, guide §1.2; the substring_window_pairs discipline).
+    # Swept by release_query_caches.
+    e = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(cells).alias("cell"),
+            l2norm(vec_col).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .localCheckpoint()
+    )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         F.col("nrm").alias("na"), "cell",
