@@ -100,16 +100,36 @@ def register_scratch_dir(path: str) -> str:
 # the streaming pass, not dataset generation (server/Crane.go:63-99).
 _FIXTURE_SECONDS: list[float] = [0.0]
 
+# Per-fixture build seconds, keyed by the fixture's own name (the
+# mkdtemp prefix of its directory, e.g. "crane_ivm_feed") — round-10
+# verdict item #6: a SHARED memoized build used to be visible only as
+# fixture_s charged to whichever query happened to run first, which made
+# per-query wall reconstruction flag phantom regressions on the first
+# consumer. bench.py reports this dict as "fixture_builds" in
+# BENCH_DETAIL.json. Reporting only — the operator/fixture timing split
+# is unchanged.
+_FIXTURE_BUILDS: dict[str, float] = {}
+
 
 def fixture_seconds() -> float:
     """Cumulative fixture-build seconds this process (monotone)."""
     return _FIXTURE_SECONDS[0]
 
 
-def add_fixture_seconds(sec: float) -> None:
+def fixture_build_seconds() -> dict[str, float]:
+    """Per-fixture build seconds this process, keyed by fixture name."""
+    return dict(_FIXTURE_BUILDS)
+
+
+def _credit_fixture(name: str, sec: float) -> None:
+    _FIXTURE_SECONDS[0] += sec
+    _FIXTURE_BUILDS[name] = _FIXTURE_BUILDS.get(name, 0.0) + sec
+
+
+def add_fixture_seconds(sec: float, name: str = "inline") -> None:
     """Credit fixture-build time recorded outside cached_fixture (e.g.
     per-call scratch synthesis a query must rebuild each run)."""
-    _FIXTURE_SECONDS[0] += sec
+    _credit_fixture(name, sec)
 
 
 def cached_fixture(cache: dict, key, build, path_of=None):
@@ -131,9 +151,17 @@ def cached_fixture(cache: dict, key, build, path_of=None):
 
     t0 = time.perf_counter()
     val = build()
-    _FIXTURE_SECONDS[0] += time.perf_counter() - t0
+    sec = time.perf_counter() - t0
+    path = path_of(val)
+    # Fixture name = the directory's mkdtemp prefix ("crane_ivm_feed_"
+    # + 8 random chars → "crane_ivm_feed"): stable across processes,
+    # needs no extra plumbing at the ~20 call sites. mkdtemp's random
+    # alphabet includes "_", so strip the fixed-length suffix, not the
+    # last underscore-delimited token.
+    base = os.path.basename(path.rstrip("/"))
+    _credit_fixture(base[:-8].rstrip("_") if len(base) > 8 else base, sec)
     cache[key] = val
-    _FIXTURE_CLEANUP.add(path_of(val))
+    _FIXTURE_CLEANUP.add(path)
     return val
 
 

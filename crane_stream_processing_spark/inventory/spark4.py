@@ -215,16 +215,17 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (shared SparkContext/caches, private SQLConf, read at the
     # recursion's action time), so the host session's planner conf is
     # never mutated — building this query mid-session leaks nothing.
-    # Floor the width at min(8, cores): deriving it from scan splits
+    # Floor the width at min(4, cores): deriving it from scan splits
     # ALONE collapsed to 1 partition at bench SF (one parquet split), and
-    # a 1-wide recursion serializes every step onto one core — measured
-    # 5.5 s (1-wide) vs 4.3 s (8-wide) vs 5.0 s (32-wide) for the
-    # recursion at sf0.1 on an idle box. The floor is core-count-capped
-    # (never a local constant), and at scale the split count dominates.
-    rec_parts = max(
-        t(spark, sf_dir, "orders").rdd.getNumPartitions(),
-        min(8, spark.sparkContext.defaultParallelism),
-    )
+    # a 1-wide recursion serializes every step onto one core. The floor
+    # is core-count-capped (never a local constant), and at scale the
+    # split count dominates. Round-10 swept the width with AQE on (8
+    # best); round 11 re-swept with AQE scoped off for floor-sized
+    # inputs (below) and the knee moved to 2-4 (min-of-3: 1-wide 3.34 s,
+    # 2-wide 3.31, 4-wide 3.33, 8-wide 3.68).
+    scan_splits = t(spark, sf_dir, "orders").rdd.getNumPartitions()
+    width_floor = min(4, spark.sparkContext.defaultParallelism)
+    rec_parts = max(scan_splits, width_floor)
     rec = spark.newSession()
     edges = register_query_cache(
         t(rec, sf_dir, "orders")
@@ -243,6 +244,20 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action (count of the edge table).
     edges.count()
     rec.conf.set("spark.sql.shuffle.partitions", str(rec_parts))
+    # UnionLoopExec materializes every recursion step with adaptive
+    # execution when AQE is on, and each AQE stage materialization is
+    # its own Spark job — the status tracker counts 87 jobs (AQE on) vs
+    # 62 (off) for the identical ~24-step recursion, i.e. the per-step
+    # convergence probe and the step's shuffle run as SEPARATE jobs.
+    # When the INPUT (scan splits), not the floor, decides the width,
+    # the steps carry real data volume and AQE's coalescing/skew
+    # protection stays on; for floor-sized inputs the per-step frontier
+    # is KB-sized and AQE's extra per-step job + re-optimization is pure
+    # overhead — measured min-of-3 at sf0.1: 3.68 s (AQE on) vs 3.33 s
+    # (off) at identical results. Clone-scoped, like the width conf: the
+    # host session's planner behavior is never touched.
+    if scan_splits <= width_floor:
+        rec.conf.set("spark.sql.adaptive.enabled", "false")
     edges.createOrReplaceTempView("order_chain_edges")  # clone-scoped view
     return rec.sql(
         """

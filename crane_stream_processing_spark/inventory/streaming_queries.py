@@ -2125,7 +2125,9 @@ def stream_ivm_compaction_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time, not operator time.
     t0 = time.perf_counter()
     spark.read.parquet(shared_base).write.parquet(base_dir)
-    add_fixture_seconds(time.perf_counter() - t0)
+    add_fixture_seconds(
+        time.perf_counter() - t0, name="crane_ivm_cycle_base_copy"
+    )
     feed = (
         spark.readStream.schema("o_custkey long, dn long, dv decimal(28,4)")
         .option("maxFilesPerTrigger", 1)

@@ -29,7 +29,7 @@ from crane_stream_processing_spark.inventory import (  # noqa: E402
 from crane_stream_processing_spark.session import get_spark  # noqa: E402
 
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("CRANE_PLANS_ROUND", "r11")
 )
 
 
