@@ -488,7 +488,17 @@ def semantic_prune(
     soft assignment multiplies join rows by nprobe, not the pair count by
     nprobe². Pairs are oriented (id_a < id_b) so "keep the lowest id per
     semantic group" needs no second pass, and duplicate pairs from shared
-    multi-cell membership collapse in the final distinct."""
+    multi-cell membership collapse in the final distinct.
+
+    CALLER NOTE: the soft-assignment relation is EAGERLY
+    localCheckpoint-ed (it feeds both self-join legs; eager keeps the
+    corpus-wide k-dot pass at exactly one execution even when the legs'
+    tasks run concurrently). The persistent RDD this leaves behind must
+    be released after the result is materialized —
+    ``inventory.release_query_caches(spark)`` does so, and the bench /
+    driver harnesses call it after every query; a library caller looping
+    over corpora should do the same or unpersist via
+    ``spark.sparkContext._jsc.getPersistentRDDs()`` sweep."""
     from ..functions import dot, l2norm
     from .similarity import centroid_dots, probe_cells
 
